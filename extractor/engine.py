@@ -1,0 +1,127 @@
+"""Pluggable extraction engine (the reference's one extension seam).
+
+The reference's extension point is a duck-typed ``model.infer``
+contract (reference services/model_loader.py:93-96, 129-132 via
+``trust_remote_code``; call site services/inference_engine.py:88-100).
+We formalize it (SURVEY.md §2.5):
+
+    infer_batch(images: list[bytes], prompt: str) -> list[str]
+
+returning RAW model output (stdout-style, with grounding annotations
+and debug noise) — downstream cleaning (T7/T8) is a separate stage,
+exactly as in the reference where ``clean_stdout_output`` runs after
+``model.infer`` (inference_engine.py:215-245).
+
+Two implementations:
+
+* :class:`SurrogateEngine` — deterministic, CPU-only. Stands in for
+  the GPU model in every test/bench.  It "OCRs" a rasterized page by
+  reading the page's embedded text (our synthetic page format carries
+  it) and re-emitting it wrapped in the exact noise the real model
+  prints (``=====`` banners, ``BASE:``/``PATCHES:`` lines,
+  ``torch.Size`` shapes, grounding tags) so the cleaning stages do
+  real byte-level work instead of being bypassed.
+* :class:`DeepSeekOCREngine` — the GPU wrapper contract.  The model
+  stack (torch/transformers/PIL) is not installed in this sandbox, so
+  it raises ``NotImplementedError`` at construction; the class
+  documents the exact call (prompt, base_size=1024, image_size=640,
+  crop_mode=True — reference constants.py:16-17,
+  inference_engine.py:88-100) and the load-time flags it must apply
+  (bf16, TF32, cuDNN benchmark, torch.compile reduce-overhead, FA2 —
+  reference services/model_loader.py:106-181).
+
+Executor lifecycle: one engine per Python worker process, created
+lazily on first batch and cached in a module-level singleton — the
+batch analog of the reference's load-once model singleton
+(model_loader.py:59-61, main.py:57-58).  Weights ship via object
+store / ``--py-files``, never per-task.
+"""
+
+from __future__ import annotations
+
+from extractor import MODEL_VERSION
+
+DEFAULT_PROMPT = "<image>\nConvert the document to markdown."  # reference constants.py:46
+
+# ---------------------------------------------------------------------------
+# Synthetic page payloads ("rasterized page" stand-in).
+# A real deployment feeds JPEG page images here (T1/T2/T4 output); the
+# sandbox has no PIL/fitz, so pages are byte payloads of the form
+#   b"PAGE <n>\n<utf-8 text>"
+# produced by extractor.pdf_extract.split_pdf_pages.
+# ---------------------------------------------------------------------------
+
+CORRUPT_MARKER = b"\xff\xfeCORRUPT"
+
+
+class SurrogateEngine:
+    """Deterministic stand-in for DeepSeek-OCR (tests + bench)."""
+
+    model_version = MODEL_VERSION
+
+    def infer_batch(self, images: list[bytes], prompt: str = DEFAULT_PROMPT) -> list[str]:
+        return [self._infer_one(img) for img in images]
+
+    @staticmethod
+    def _infer_one(img: bytes) -> str:
+        if img is None or CORRUPT_MARKER in bytes(img[:64]):
+            # The real model raises on undecodable pixmaps; per-page
+            # error isolation upstream turns this into an error row
+            # (reference pdf_processor.py:228-247).
+            raise ValueError("corrupt page image")
+        body = bytes(img).decode("utf-8", errors="replace")
+        if body.startswith("PAGE "):
+            first_nl = body.find("\n")
+            header, text = body[: first_nl if first_nl >= 0 else len(body)], (
+                body[first_nl + 1 :] if first_nl >= 0 else ""
+            )
+            page_no = header[5:].strip()
+        else:
+            page_no, text = "0", body
+        # Raw model stdout, faithfully noisy (shapes the reference's
+        # cleaner was built to filter: text_cleaner.py:84-95).
+        return (
+            f"=====image {page_no}=====\n"
+            f"BASE: torch.Size([1, 3, 1024, 1024])\n"
+            f"PATCHES: {page_no}\n"
+            f"<|ref|>page<|/ref|><|det|>[[0, 0, 980, 1440]]<|/det|>## Page {page_no}\n"
+            f"{text}\n"
+            f"(0x0)\n"
+        )
+
+
+class DeepSeekOCREngine:
+    """GPU deployment wrapper (contract only in this sandbox).
+
+    Must reproduce, per reference:
+      * load: AutoModel/AutoTokenizer, safetensors, pad-token fallback
+        (model_loader.py:63-142), bf16 + TF32 + cuDNN benchmark
+        (148-154), torch.compile(mode='reduce-overhead') (161-175),
+        FA2 if available (106-126), warmup inference (229-296).
+      * infer: model.infer(tokenizer, prompt=…, image_file=…,
+        output_path=…, base_size=1024, image_size=640, crop_mode=True,
+        save_results=False, test_compress=False) under
+        torch.inference_mode() with stdout captured
+        (inference_engine.py:53-106); result extraction 3-way coalesce
+        (inference_engine.py:108-134, 215-245).
+    """
+
+    model_version = "deepseek-ocr"
+
+    def __init__(self, model_name: str = "unsloth/DeepSeek-OCR"):
+        raise NotImplementedError(
+            "GPU model stack (torch/transformers) is not available in this "
+            "environment; use SurrogateEngine. This class documents the "
+            "deployment contract."
+        )
+
+
+_ENGINE = None
+
+
+def get_engine():
+    """Per-worker lazy singleton (reference model_loader.py:59-61 analog)."""
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = SurrogateEngine()
+    return _ENGINE
