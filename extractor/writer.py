@@ -1,0 +1,131 @@
+"""Snapshot-committed sink + lineage + resume (north_rule requirements).
+
+On a production cluster this is ``df.writeTo("db.pages_extracted").
+append()`` against an Iceberg catalog, and resume reads the last
+committed snapshot.  The sandbox has no catalog service, so the same
+semantics are emulated with the standard atomic-commit-by-manifest
+pattern (SURVEY.md §7 "Resumability without Iceberg"):
+
+    out_dir/
+      snapshots/<run_id>/   parquet data files (written first)
+      lineage/<run_id>/     per-partition lineage rows
+      _committed/<run_id>.json   manifest — written LAST; a snapshot
+                                 exists iff its manifest exists
+
+A crashed run leaves an orphan ``snapshots/`` dir that no manifest
+references — invisible to readers, exactly like an uncommitted
+Iceberg snapshot.  All code paths go through this module, so swapping
+in a real catalog changes nothing upstream.
+
+Resume is a broadcast anti-join of the input against committed urls:
+the committed-url side is a column-pruned scan (url only) and is tiny
+relative to the input payload bytes, so at 100 TB the anti-join
+broadcasts (or AQE picks SMJ if the committed set is huge — both
+correct; the payload side is never shuffled twice).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def _committed_manifests(out_dir: str) -> list[dict]:
+    cdir = os.path.join(out_dir, "_committed")
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(cdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(cdir, name)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def committed_run_ids(out_dir: str) -> list[str]:
+    return [m["run_id"] for m in _committed_manifests(out_dir)]
+
+
+def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> str:
+    """Write one snapshot atomically; returns the run_id.
+
+    Adds a ``partition_id`` column (`spark_partition_id`) so lineage
+    is derivable from the data itself, writes data, derives+writes the
+    per-partition lineage table, then commits the manifest as the
+    last, atomic step.
+    """
+    spark = df.sparkSession
+    run_id = run_id or new_run_id()
+    data_path = os.path.join(out_dir, "snapshots", run_id)
+    lineage_path = os.path.join(out_dir, "lineage", run_id)
+
+    with_pid = df.withColumn("partition_id", F.spark_partition_id())
+    with_pid.write.mode("errorifexists").parquet(data_path)
+
+    # Lineage from the committed bytes (one cheap column-pruned scan),
+    # never from a second execution of the pipeline.
+    written = spark.read.parquet(data_path)
+    lineage = (
+        written.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.count(F.when(F.col("success"), 1)).alias("ok_count"),
+            F.count(F.when(~F.col("success"), 1)).alias("err_count"),
+            F.round(F.sum("latency_s"), 3).alias("latency_s"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "row_count",
+            "ok_count",
+            "err_count",
+            "latency_s",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+    lineage.write.mode("errorifexists").parquet(lineage_path)
+
+    cdir = os.path.join(out_dir, "_committed")
+    os.makedirs(cdir, exist_ok=True)
+    manifest = {"run_id": run_id, "data": data_path, "lineage": lineage_path}
+    tmp = os.path.join(cdir, f".{run_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(cdir, f"{run_id}.json"))  # the commit point
+    return run_id
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all committed snapshots (uncommitted dirs invisible)."""
+    manifests = _committed_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {out_dir}")
+    return spark.read.parquet(*[m["data"] for m in manifests])
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    manifests = _committed_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {out_dir}")
+    return spark.read.parquet(*[m["lineage"] for m in manifests])
+
+
+def resume_filter(pages: DataFrame, out_dir: str) -> DataFrame:
+    """Drop input rows whose url is already committed (idempotent re-run).
+
+    ``left_anti`` join on the column-pruned committed-url set; input
+    payload bytes stream through untouched.
+    """
+    spark = pages.sparkSession
+    if not _committed_manifests(out_dir):
+        return pages
+    done = read_extracted(spark, out_dir).select("url")
+    return pages.join(done, "url", "left_anti")

@@ -1,0 +1,78 @@
+"""Sink/lineage/resume invariants (FIXTURES.md §4, SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from extractor.config import ExtractConfig
+from extractor.testgen import TEST_MAX_BYTES, pages_df
+from extractor.writer import (
+    committed_run_ids,
+    read_extracted,
+    read_lineage,
+    resume_filter,
+    write_snapshot,
+)
+from tests.conftest import SF_TINY
+
+CFG = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+
+
+def test_write_resume_lineage(spark, tmp_path):
+    from extractor.pipeline import run_extraction
+
+    out_dir = str(tmp_path / "extracted")
+    pages = pages_df(spark, SF_TINY).cache()
+    n_total = pages.count()
+
+    # interrupted first run: only half the input was processed
+    first_half = pages.filter(F.col("url") < "https://example-42.test/m")
+    n_first = first_half.count()
+    assert 0 < n_first < n_total
+    run1 = write_snapshot(run_extraction(spark, first_half, CFG), out_dir)
+    assert committed_run_ids(out_dir) == [run1]
+
+    # resume: anti-join leaves exactly the delta
+    remaining = resume_filter(pages, out_dir)
+    assert remaining.count() == n_total - n_first
+    run2 = write_snapshot(run_extraction(spark, remaining, CFG), out_dir)
+
+    # committed view: complete, no duplicate urls
+    result = read_extracted(spark, out_dir)
+    assert result.count() == n_total
+    assert result.select("url").distinct().count() == n_total
+
+    # re-resume is a no-op (idempotency)
+    assert resume_filter(pages, out_dir).count() == 0
+
+    # lineage: per-partition rows summing to the input
+    lineage = read_lineage(spark, out_dir)
+    sums = lineage.agg(
+        F.sum("row_count").alias("rows"),
+        F.sum("ok_count").alias("ok"),
+        F.sum("err_count").alias("err"),
+    ).first()
+    assert sums["rows"] == n_total
+    assert sums["ok"] + sums["err"] == n_total
+    assert set(r["run_id"] for r in lineage.collect()) == {run1, run2}
+
+
+def test_uncommitted_snapshot_invisible(spark, tmp_path):
+    """A data dir without a manifest must not be readable — the
+    crash-safety property Iceberg snapshots give for free."""
+    from extractor.pipeline import run_extraction
+
+    out_dir = str(tmp_path / "extracted2")
+    pages = pages_df(spark, SF_TINY).limit(20)
+    run_extraction(spark, pages, CFG).write.parquet(
+        os.path.join(out_dir, "snapshots", "orphan")
+    )
+    # no _committed manifest → reader sees nothing, resume is full re-run
+    assert resume_filter(pages, out_dir) is pages
+    try:
+        read_extracted(spark, out_dir)
+        assert False, "orphan snapshot should be invisible"
+    except FileNotFoundError:
+        pass
