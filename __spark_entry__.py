@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline; ``queries`` /
+``oracle_sql`` expose the operator registry in
+``extractor/queries.py`` (each Spark implementation paired with a
+DuckDB oracle where the semantics are SQL-expressible; Python-only
+operators are covered by the pytest golden suite instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the extractor package importable on executors regardless of
+    which session the driver hands us (its session won't have run
+    extractor.session.build_session)."""
+    try:
+        from extractor.session import package_pyfiles
+
+        spark.sparkContext.addPyFile(package_pyfiles())
+    except Exception:
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full document→markdown extraction at sf0.001.
+
+    pages (synthesized from documents.parquet) → route → html
+    boilerplate-strip + pdf page fan-out/OCR/reassembly → extracted
+    table (url, text, pages, success, …).
+    """
+    _ship_package(spark)
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import run_extraction
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    return run_extraction(
+        spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from extractor.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(qd.spark) for name, qd in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from extractor.queries import REGISTRY
+
+    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}

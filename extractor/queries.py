@@ -1,0 +1,593 @@
+"""Driver-graded query registry: Spark implementation + DuckDB oracle.
+
+Every operator claimed in SURVEY.md §2 (and the training-data-pipeline
+operator set: dedup / similarity / text-stats) appears here as a
+``(spark_fn, oracle_sql)`` pair.  The driver runs both at sf=0.01 and
+compares row count + schema + order-insensitive value hash, so:
+
+* every computed column is aliased IDENTICALLY on both sides;
+* floating-point aggregates go through exact decimal accumulation
+  (``sum(cast(x as decimal))``) before a final double cast, so the
+  result does not depend on reduction order (Spark shuffles, DuckDB
+  doesn't);
+* Python-only semantics (the byte-exact cleaner) are mirrored by an
+  *independent* SQL reimplementation on constructed inputs — passing
+  proves the Python path and SQL path agree on real data, which is a
+  stronger check than self-comparison;
+* the few genuinely non-SQL ops (full pipeline, multimodal stubs)
+  omit the oracle and are covered by pytest golden tests instead.
+
+Determinism notes: inputs are the driver's seeded parquet tables; any
+synthesized structure (duplicate injection, page fan-out, noisy text)
+is a pure function of those rows, identical in both dialects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S1/F1-F5 — scan + routing + validation (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+_CLASS_ARRAY_SQL = (
+    "['html_simple','html_simple','html_simple','html_simple',"
+    "'html_simple','html_simple','html_simple','html_simple',"
+    "'html_boiler','html_boiler','html_boiler','html_boiler',"
+    "'pdf_small','pdf_small','pdf_small','pdf_large',"
+    "'html_grounded','html_grounded','reject_empty','reject_ext']"
+)
+
+
+@register(
+    "route_and_validate",
+    f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 97 = 0 THEN 'reject_oversize'
+                  ELSE ({_CLASS_ARRAY_SQL})[(doc_id % 20) + 1] END AS cls
+      FROM documents
+    ), pages AS (
+      SELECT doc_id, cls,
+             'https://example-42.test/' || cls || '/' ||
+               lpad(doc_id::VARCHAR, 6, '0') ||
+               CASE WHEN cls = 'reject_ext' THEN '.exe'
+                    WHEN cls LIKE 'pdf%' THEN '.pdf' ELSE '.html' END AS url,
+             CASE WHEN cls = 'reject_oversize' THEN 65537
+                  WHEN cls = 'reject_empty' THEN 0
+                  ELSE n_chars END AS payload_size
+      FROM base
+    )
+    SELECT url,
+           CASE WHEN url LIKE '%.exe' THEN 'unsupported'
+                WHEN url LIKE '%.pdf' THEN 'pdf' ELSE 'html' END AS doc_type,
+           CASE WHEN url LIKE '%.exe' THEN 'Unsupported file format'
+                WHEN payload_size = 0 THEN 'File is empty'
+                WHEN payload_size > 65536
+                  THEN 'File size exceeds maximum allowed size'
+                END AS error
+    FROM pages
+    """,
+)
+def q_route_and_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F5 through the real pipeline.route/_quarantine_error
+    expressions (JVM-side; tests assert no Python stage)."""
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import _quarantine_error, route
+    from extractor.testgen import CLASSES
+
+    docs = _docs(spark, sf_dir)
+    cls = F.when(F.col("doc_id") % 97 == 0, "reject_oversize").otherwise(
+        F.element_at(F.array(*[F.lit(c) for c in CLASSES]), (F.col("doc_id") % 20 + 1).cast("int"))
+    )
+    ext = (
+        F.when(cls == "reject_ext", ".exe")
+        .when(cls.startswith("pdf"), ".pdf")
+        .otherwise(".html")
+    )
+    url = F.concat(
+        F.lit("https://example-42.test/"), cls, F.lit("/"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"), ext,
+    )
+    size = (
+        F.when(cls == "reject_oversize", 65537)
+        .when(cls == "reject_empty", 0)
+        .otherwise(F.col("n_chars"))
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        # payload stand-in with the right length; stays JVM-side
+        F.repeat(F.lit("x"), size.cast("int")).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    cfg = ExtractConfig(max_bytes=65536)
+    return route(pages).select(
+        "url", "doc_type", _quarantine_error(cfg).alias("error")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7/T8 — byte-exact cleaning, independently mirrored in SQL
+# ---------------------------------------------------------------------------
+
+@register(
+    "clean_grounding",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             '<|ref|>title<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>  ' || text ||
+             chr(10)||chr(10)||chr(10)||chr(10) ||
+             ' tail <|ref|>fig ' || (doc_id % 7)::VARCHAR || '<|/ref|> line  ' AS raw
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, '<\|ref\|>.*?<\|/ref\|>', '', 'g'),
+            '<\|det\|>\[\[.*?\]\]<\|/det\|>', '', 'g'),
+          '\n{3,}', chr(10)||chr(10), 'g') AS t
+      FROM noisy
+    )
+    SELECT doc_id,
+           trim(array_to_string(list_transform(string_split(t, chr(10)),
+                                               l -> trim(l)), chr(10)),
+                ' ' || chr(10)) AS clean
+    FROM s
+    """,
+)
+def q_clean_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 via the engine's Python UDF vs an independent SQL mirror."""
+    from extractor.cleaning import strip_grounding_udf
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>  "),
+        F.col("text"),
+        F.lit("\n\n\n\n"),
+        F.lit(" tail <|ref|>fig "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("<|/ref|> line  "),
+    )
+    return docs.select("doc_id", strip_grounding_udf(raw).alias("clean"))
+
+
+@register(
+    "stdout_noise_filter",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             '=====image 1=====' || chr(10) ||
+             'BASE: torch.Size([1, 3, 1024, 1024])' || chr(10) ||
+             text || chr(10) ||
+             'PATCHES: ' || (doc_id % 5)::VARCHAR || chr(10) ||
+             '(0x0)' || chr(10) ||
+             'keep ' || lang || chr(10) ||
+             'shape torch.Size([2])' || chr(10) ||
+             '   ' || chr(10) ||
+             '0x0' || chr(10) ||
+             'last line' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(trim(raw, ' ' || chr(10)), chr(10)),
+               l -> NOT (starts_with(l, '=====') OR starts_with(l, 'BASE:')
+                     OR starts_with(l, 'PATCHES:') OR trim(l) = '(0x0)'
+                     OR (starts_with(trim(l), '(0x0)') AND length(trim(l)) < 50)
+                     OR trim(l) = '0x0' OR contains(l, 'torch.Size'))
+                    AND trim(l) <> ''),
+             chr(10)) AS clean
+    FROM noisy
+    """,
+)
+def q_stdout_noise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (strip_grounding=False) vs an independent SQL mirror."""
+    from extractor.cleaning import clean_stdout_keep_grounding_udf
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("=====image 1=====\nBASE: torch.Size([1, 3, 1024, 1024])\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("PATCHES: "), (F.col("doc_id") % 5).cast("string"), F.lit("\n"),
+        F.lit("(0x0)\nkeep "), F.col("lang"),
+        F.lit("\nshape torch.Size([2])\n   \n0x0\nlast line"),
+    )
+    return docs.select("doc_id", clean_stdout_keep_grounding_udf(raw).alias("clean"))
+
+
+# ---------------------------------------------------------------------------
+# T4 + A1-A4 — page fan-out and reassembly (flattened for SQL parity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "page_assembly",
+    """
+    WITH fan AS (
+      SELECT d.doc_id,
+             1 + (d.doc_id % 3) AS n_pages,
+             p.pn,
+             'pg' || p.pn::VARCHAR || ': ' ||
+               substr(d.text, 1 + (p.pn - 1) * 40, 40) AS page_text,
+             ((d.doc_id + p.pn) % 17) <> 3 AS page_ok
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, 1 + (d.doc_id % 3))) AS pn) p
+    )
+    SELECT doc_id,
+           max(n_pages) AS total_pages,
+           bool_and(page_ok) AS success,
+           count(*) FILTER (WHERE NOT page_ok) AS failed_pages,
+           string_agg(page_text, chr(10) || chr(10) ORDER BY pn)
+             FILTER (WHERE page_ok) AS text
+    FROM fan
+    GROUP BY doc_id
+    """,
+)
+def q_page_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: explode→shuffle→array_sort reassembly (order restored by
+    sort, not arrival — SURVEY §2.4); flattened columns for the oracle."""
+    docs = _docs(spark, sf_dir)
+    n_pages = (1 + F.col("doc_id") % 3).cast("int")
+    fan = docs.select(
+        "doc_id", "text", n_pages.alias("n_pages"),
+        F.explode(F.sequence(F.lit(1), n_pages)).alias("pn"),
+    ).select(
+        "doc_id", "n_pages", "pn",
+        F.concat(
+            F.lit("pg"), F.col("pn").cast("string"), F.lit(": "),
+            F.substring(F.col("text"), (1 + (F.col("pn") - 1) * 40).cast("int"), 40),
+        ).alias("page_text"),
+        (((F.col("doc_id") + F.col("pn")) % 17) != 3).alias("page_ok"),
+    )
+    # deliberate mid-shuffle (mirrors the pipeline's page-salting step):
+    # reassembly must not depend on arrival order
+    fan = fan.repartition(16, "doc_id", "pn")
+    page_struct = F.struct("pn", "page_text")
+    return (
+        fan.groupBy("doc_id")
+        .agg(
+            F.max("n_pages").alias("total_pages"),
+            F.min("page_ok").alias("success"),
+            F.count(F.when(~F.col("page_ok"), 1)).alias("failed_pages"),
+            F.nullif(  # no surviving pages → NULL (SQL string_agg convention)
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.when(F.col("page_ok"), page_struct))),
+                        lambda p: p["page_text"],
+                    ),
+                    "\n\n",
+                ),
+                F.lit(""),
+            ).alias("text"),
+        )
+        .select("doc_id", "total_pages", "success", "failed_pages", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup operators (training-data pipeline; exact tier)
+# ---------------------------------------------------------------------------
+
+_DUP_INJECT_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUP_INJECT_SQL})
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, canonical = min doc_id.  Scale: one
+    shuffle on a 32-byte key; map-side partial agg collapses dups
+    before the exchange."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    f"""
+    WITH corpus AS ({_DUP_INJECT_SQL})
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return corpus.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregation breadth (TPC-H-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape.  Decimal accumulation → result independent of
+    partial-agg ordering (shuffle-safe); map-side combine halves the
+    exchange."""
+    li = _lineitem(spark, sf_dir)
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 2)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 2)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join.  customer/nation are broadcast (small
+    dims) so the only shuffle is lineitem⋈orders on orderkey; at
+    100 TB that pair would be bucketed on orderkey to eliminate it."""
+    li = _lineitem(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization (batch analogs of the
+# streaming module)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_windowed",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per type — the batch twin of the streaming
+    job in extractor.streaming (same expressions, readStream source)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with analytic windows (lag + running
+    sum).  One shuffle on user_id serves both window functions and the
+    final groupBy (same partitioning reused across stages)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; go through LTZ (session TZ is pinned
+    # to UTC in build_session) to get epoch seconds.
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", is_new.alias("is_new")
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_topk_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS sim
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, all JVM expressions (zip_with +
+    aggregate fold — no Python).  Scale path: the query side is tiny →
+    broadcast it against the corpus so the corpus is scanned once with
+    no shuffle; top-k per query via window over the broadcast-join
+    output (AQE handles the final small exchange)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
