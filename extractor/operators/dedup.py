@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+All variants are expression-only (JVM, codegen'd): the MinHash/SimHash
+signatures are higher-order-function folds over token arrays, so the
+signature stage is map-only — the only shuffles are the candidate-pair
+self-joins on short digest keys, which is exactly the part that must
+shuffle.  Design matches the standard MinHash-LSH construction
+(Broder 1997; Leskovec/Rajaraman/Ullman ch. 3) and SimHash
+(Charikar 2002) from public literature.
+
+Scale notes:
+* Signatures: K md5 calls per shingle — map-side, embarrassingly
+  parallel, no skew (cost ∝ doc length, bounded by the page-size cap).
+* LSH join: keys are (band_idx, 32-hex digest) — high cardinality,
+  uniform; AQE handles residual skew.  At 10^12 docs the band join is
+  the dominant shuffle; B·N rows of ~50 bytes each, far smaller than
+  the corpus payload (which never shuffles).
+* Pair estimation reuses the signatures carried through the join — no
+  second pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+
+def hex64(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint.
+
+    Identical construction exists in ANSI/DuckDB SQL
+    (``('0x' || substr(md5(x),1,15))::BIGINT``), which is what makes
+    these operators oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_of(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_of(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shorter tail shingles kept, matching the
+    SQL mirror's slice semantics)."""
+    w = words_of(text)
+    upper = F.greatest(F.size(w) - n, F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), upper),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """K-permutation MinHash over word n-grams.
+
+    Permutation j is simulated by hashing ``j || '|' || shingle``
+    (seeded-hash MinHash; public construction)."""
+    sh = shingles_of(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: hex64(F.concat(j.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with signature-estimated Jaccard.
+
+    shingle → K minhashes → ``bands`` bands of K/bands rows → band-key
+    self-join → estimate = matching-component fraction ≥ threshold.
+    Returns (a, b, est_jaccard) with a < b, deduplicated.
+    """
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).select(
+        "id",
+        "sig",
+        "band_idx",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band_idx") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_key"),
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_key"),
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_key"),
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"),
+    )
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", (matches / F.lit(float(k))).alias("est"))
+        .groupBy("a", "b")  # a pair can match in several bands
+        .agg(F.min("est").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs.select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking groups.
+
+    Blocking bounds the pair count (|block|² per group); at corpus
+    scale the block key would be an LSH bucket — here it's caller-
+    provided columns so the oracle can reproduce it."""
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        shingles_of(F.col(text_col), n).alias("sh"),
+    )
+    a = base.select(*block_cols, F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = base.select(*block_cols, F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", (inter / union).alias("j"))
+        .filter(F.col("j") >= threshold)
+        .select("a", "b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over distinct tokens (Charikar 2002).
+
+    Bit b is the sign of the sum of ±1 contributions of each token's
+    hash bit b.  Bit extraction uses integer division by 2^b (exact —
+    pow(2,b) ≤ 2^31 is exactly representable) so the identical formula
+    runs in DuckDB."""
+    hs = F.transform(F.array_distinct(words_of(text)), hex64)
+    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("long")  # noqa: E731
+    # bit b of h == (h mod 2^(b+1)) >= 2^b — pure long arithmetic;
+    # long `/` in Spark is DOUBLE division (precision loss > 2^53), so
+    # integer division must be avoided.
+    bit_contrib = lambda h, b: (  # noqa: E731
+        F.when(h % (pow2(b) * 2) >= pow2(b), 1).otherwise(-1)
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.when(
+            F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: acc + bit_contrib(h, b)) > 0,
+            pow2(b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within blocking groups.
+
+    Blocking (here: the label column; at scale: a coarse IVF/LSH
+    bucket) keeps the pair join quadratic only within groups."""
+    base = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    a = base.select("blk", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = base.select("blk", F.col("id").alias("b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("blk", "a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("blk").alias("label"), "a", "b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators: language-ID, quality, tokens, fingerprint.
+
+All expression-only (JVM codegen; no Python).  Integer-scaled outputs
+where a float would be reduction-order sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from extractor.operators.dedup import MOD, hex64, words_of
+
+# Stopword profiles (public-knowledge n-gram/stopword LID heuristic à
+# la langid/cld2 feature sets, reduced to the corpus languages).
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "mit", "nicht"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+    "es": ["el", "la", "los", "y", "que", "para", "en"],
+    "fr": ["le", "les", "des", "et", "une", "est", "dans"],
+    "zh": ["de5", "shi4", "le5", "zai4"],  # romanized placeholders
+}
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    w = words_of(text)
+    return {
+        lang: F.size(F.filter(w, lambda t: t.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax(score) with deterministic tie-break (lang asc): sort an
+    array of (−score, lang) structs and take the head — the same
+    construction an ORDER BY gives the SQL oracle."""
+    scores = lang_scores(text)
+    entries = [
+        F.struct((-s).cast("int").alias("s"), F.lit(lang).alias("l"))
+        for lang, s in sorted(scores.items())
+    ]
+    return F.array_sort(F.array(*entries)).getItem(0).getField("l")
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    w = words_of(text)
+    return {
+        "ws_tokens": F.size(w),
+        "re_tokens": F.regexp_count(text, F.lit(TOKEN_RE)),
+        "n_chars": F.length(text),
+        "distinct_tokens": F.size(F.array_distinct(w)),
+    }
+
+
+def quality_score(text: Column) -> dict[str, Column]:
+    """Integer-scaled quality features (type-token ratio, mean token
+    length) and a composite score — heuristics in the Gopher/C4
+    quality-filter family, integer-exact for oracle parity."""
+    w = words_of(text)
+    n = F.size(w)
+    distinct = F.size(F.array_distinct(w))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    ttr_x10000 = F.floor((distinct * 10000) / n).cast("long")
+    mean_len_x100 = F.floor((total_len * 100) / n).cast("long")
+    score = (
+        F.floor(ttr_x10000 / 4) + F.floor(F.least(mean_len_x100, F.lit(1000)) / 2)
+    ).cast("long")
+    return {
+        "n_tokens": n.cast("long"),
+        "ttr_x10000": ttr_x10000,
+        "mean_token_len_x100": mean_len_x100,
+        "quality": score,
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling polynomial hash of the token stream
+    (Rabin-Karp family) mod 1e9+7 — the whole-document fingerprint
+    variant of winnowing (Schleimer et al. 2003)."""
+    hs = F.transform(words_of(text), lambda t: hex64(t) % 1000)
+    return F.aggregate(
+        hs, F.lit(0).cast("long"), lambda acc, h: (acc * 131 + h) % F.lit(MOD)
+    )

@@ -591,3 +591,355 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup tier (MinHash-LSH, SimHash, n-gram Jaccard, embeddings)
+# ---------------------------------------------------------------------------
+
+# near-dup injection: every 10th doc gets a copy with a small tail edit
+_NEARDUP_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' near duplicate tail marker' AS text
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+_HEX64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
+               i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
+             )) AS shingles
+      FROM corpus
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), j ->
+               list_min(list_transform(shingles, s ->
+                 {_HEX64_SQL.format(x="j::VARCHAR || '|' || s")}))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(list_transform(
+               sig[b.band_idx*4 + 1 : b.band_idx*4 + 4], x -> x::VARCHAR), ',')) AS band_key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+    ), pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, round(min(est), 4) AS est_jaccard
+    FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup pairs — see operators.dedup for
+    the scale analysis (band join is the only shuffle)."""
+    from extractor.operators.dedup import lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
+        )
+    )
+    return lsh_pairs(corpus, k=16, bands=4, threshold=0.5).select(
+        F.col("a"), F.col("b"), F.col("est_jaccard")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS (
+      SELECT d.doc_id, d.text, d.lang, d.n_chars FROM documents d
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near duplicate tail marker', lang, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS size_bucket,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
+               i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
+             )) AS sh
+      FROM corpus
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(length(list_intersect(a.sh, b.sh))::DOUBLE /
+                 length(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+    WHERE length(list_intersect(a.sh, b.sh))::DOUBLE /
+          length(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard within (lang, size-bucket) blocks."""
+    from extractor.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    corpus = d.select("doc_id", "text", "lang", "n_chars").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
+            "lang", "n_chars",
+        )
+    )
+    corpus = corpus.withColumn(
+        "size_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return ngram_jaccard_pairs(
+        corpus, block_cols=["lang", "size_bucket"], threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> {_HEX64_SQL.format(x='t')}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN list_sum(list_transform(hs,
+                    h -> 2 * ((h // (2 ** b)::BIGINT) % 2) - 1)) > 0
+                  THEN (2 ** b)::BIGINT ELSE 0 END)) AS BIGINT) AS simhash,
+           length(hs) AS n_distinct_tokens
+    FROM hs
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (Charikar 2002), expression-only."""
+    from extractor.operators.dedup import simhash32, words_of
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        simhash32(F.col("text")).alias("simhash"),
+        F.size(F.array_distinct(words_of(F.col("text")))).cast("long")
+        .alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_transform(generate_series(1, 64),
+               i -> embedding[i]::DOUBLE + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END) AS v
+      FROM embeddings WHERE vec_id % 25 = 0
+    )
+    SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (label-blocked; injected perturbed
+    copies are the expected dups — natural max same-label cos is 0.47)."""
+    from extractor.operators.dedup import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at(F.col("v"), i)
+            + F.when(i == 1, 0.01).otherwise(0.0),
+        ).alias("v"),
+    )
+    corpus = emb.unionAll(perturbed)
+    return embedding_neardup_pairs(
+        corpus, block_col="label", id_col="vec_id", vec_col="v", threshold=0.99
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis tier
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = {
+    "de": "['der','die','das','und','ist','mit','nicht']",
+    "en": "['the','a','of','and','to','in','is','for']",
+    "es": "['el','la','los','y','que','para','en']",
+    "fr": "['le','les','des','et','une','est','dans']",
+    "zh": "['de5','shi4','le5','zai4']",
+}
+
+_LANG_STRUCTS = ", ".join(
+    f"{{'s': -length(list_filter(w, t -> list_contains({sw}, t))), 'l': '{lang}'}}"
+    for lang, sw in sorted(_STOPWORD_SQL.items())
+)
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           (list_sort([{_LANG_STRUCTS}]))[1].l AS pred_lang,
+           lang AS stored_lang,
+           (list_sort([{_LANG_STRUCTS}]))[1].l = lang AS match
+    FROM toks
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax
+    (sort (−score, lang) structs; tie → lang asc)."""
+    from extractor.operators.textstats import predict_lang
+
+    docs = _docs(spark, sf_dir)
+    pred = predict_lang(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.col("lang").alias("stored_lang"),
+        (pred == F.col("lang")).alias("match"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             length(w) AS n_tokens,
+             length(list_distinct(w)) AS n_distinct,
+             list_sum(list_transform(w, x -> length(x))) AS total_len
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens::BIGINT AS n_tokens,
+           (n_distinct * 10000 // n_tokens)::BIGINT AS ttr_x10000,
+           (total_len * 100 // n_tokens)::BIGINT AS mean_token_len_x100,
+           ((n_distinct * 10000 // n_tokens) // 4 +
+            least(total_len * 100 // n_tokens, 1000) // 2)::BIGINT AS quality
+    FROM feat
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled quality features (TTR, mean token length) +
+    composite score (Gopher/C4-style filters, integer-exact)."""
+    from extractor.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    feats = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["ttr_x10000"].alias("ttr_x10000"),
+        feats["mean_token_len_x100"].alias("mean_token_len_x100"),
+        feats["quality"].alias("quality"),
+    )
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           length(string_split(text, ' '))::BIGINT AS ws_tokens,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+             AS re_tokens,
+           length(text)::BIGINT AS n_chars,
+           length(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    from extractor.operators.textstats import token_stats
+
+    docs = _docs(spark, sf_dir)
+    s = token_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["ws_tokens"].cast("long").alias("ws_tokens"),
+        s["re_tokens"].cast("long").alias("re_tokens"),
+        s["n_chars"].cast("long").alias("n_chars"),
+        s["distinct_tokens"].cast("long").alias("distinct_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> {_HEX64_SQL.format(x='t')} % 1000) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce([0]::BIGINT[] || hs,
+                       (a, h) -> (a * 131 + h) % 1000000007) AS fingerprint
+    FROM hs
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint of the token
+    stream (Rabin-Karp / winnowing family)."""
+    from extractor.operators.textstats import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "events_topk_users",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             count(*) AS n_events
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY total_value DESC, user_id) AS rank
+      FROM per_user
+    )
+    SELECT event_type, rank, user_id, total_value, n_events
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window over a pre-aggregate —
+    the aggregate shrinks data before the window's shuffle."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "total_value", "n_events")
+    )
