@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the flagship extraction pipeline plus the headline operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "pipeline_docs": ...}
+
+Every query is forced through the noop sink (full materialization of
+every column — count() would let Catalyst prune the work).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input scale dir
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  BENCH_REPLICATE      pages-table replication factor for the
+                       pipeline throughput measurement (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "route_and_validate",
+    "clean_grounding",
+    "page_assembly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_cosine",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_windowed",
+    "sessionize",
+    "events_topk_users",
+]
+
+
+def replicated_pages(spark, sf_dir: str, factor: int):
+    """Deterministically replicate the documents table (offset ids) so
+    the pipeline bench has enough rows to exercise 32 cores."""
+    from extractor.testgen import pages_df
+
+    if factor <= 1:
+        return pages_df(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    wide = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+    )
+    import pandas as pd
+
+    from extractor.schema import PAGES_SCHEMA
+    from extractor.testgen import make_page_record
+
+    def gen(batches):
+        for pdf in batches:
+            recs = [
+                make_page_record(int(r.doc_id), r.text, r.lang)
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(recs, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return wide.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
+        gen, schema=PAGES_SCHEMA
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "4"))
+
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import run_extraction
+    from extractor.queries import REGISTRY
+    from extractor.session import build_session
+    from extractor.testgen import TEST_MAX_BYTES
+
+    spark = build_session(
+        app_name="extractor-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Flagship: full extraction pipeline throughput (docs/sec).
+    pages = replicated_pages(spark, sf_dir, replicate).cache()
+    n_docs = pages.count()  # materialize input outside the timed span
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    t0 = time.perf_counter()
+    force(run_extraction(spark, pages, cfg))
+    pipeline_sec = round(time.perf_counter() - t0, 3)
+    timings["pipeline_extract"] = pipeline_sec
+    pages.unpersist()
+
+    for name in HEADLINE_QUERIES:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        force(qd.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total wall sec, extraction pipeline + headline operators",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_docs": n_docs,
+                "docs_per_sec": round(n_docs / pipeline_sec, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,17 +54,59 @@ def shingles_of(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
-    """K-permutation MinHash over word n-grams.
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
-    Permutation j is simulated by hashing ``j || '|' || shingle``
-    (seeded-hash MinHash; public construction)."""
-    sh = shingles_of(text, n)
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct shingles reduced to 31-bit ints (ONE md5 per shingle —
+    the expensive digest runs once; permutations are arithmetic)."""
+    return F.array_distinct(
+        F.transform(shingles_of(text, n), lambda s: hex64(s) % MERSENNE31)
+    )
+
+
+def _perm(j: Column, h: Column) -> Column:
+    """Universal-hash permutation j of a 31-bit value: (a_j·h + b_j)
+    mod (2^31−1).  a_j,b_j are deterministic odd/mixed constants; the
+    products stay < 2^62 so the arithmetic is exact in both Spark
+    longs and DuckDB BIGINTs (no overflow, no wrap divergence)."""
+    a = (j * 2 + 1) * 40_503 % MERSENNE31  # odd multiplier, decorrelated
+    b = (j * 94_261 + 73_856_093) % MERSENNE31
+    return (a * h + b) % MERSENNE31
+
+
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """K-permutation MinHash over word n-grams (Broder 1997) with
+    seeded universal hashing — one digest per shingle, K cheap
+    arithmetic permutations (the standard a·x+b mod p construction).
+
+    Expression form (nested HOFs) — prefer :func:`minhash_signatures`
+    in pipelines: Spark's interpreter re-evaluates the inner array per
+    outer lambda element, so the nested form costs ~K× the digests."""
+    sh = shingle_hashes(text, n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(sh, lambda s: hex64(F.concat(j.cast("string"), F.lit("|"), s)))
-        ),
+        lambda j: F.array_min(F.transform(sh, lambda h: _perm(j, h))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signatures via explode → grouped min aggregates.
+
+    The scalable formulation: one shingle-hash array per doc (single
+    digest pass), exploded to (id, h) rows, then K codegen'd ``min``
+    aggregates — whole-stage codegen end to end, no HOF interpretation
+    in the hot loop.  The groupBy shuffles only (id, long) pairs,
+    ~100× smaller than the corpus text."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
+    )
+    aggs = [F.min(_perm(F.lit(j), F.col("h"))).alias(f"m{j}") for j in range(k)]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(k)]).alias("sig")
     )
 
 
@@ -83,9 +125,7 @@ def lsh_pairs(
     Returns (a, b, est_jaccard) with a < b, deduplicated.
     """
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k).alias("sig")
-    )
+    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k)
     banded = sig.select(
         "id",
         "sig",
@@ -144,7 +184,8 @@ def ngram_jaccard_pairs(
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
-        shingles_of(F.col(text_col), n).alias("sh"),
+        # int shingles: set ops compare longs, not strings
+        shingle_hashes(F.col(text_col), n).alias("sh"),
     )
     a = base.select(*block_cols, F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = base.select(*block_cols, F.col("id").alias("b"), F.col("sh").alias("sh_b"))
@@ -184,6 +225,34 @@ def simhash32(text: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def simhash32_df(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash via explode → 32 codegen'd conditional sums (the
+    scalable formulation of :func:`simhash32`; same values).
+
+    Returns (id, simhash, n_distinct_tokens)."""
+    pow2 = lambda b: 1 << b  # noqa: E731
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_of(F.col(text_col)))).alias("t"),
+    ).select("id", hex64(F.col("t")).alias("h"))
+    contribs = [
+        F.sum(
+            F.when(F.col("h") % F.lit(pow2(b) * 2) >= F.lit(pow2(b)), 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(32)
+    ]
+    agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_distinct_tokens"), *contribs)
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(pow2(b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return agg.select("id", simhash.alias("simhash"), "n_distinct_tokens")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     block_col: str = "label",
@@ -195,12 +264,6 @@ def embedding_neardup_pairs(
 
     Blocking (here: the label column; at scale: a coarse IVF/LSH
     bucket) keeps the pair join quadratic only within groups."""
-    base = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -208,11 +271,16 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v,
         )
 
-    a = base.select("blk", F.col("id").alias("a"), F.col("v").alias("va"))
-    b = base.select("blk", F.col("id").alias("b"), F.col("v").alias("vb"))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    # Precompute norms row-side: O(N) instead of O(pairs) sqrt/dot.
+    base = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+    a = base.select("blk", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select("blk", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))

@@ -529,16 +529,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_cosine",
     """
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0
     ), scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(q.qv, e.embedding::DOUBLE[]) /
-               (sqrt(list_dot_product(q.qv, q.qv)) *
-                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
-               AS sim
-      FROM q, embeddings e
+             list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS sim
+      FROM q, base e
       WHERE e.vec_id <> q.query_id
     ), ranked AS (
       SELECT query_id, neighbor_id, sim,
@@ -556,13 +556,6 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast it against the corpus so the corpus is scanned once with
     no shuffle; top-k per query via window over the broadcast-join
     output (AQE handles the final small exchange)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -570,17 +563,21 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))  # norms once per row
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+
     scored = (
         F.broadcast(queries)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
-            ).alias("sim"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
         )
     )
     from pyspark.sql import Window
@@ -620,12 +617,18 @@ _HEX64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
                i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
              )) AS shingles
       FROM corpus
+    ), shi AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> {_HEX64_SQL.format(x='s')} % 2147483647)) AS shi
+      FROM sh
     ), sig AS (
       SELECT doc_id,
              list_transform(generate_series(0, 15), j ->
-               list_min(list_transform(shingles, s ->
-                 {_HEX64_SQL.format(x="j::VARCHAR || '|' || s")}))) AS sig
-      FROM sh
+               list_min(list_transform(shi, h ->
+                 ((((j*2 + 1) * 40503) % 2147483647) * h +
+                  ((j*94261 + 73856093) % 2147483647)) % 2147483647))) AS sig
+      FROM shi
     ), banded AS (
       SELECT doc_id, sig, b.band_idx,
              md5(array_to_string(list_transform(
@@ -670,9 +673,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id, lang, n_chars // 100 AS size_bucket,
              list_distinct(list_transform(
-               generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
-               i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
-             )) AS sh
+               list_distinct(list_transform(
+                 generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
+                 i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
+               )),
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
       FROM corpus
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
@@ -723,14 +728,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (Charikar 2002), expression-only."""
-    from extractor.operators.dedup import simhash32, words_of
+    """32-bit SimHash fingerprints (Charikar 2002) via the
+    explode→codegen'd-sum formulation (operators.dedup.simhash32_df)."""
+    from extractor.operators.dedup import simhash32_df
 
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        simhash32(F.col("text")).alias("simhash"),
-        F.size(F.array_distinct(words_of(F.col("text")))).cast("long")
+    return simhash32_df(docs, id_col="doc_id", text_col="text").select(
+        F.col("id").alias("doc_id"), "simhash", F.col("n_distinct_tokens").cast("long")
         .alias("n_distinct_tokens"),
     )
 
@@ -745,14 +749,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, 64),
                i -> embedding[i]::DOUBLE + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END) AS v
       FROM embeddings WHERE vec_id % 25 = 0
+    ), normed AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
     )
     SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cosine
-    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
