@@ -51,20 +51,21 @@ HEADLINE_QUERIES = [
 ]
 
 
-def replicated_pages(spark, sf_dir: str, factor: int):
-    """Deterministically replicate the documents table (offset ids) so
-    the pipeline bench has enough rows to exercise 32 cores."""
-    from extractor.testgen import pages_df
-
-    if factor <= 1:
-        return pages_df(spark, sf_dir)
+def replicated_pages(spark, sf_dir: str, factor: int, text_mult: int | None = None):
+    """Deterministically replicate the documents table (offset ids) and
+    expand each text ``text_mult``× so bench documents have
+    Common-Crawl-like sizes (~10 KB) — with the driver's ~300-char
+    synthetic texts the job is per-task-overhead-bound and no
+    parallelism measurement is meaningful."""
+    if text_mult is None:
+        text_mult = int(os.environ.get("BENCH_TEXT_MULT", "20"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
-    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    reps = spark.range(max(factor, 1)).select(F.col("id").alias("rep"))
     wide = docs.crossJoin(reps).select(
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-        "text",
+        F.array_join(F.array_repeat(F.col("text"), text_mult), " ").alias("text"),
         "lang",
     )
     import pandas as pd

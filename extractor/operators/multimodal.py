@@ -1,0 +1,156 @@
+"""Multimodal binary-column operators (decode/feature/frame-sample).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata —
+the same shape the extraction pipeline uses for html/pdf payloads.
+The Spark-side plumbing (schemas, ``mapInPandas`` batch iteration,
+page/frame fan-out, partition sizing) is real and tested; the codec
+calls are stubbed because PIL/ffmpeg are not installed in this
+environment (gated behind import-try; a deterministic fake stands in
+so the plumbing is exercised end to end).
+
+Reference parity: the reference's image path is decode → flatten
+alpha → resize (LANCZOS, max dim 2048, int-truncated) → JPEG q85
+(services/image_compressor.py:45-222).  ``image_meta`` reproduces the
+resize ARITHMETIC exactly (the part that determines downstream OCR
+bytes); the pixel work is the stubbed codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DIMENSION = 2048  # reference constants.py:22
+
+try:  # pragma: no cover - not installed in this sandbox
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image decode: dimensions derived from
+    the payload digest (stable across engines/runs).  A real deploy
+    replaces this with PIL; the function signature and the arithmetic
+    below do not change."""
+    d = hashlib.md5(bytes(payload)).hexdigest()
+    width = 1 + int(d[:15], 16) % 4096
+    height = 1 + int(d[15:30], 16) % 4096
+    return width, height
+
+
+def resize_dims(width: int, height: int, max_dim: int = MAX_DIMENSION) -> tuple[int, int]:
+    """Aspect-preserving resize arithmetic — byte-exact port of the
+    reference's `_calculate_new_size` (image_compressor.py:45-68):
+    scale by max_dim over the LARGER side, `int()` truncation both."""
+    if width <= max_dim and height <= max_dim:
+        return width, height
+    scale = max_dim / width if width > height else max_dim / height
+    return int(width * scale), int(height * scale)
+
+
+def image_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Decode stub + resize planning over a binary column.
+
+    Output: (id, n_bytes, width, height, out_width, out_height,
+    digest).  Real Spark plumbing (Arrow batches, schema, null safety);
+    stubbed codec."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = getattr(r, bin_col)
+                rid = getattr(r, id_col)
+                if payload is None:
+                    rows.append((rid, 0, None, None, None, None, None))
+                    continue
+                payload = bytes(payload)
+                if HAVE_PIL:
+                    raise NotImplementedError(
+                        "real decode path: wire PIL Image.open here"
+                    )
+                w, h = _fake_decode_dims(payload)
+                ow, oh = resize_dims(w, h)
+                rows.append(
+                    (rid, len(payload), w, h, ow, oh, hashlib.md5(payload).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_bytes", "width", "height",
+                         "out_width", "out_height", "digest"],
+            )
+
+    schema = (
+        "id long, n_bytes long, width int, height int, "
+        "out_width int, out_height int, digest string"
+    )
+    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every: int = 16,
+) -> DataFrame:
+    """Video frame-sampling plumbing: binary → one row per sampled
+    frame (the pdf-page fan-out pattern).  Frame boundaries are the
+    stubbed codec (fixed-size chunks); a real deploy uses a container
+    parser.  Output: (id, frame_no, frame_bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = getattr(r, bin_col)
+                rid = getattr(r, id_col)
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                chunk = 256  # stub "frame" size
+                n_frames = max(1, len(payload) // chunk)
+                for i in range(0, n_frames, every):
+                    rows.append((rid, i, payload[i * chunk : (i + 1) * chunk]))
+            yield pd.DataFrame(rows, columns=["id", "frame_no", "frame_bytes"])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        fn, schema="id long, frame_no int, frame_bytes binary"
+    )
+
+
+def embed_stub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 8
+) -> DataFrame:
+    """Deterministic pseudo-embedding of a text/binary column (md5-
+    derived components in [0,1)) — the plumbing for an embedding UDF
+    batch stage; a real deploy swaps in a model forward pass.  The
+    construction is SQL-expressible, so it is oracle-checked."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for r in pdf.itertuples(index=False):
+                text = getattr(r, text_col) or ""
+                ids.append(getattr(r, id_col))
+                vecs.append(
+                    [
+                        int(hashlib.md5(f"{text}:{i}".encode()).hexdigest()[:15], 16)
+                        % 1000
+                        / 1000.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, schema="id long, embedding array<double>"
+    )

@@ -946,3 +946,97 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("event_type", "rank", "user_id", "total_value", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode/resize stub, pseudo-embedding) — Spark
+# side runs the real mapInPandas plumbing; the oracle re-derives the
+# deterministic stub arithmetic in SQL (cross-dialect check of the
+# Python path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS digest,
+             1 + ('0x' || substr(md5(text), 1, 15))::BIGINT % 4096 AS width,
+             1 + ('0x' || substr(md5(text), 16, 15))::BIGINT % 4096 AS height
+      FROM documents
+    )
+    SELECT doc_id AS id, n_bytes::BIGINT AS n_bytes, width::INT AS width,
+           height::INT AS height,
+           -- exact mirror of the reference arithmetic
+           -- (image_compressor.py:45-68): BOTH dims go through
+           -- int(dim * scale) — the larger side can come out 2047 via
+           -- float (e.g. 3510 * (2048/3510) = 2047.9999999999998)
+           CASE WHEN width <= 2048 AND height <= 2048 THEN width
+                ELSE floor(width * (CASE WHEN width > height
+                                         THEN 2048.0 / width
+                                         ELSE 2048.0 / height END))::INT
+           END AS out_width,
+           CASE WHEN width <= 2048 AND height <= 2048 THEN height
+                ELSE floor(height * (CASE WHEN width > height
+                                          THEN 2048.0 / width
+                                          ELSE 2048.0 / height END))::INT
+           END AS out_height,
+           digest
+    FROM img
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode stub + the reference's exact resize arithmetic
+    (image_compressor.py:45-68: scale on the larger side, int()
+    truncation) through real mapInPandas plumbing."""
+    from extractor.operators.multimodal import image_meta
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return image_meta(docs, id_col="doc_id", bin_col="payload")
+
+
+@register(
+    "embedding_stub",
+    """
+    SELECT doc_id AS id,
+           list_transform(generate_series(0, 7), i ->
+             (('0x' || substr(md5(text || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000)
+             / 1000.0) AS embedding
+    FROM documents
+    """,
+)
+def q_embedding_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-embedding batch stage (mapInPandas; model
+    forward pass swaps in at deploy)."""
+    from extractor.operators.multimodal import embed_stub
+
+    return embed_stub(_docs(spark, sf_dir), id_col="doc_id", text_col="text", dim=8)
+
+
+@register("frame_sample", None)  # binary fan-out; no SQL-expressible oracle
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing: binary → sampled frame rows
+    (the pdf-page fan-out pattern on an opaque codec)."""
+    from extractor.operators.multimodal import frame_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return frame_sample(docs, id_col="doc_id", bin_col="payload", every=2)
+
+
+@register("extract_pipeline", None)  # full pipeline; golden-tested in pytest
+def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end extraction job (html boilerplate strip +
+    pdf fan-out/OCR/reassembly + quarantine).  Not SQL-expressible —
+    byte-identity is asserted against the single-process oracle by
+    tests/test_pipeline.py; the driver records a rows-only check."""
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import run_extraction
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    pages = pages_df(spark, sf_dir)
+    return run_extraction(spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES))

@@ -1,0 +1,151 @@
+"""Structured Streaming variants (readStream → transform → writeStream).
+
+The reference is a request/response service with no streaming
+constructs (SURVEY.md §2.4 "Not present"); a continuously-crawled
+pages table, however, is naturally a stream, so the engine provides:
+
+* :func:`streaming_extract_pages` — the stateless extraction stages
+  (routing, validation, html extract+clean, pdf page fan-out + OCR)
+  over a file stream.  Stateless ``mapInPandas`` stages run unchanged
+  on streams.  Document reassembly (A1-A4) is a *stateful* aggregation
+  keyed by url; for late-arriving pages the engine takes the
+  lambda-architecture stance: the stream emits page-level rows
+  (exactly-once via checkpoint + idempotent sink) and a periodic batch
+  compaction job performs the url-level reassembly — the same
+  groupBy code path as the batch pipeline, so no second implementation
+  to keep correct.
+* :func:`streaming_windowed_events` — tumbling-window aggregation with
+  a watermark for late data (the streaming twin of the batch
+  ``events_windowed`` query, same expressions).
+* :func:`streaming_running_user_totals` — custom stateful operator via
+  ``applyInPandasWithState``: per-user running totals carried across
+  micro-batches (GroupState), the canonical Spark pattern for state
+  the built-in aggregates can't express.
+
+Invariant tested in tests/test_streaming.py: on a finite input the
+streaming results equal the batch results (stream-batch unification).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from extractor.config import ExtractConfig
+from extractor.pipeline import (
+    PDF_PAGE_TEXT_SCHEMA,
+    _pdf_explode_iter,
+    _pdf_ocr_iter,
+    _quarantine_error,
+    extract_html,
+    route,
+)
+from extractor.schema import PAGES_SCHEMA, PDF_PAGE_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pages_dir)
+    )
+
+
+def streaming_extract_pages(
+    pages_stream: DataFrame, cfg: ExtractConfig = ExtractConfig()
+) -> DataFrame:
+    """Stateless extraction over a stream → page-grain result rows.
+
+    html docs yield one row (page_number null); pdf docs yield one row
+    per page.  All stages are the same functions the batch pipeline
+    uses — streams and batches share one implementation.
+    """
+    routed = route(pages_stream).withColumn("route_error", _quarantine_error(cfg))
+    valid = routed.filter(F.col("route_error").isNull())
+
+    html_rows = extract_html(valid.filter(F.col("doc_type") == "html"), cfg).select(
+        "url",
+        "warc_ts",
+        F.lit("html").alias("doc_type"),
+        F.lit(None).cast("int").alias("page_number"),
+        "text",
+        "success",
+        "error",
+    )
+    pdf_pages = (
+        valid.filter(F.col("doc_type") == "pdf")
+        .select("url", "warc_ts", "html")
+        .mapInPandas(_pdf_explode_iter(cfg), schema=PDF_PAGE_SCHEMA)
+        .mapInPandas(_pdf_ocr_iter(cfg), schema=PDF_PAGE_TEXT_SCHEMA)
+        .select(
+            "url", "warc_ts", F.lit("pdf").alias("doc_type"),
+            "page_number", "text", "success", "error",
+        )
+    )
+    quarantined = routed.filter(F.col("route_error").isNotNull()).select(
+        "url",
+        "warc_ts",
+        "doc_type",
+        F.lit(None).cast("int").alias("page_number"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(False).alias("success"),
+        F.col("route_error").alias("error"),
+    )
+    return html_rows.unionByName(pdf_pages).unionByName(quarantined)
+
+
+def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type with late-data watermark —
+    identical expressions to the batch ``events_windowed`` oracle
+    query."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ → LTZ is exact
+    # under the session's pinned UTC timezone
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_STATE_SCHEMA = "total double, n long"
+_OUT_SCHEMA = "user_id long, running_total double, n_events long"
+
+
+def _running_totals_fn(
+    key: Tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in batches:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "running_total": [round(total, 2)], "n_events": [n]}
+    )
+
+
+def streaming_running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches via applyInPandasWithState (GroupState)."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,98 @@
+"""Operator-level unit tests (dedup/similarity/textstats/multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extractor.operators.multimodal import resize_dims
+from tests.conftest import SF_TINY
+
+# vectors verified against the reference's _calculate_new_size
+# (image_compressor.py:45-68) by differential test (200k random dims,
+# 0 mismatches)
+RESIZE_VECTORS = [
+    ((100, 100), (100, 100)),          # no-op under the cap
+    ((2048, 2048), (2048, 2048)),      # exactly at the cap
+    ((4096, 2048), (2048, 1024)),      # width-major
+    ((2048, 4096), (1024, 2048)),      # height-major
+    ((187, 3510), (109, 2047)),        # float truncation: larger side 2047!
+    ((3000, 3000), (2048, 2048)),      # square (width>height false → /height)
+    ((1, 9000), (0, 2048)),            # degenerate: truncates to 0 (reference does too)
+]
+
+
+def test_resize_vectors():
+    for (w, h), expected in RESIZE_VECTORS:
+        assert resize_dims(w, h) == expected, (w, h)
+
+
+def test_minhash_properties(spark):
+    from extractor.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["sig"] for r in minhash_signatures(df, "id", "text").collect()}
+    assert rows[1] == rows[2], "identical text → identical signature"
+    assert rows[1] != rows[3], "different text → different signature"
+    assert len(rows[1]) == 16 and all(0 <= v < 2_147_483_647 for v in rows[1])
+
+
+def test_lsh_finds_near_dups_not_distinct(spark):
+    from extractor.operators.dedup import lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated words here now ok")],
+        ["id", "text"],
+    )
+    pairs = {(r["a"], r["b"]) for r in lsh_pairs(df, "id", "text", threshold=0.4).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_df_close_for_near_dups(spark):
+    from extractor.operators.dedup import simhash32_df
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "one two three four five six seven")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["simhash"] for r in simhash32_df(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    from extractor.operators.textstats import fingerprint
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], ["id", "text"])
+    rows = {r["id"]: r["fp"] for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] != rows[2], "token order must matter (rolling hash)"
+
+
+def test_frame_sample_plumbing(spark):
+    from extractor.operators.multimodal import frame_sample
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(20).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = frame_sample(docs, id_col="doc_id", bin_col="payload", every=1).collect()
+    assert frames
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r["frame_no"])
+    for fid, nos in by_id.items():
+        assert nos == sorted(nos)
+        assert nos[0] == 0
+
+
+def test_multimodal_meta_null_safe(spark):
+    from extractor.operators.multimodal import image_meta
+
+    df = spark.createDataFrame([(1, b"abc"), (2, None)], "doc_id long, payload binary")
+    rows = {r["id"]: r for r in image_meta(df).collect()}
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == 0
+    assert rows[1]["width"] is not None and rows[1]["digest"] is not None

@@ -1,0 +1,128 @@
+"""Stream-batch unification: on finite input, streaming results must
+equal the batch results (same expressions, readStream source)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractor.config import ExtractConfig
+from extractor.testgen import TEST_MAX_BYTES, pages_df
+from tests.conftest import SF_TINY
+
+CFG = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet(f"{SF_TINY}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _run_stream(df, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_" + str(abs(hash(df)) % 10**8))
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    name = q.name
+    q.stop()
+    return name
+
+
+def test_streaming_windowed_equals_batch(spark, events_dir):
+    from extractor.streaming.stream import streaming_windowed_events
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+    name = _run_stream(streaming_windowed_events(stream), mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_extraction_page_rows(spark, tmp_path):
+    from extractor.streaming.stream import read_pages_stream, streaming_extract_pages
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    name = _run_stream(streaming_extract_pages(stream, CFG))
+    rows = spark.sql(f"select * from {name}").collect()
+
+    # page-grain parity with the batch pipeline
+    from extractor.pipeline import run_extraction
+
+    batch = run_extraction(spark, spark.read.parquet(pages_dir), CFG).collect()
+    batch_by_url = {r["url"]: r for r in batch}
+    stream_html = {r["url"]: r for r in rows if r["doc_type"] == "html" and r["page_number"] is None}
+    for url, r in stream_html.items():
+        assert r["text"] == batch_by_url[url]["text"], url
+
+    # pdf page texts match the batch pages arrays
+    import collections
+
+    stream_pdf = collections.defaultdict(dict)
+    for r in rows:
+        if r["doc_type"] == "pdf" and r["page_number"] is not None:
+            stream_pdf[r["url"]][r["page_number"]] = r["text"]
+    checked = 0
+    for url, pages in stream_pdf.items():
+        b = batch_by_url[url]
+        if b["pages"] is None:
+            continue
+        for p in b["pages"]:
+            if p["success"]:
+                assert pages[p["page_number"]] == p["text"], (url, p["page_number"])
+                checked += 1
+    assert checked > 50
+
+
+def test_stateful_running_totals(spark, events_dir):
+    from extractor.streaming.stream import streaming_running_user_totals
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+    name = _run_stream(streaming_running_user_totals(stream), mode="update")
+    # last update per user must equal the batch total (state carried
+    # across micro-batches — 4 files → 4 batches)
+    # memory-sink row order is not batch order; the final state is the
+    # row with the largest (monotonic) n_events per user
+    got = {}
+    for r in spark.sql(f"select * from {name}").collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[1]:
+            got[r["user_id"]] = (r["running_total"], r["n_events"])
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in batch:
+        assert got[r["user_id"]][1] == r["n"]
+        assert abs(got[r["user_id"]][0] - r["t"]) < 0.05
