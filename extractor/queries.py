@@ -1040,3 +1040,51 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_df(spark, sf_dir)
     return run_extraction(spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES))
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: sign-random-projection LSH bucketing
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_lsh_bucketed",
+    """
+    WITH pl AS (  -- deterministic hyperplanes: md5(plane:p:d)
+      SELECT p.p,
+             list_transform(generate_series(0, 63), d ->
+               ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
+                   1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+    ), base AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) > 0
+                           THEN 2 ** pl.p ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e, pl
+      GROUP BY e.vec_id, e.embedding
+    ), q AS (
+      SELECT bucket, vec_id AS query_id, v AS qv, nrm AS qn
+      FROM base WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS sim
+      FROM q JOIN base c ON q.bucket = c.bucket
+      WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k (the 10^9-vector scale path:
+    bucket-equi-join instead of cross join; see operators.similarity)."""
+    from extractor.operators.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(
+        _emb(spark, sf_dir), F.col("vec_id") % 50 == 0, k=3, n_planes=6, dim=64
+    )
