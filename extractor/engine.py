@@ -41,7 +41,70 @@ from __future__ import annotations
 
 from extractor import MODEL_VERSION
 
-DEFAULT_PROMPT = "<image>\nConvert the document to markdown."  # reference constants.py:46
+# Output-format prompt binding (reference constants.py:46-56): six
+# fixed formats, each bound to one prompt string; "markdown" is the
+# default (T9/§1.1 "Prompt / output format").  The prompt is a JOB
+# parameter (driver-validated), never a per-row column.
+OUTPUT_FORMAT_PROMPTS = {
+    "markdown": "<image>\n<|grounding|>Convert the document to markdown format "
+                "with proper headers, lists, tables, and formatting.",
+    "text": "<image>\n<|grounding|>Extract all text from the document as plain "
+            "text without any formatting or structure.",
+    "table": "<image>\n<|grounding|>Extract and format all tables from the "
+             "document. Preserve table structure and data accurately.",
+    "figure": "<image>\n<|grounding|>Identify and extract all figures, charts, "
+              "and images. Provide captions, descriptions, and any associated text.",
+    "json": "<image>\n<|grounding|>Extract all information from the document and "
+            "output it as structured JSON data with appropriate key-value pairs.",
+    "structured_data": "<image>\n<|grounding|>Extract structured information from "
+                       "the document including fields, labels, and values in a "
+                       "clear key-value format.",
+}
+DEFAULT_PROMPT = OUTPUT_FORMAT_PROMPTS["markdown"]
+
+# Prompt guard (F6, reference api/security.py:76-117): driver-side
+# assertion — the prompt is per-job, so this never runs on executors.
+_SUSPICIOUS_PATTERNS = [
+    "ignore previous instructions",
+    "disregard",
+    "forget everything",
+    "new instructions",
+    "system:",
+    "assistant:",
+]
+
+
+def validate_prompt(prompt: str, max_length: int = 2000) -> None:
+    """Raise ValueError on empty/oversize/injection-pattern prompts
+    (reference semantics: empty → 400, >2000 chars → 400, six
+    suspicious substrings case-insensitively → 400)."""
+    if not prompt or not prompt.strip():
+        raise ValueError("Prompt cannot be empty")
+    if len(prompt) > max_length:
+        raise ValueError(f"Prompt exceeds maximum length of {max_length} characters")
+    lowered = prompt.lower()
+    for pattern in _SUSPICIOUS_PATTERNS:
+        if pattern in lowered:
+            raise ValueError("Prompt contains invalid or suspicious content")
+
+
+def extract_text_from_result(result) -> str | None:
+    """T6 result coercion (reference inference_engine.py:108-134):
+    str → itself; dict → first non-empty of text/output/result/
+    prediction (stringified); list → '\\n'-join of truthy items; else
+    None.  Used by the pluggable real-model wrapper, where the duck-
+    typed ``model.infer`` return shape is unknown."""
+    if isinstance(result, str) and result:
+        return result
+    if isinstance(result, dict):
+        for key in ("text", "output", "result", "prediction"):
+            if key in result and result[key]:
+                return str(result[key])
+        return None
+    if isinstance(result, list) and result:
+        text = "\n".join(str(item) for item in result if item)
+        return text or None
+    return None
 
 # ---------------------------------------------------------------------------
 # Synthetic page payloads ("rasterized page" stand-in).

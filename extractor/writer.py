@@ -67,7 +67,13 @@ def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> st
     data_path = os.path.join(out_dir, "snapshots", run_id)
     lineage_path = os.path.join(out_dir, "lineage", run_id)
 
-    with_pid = df.withColumn("partition_id", F.spark_partition_id())
+    with_pid = df.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        # O1: deterministic per-row lineage id (reference's uuid4
+        # correlation id, middleware.py:70-75, made reproducible:
+        # hash of url + snapshot id)
+        "lineage_id",
+        F.md5(F.concat(F.col("url"), F.lit(":" + run_id))),
+    )
     with_pid.write.mode("errorifexists").parquet(data_path)
 
     # Lineage from the committed bytes (one cheap column-pruned scan),
