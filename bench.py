@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "corpus_select",
     "pricing_summary",
     "revenue_by_nation",
     "events_windowed",

@@ -606,10 +606,10 @@ _NEARDUP_CORPUS_SQL = """
 _HEX64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+# Shared CTE chain: corpus → shingles → 31-bit hashes → 16-permutation
+# MinHash signatures → 4 LSH bands → candidate pairs (both the pair
+# query and the cluster query build on `pairs`).
+_LSH_CTES = f"""corpus AS ({_NEARDUP_CORPUS_SQL}),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -640,7 +640,13 @@ _HEX64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
                i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
       FROM banded l JOIN banded r
         ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_CTES}
     SELECT a, b, round(min(est), 4) AS est_jaccard
     FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
     """,
@@ -659,6 +665,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_pairs(corpus, k=16, bands=4, threshold=0.5).select(
         F.col("a"), F.col("b"), F.col("est_jaccard")
+    )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    cand AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM cand
+      UNION
+      SELECT b AS src, a AS dst FROM cand
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: LSH candidate pairs → connected
+    components (iterative min-label propagation) → cluster id + the
+    canonical-representative flag a dedup pipeline keeps.  Oracle:
+    transitive closure via recursive CTE (same min-reachable-id
+    semantics)."""
+    from extractor.operators.dedup import connected_components, lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
+        )
+    )
+    edges = lsh_pairs(corpus, k=16, bands=4, threshold=0.5)
+    cc = connected_components(edges)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
@@ -911,6 +961,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "corpus_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, lang, text,
+             (list_sort([{_LANG_STRUCTS}]))[1].l AS pred_lang,
+             length(w) AS n_tokens,
+             (length(list_distinct(w)) * 10000 // length(w)) // 4 +
+             least(list_sum(list_transform(w, x -> length(x))) * 100
+                   // length(w), 1000) // 2 AS quality
+      FROM toks
+    ), canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS canonical FROM feat GROUP BY 1
+    )
+    SELECT f.doc_id, f.pred_lang, f.n_tokens::BIGINT AS n_tokens,
+           f.quality::BIGINT AS quality
+    FROM feat f JOIN canon c ON md5(f.text) = c.h AND f.doc_id = c.canonical
+    WHERE f.pred_lang = f.lang AND f.quality >= 1000 AND f.n_tokens >= 10
+    """,
+)
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus materialization: language-ID
+    agreement filter + Gopher/C4-style quality threshold + exact-dedup
+    keep-first canonicalization — the composition a real pretraining
+    data pipeline runs after extraction.
+
+    Scale: the feature stage is map-only codegen'd expressions; dedup
+    is one shuffle on a 32-byte hash with map-side partial agg; the
+    canonical semi-join joins on (hash, doc_id), never on text."""
+    from extractor.operators.textstats import predict_lang, quality_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    feats = quality_score(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        predict_lang(F.col("text")).alias("pred_lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality"].alias("quality"),
+    )
+    canon = feat.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical")
+    )
+    kept = feat.join(
+        canon,
+        (F.md5(feat["text"]) == canon["h"]) & (feat["doc_id"] == canon["canonical"]),
+        "inner",
+    )
+    return kept.filter(
+        (F.col("pred_lang") == F.col("lang"))
+        & (F.col("quality") >= 1000)
+        & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "pred_lang", "n_tokens", "quality")
 
 
 @register(

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job.
+
+Cluster usage (north_rule: spark-submit --py-files at two cluster
+sizes):
+
+    python extractor/session.py        # or: build the zip any way
+    spark-submit \
+        --master <cluster> \
+        --py-files /tmp/extractor_pyfiles.zip \
+        scripts/run_extract.py \
+        --input  /data/pages            \
+        --output /data/pages_extracted  \
+        --resume
+
+Local smoke run:
+
+    python scripts/run_extract.py --input /root/testdata/sf0.001 \
+        --output /tmp/extract_out --synthesize
+
+The job: read pages → (optional) resume anti-join against committed
+snapshots → route/validate → html + pdf extraction → snapshot-committed
+write with per-partition lineage rows.  Exit code 0 iff the snapshot
+manifest committed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages table path (parquet dir)")
+    ap.add_argument("--output", required=True, help="output table root dir")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip urls already in a committed snapshot")
+    ap.add_argument("--synthesize", action="store_true",
+                    help="treat --input as a testdata sf dir and synthesize "
+                         "the pages table from documents.parquet")
+    ap.add_argument("--max-bytes", type=int, default=None)
+    ap.add_argument("--html-partitions", type=int, default=None)
+    ap.add_argument("--pdf-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import run_extraction
+    from extractor.session import build_session
+    from extractor.writer import resume_filter, write_snapshot
+
+    spark = build_session(app_name="extract-job")
+    if args.synthesize:
+        from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+        pages = pages_df(spark, args.input)
+        cfg_kwargs = {"max_bytes": args.max_bytes or TEST_MAX_BYTES}
+    else:
+        pages = spark.read.parquet(args.input)
+        cfg_kwargs = {}
+        if args.max_bytes:
+            cfg_kwargs["max_bytes"] = args.max_bytes
+    cfg = ExtractConfig(
+        html_partitions=args.html_partitions,
+        pdf_partitions=args.pdf_partitions,
+        **cfg_kwargs,
+    )
+
+    if args.resume:
+        pages = resume_filter(pages, args.output)
+
+    extracted = run_extraction(spark, pages, cfg)
+    run_id = write_snapshot(extracted, args.output)
+    summary = (
+        spark.read.parquet(os.path.join(args.output, "lineage", run_id))
+        .agg(
+            F.sum("row_count").alias("rows"),
+            F.sum("ok_count").alias("ok"),
+            F.sum("err_count").alias("err"),
+        )
+        .collect()[0]
+    )
+    print(f"committed snapshot {run_id}: rows={summary['rows']} "
+          f"ok={summary['ok']} err={summary['err']}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,10 +24,11 @@ from scaling import REPO, cpu_control, run_one  # noqa: E402
 
 
 def main() -> None:
-    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     os.environ.setdefault("BENCH_TEXT_MULT", "100")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     control = cpu_control()
     print(json.dumps(control))
@@ -55,6 +56,16 @@ def main() -> None:
             best[32]["best_docs_per_sec"] / best[8]["best_docs_per_sec"] / 4, 3
         ),
     }
+    # Machine-normalized: this box's own pure-CPU scaling ceiling is
+    # <1.0 (frequency scaling + SMT past the physical-core count), so
+    # also report efficiency relative to what ANY perfectly-parallel
+    # job could achieve here.
+    result["normalized_4_to_16"] = round(
+        result["efficiency_4_to_16"] / control["ceiling_4_to_16"], 3
+    )
+    result["normalized_8_to_32"] = round(
+        result["efficiency_8_to_32"] / control["ceiling_8_to_32"], 3
+    )
     print(json.dumps({k: result[k] for k in ("control", "efficiency_4_to_16", "efficiency_8_to_32")}))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:

@@ -96,3 +96,29 @@ def test_multimodal_meta_null_safe(spark):
     rows = {r["id"]: r for r in image_meta(df).collect()}
     assert rows[2]["width"] is None and rows[2]["n_bytes"] == 0
     assert rows[1]["width"] is not None and rows[1]["digest"] is not None
+
+
+def test_connected_components_merges_transitive_chains(spark):
+    from extractor.operators.dedup import connected_components
+
+    # two components: {1,2,3,4} via a chain (diameter 3, needs
+    # multiple propagation rounds) and {10, 11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_cycle_terminates(spark):
+    from extractor.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(5, 6), (6, 7), (7, 5)], ["a", "b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5}

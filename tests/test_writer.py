@@ -76,3 +76,37 @@ def test_uncommitted_snapshot_invisible(spark, tmp_path):
         assert False, "orphan snapshot should be invisible"
     except FileNotFoundError:
         pass
+
+
+def test_run_extract_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The spark-submit entry (scripts/run_extract.py) commits a
+    snapshot and its --resume re-run appends nothing."""
+    import importlib
+    import sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        run_extract = importlib.import_module("run_extract")
+    finally:
+        sys.path.remove(scripts_dir)
+
+    out_dir = str(tmp_path / "job_out")
+    argv = ["run_extract.py", "--input", SF_TINY, "--output", out_dir,
+            "--synthesize", "--resume"]
+    monkeypatch.setattr(sys, "argv", argv)
+    # build_session getOrCreate()s the suite's shared session; the
+    # script's stop() must not tear it down under the other tests.
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    assert run_extract.main() == 0
+    n1 = read_extracted(spark, out_dir).count()
+    assert n1 > 0
+    assert "committed snapshot" in capsys.readouterr().out
+    # resume: second run must add zero rows
+    monkeypatch.setattr(sys, "argv", argv)
+    assert run_extract.main() == 0
+    assert read_extracted(spark, out_dir).count() == n1
