@@ -89,6 +89,84 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    base: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells by
+    cosine (IVF coarse quantization).  ``base`` has (vec_id, v, nrm);
+    ``centroids`` has (cell_id, cv, cn).  Deterministic tie-break:
+    (cos desc, cell_id asc).
+
+    Scale: the centroid set is tiny (≤ a few thousand) → broadcast
+    cross join + per-vector window; the corpus is scanned once and
+    never shuffled (the window partitions by vec_id over the map-side
+    result — at 10^9 rows one would replace the window with
+    ``max_by`` aggregates, same semantics)."""
+    scored = (
+        base.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "nrm", "cell_id",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("vec_id", "v", "nrm", "cell_id", "cell_rank")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_filter: Column,
+    centroid_filter: Column,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells (1 cell per vector), probe the query's ``nprobe`` nearest
+    cells, score only those candidates.
+
+    The centroids here are a deterministic corpus subset (a real
+    deployment trains k-means; the *engine shape* — broadcast
+    assignment, cell-equi-join, per-query top-k — is identical and is
+    what matters at scale: scored pairs drop by ~|cells|/nprobe, and a
+    cell-partitioned table turns the probe into partition pruning)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = base.filter(centroid_filter).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    corpus_cells = ivf_assign(base, cents, nprobe=1).select(
+        "cell_id", F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    probe_cells = ivf_assign(base.filter(query_filter), cents, nprobe=nprobe).select(
+        "cell_id", F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+        # a neighbor can appear via both probed cells → dedup before rank
+        .groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_filter: Column,

@@ -1196,3 +1196,62 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(
         _emb(spark, sf_dir), F.col("vec_id") % 50 == 0, k=3, n_planes=6, dim=64
     )
+
+
+@register(
+    "ann_ivf",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM base WHERE vec_id % 37 = 0
+    ), corpus_assign AS (
+      SELECT * FROM (
+        SELECT b.vec_id AS neighbor_id, b.v, b.nrm, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC, c.cell_id
+               ) AS cell_rank
+        FROM base b, cents c
+      ) WHERE cell_rank = 1
+    ), probe_assign AS (
+      SELECT * FROM (
+        SELECT b.vec_id AS query_id, b.v AS qv, b.nrm AS qn, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.v, c.cv) / (b.nrm * c.cn) DESC, c.cell_id
+               ) AS cell_rank
+        FROM base b, cents c
+        WHERE b.vec_id % 50 = 0
+      ) WHERE cell_rank <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             max(list_dot_product(p.qv, a.v) / (p.qn * a.nrm)) AS sim
+      FROM probe_assign p JOIN corpus_assign a ON p.cell_id = a.cell_id
+      WHERE a.neighbor_id <> p.query_id
+      GROUP BY p.query_id, a.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: broadcast coarse quantization to centroid
+    cells (deterministic corpus-subset centroids), 2-probe cell join,
+    per-query top-5 (see operators.similarity.ann_topk_ivf)."""
+    from extractor.operators.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(
+        _emb(spark, sf_dir),
+        query_filter=F.col("vec_id") % 50 == 0,
+        centroid_filter=F.col("vec_id") % 37 == 0,
+        k=5,
+        nprobe=2,
+    )

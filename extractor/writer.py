@@ -43,10 +43,13 @@ def _committed_manifests(out_dir: str) -> list[dict]:
     if not os.path.isdir(cdir):
         return []
     out = []
-    for name in sorted(os.listdir(cdir)):
+    for name in os.listdir(cdir):
         if name.endswith(".json"):
             with open(os.path.join(cdir, name)) as fh:
                 out.append(json.load(fh))
+    # commit order = the seq stamped at commit time (filenames are
+    # random hex and carry no order)
+    out.sort(key=lambda m: m.get("seq", 0))
     return out
 
 
@@ -101,7 +104,10 @@ def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> st
 
     cdir = os.path.join(out_dir, "_committed")
     os.makedirs(cdir, exist_ok=True)
-    manifest = {"run_id": run_id, "data": data_path, "lineage": lineage_path}
+    seq = max((m.get("seq", 0) for m in _committed_manifests(out_dir)), default=0) + 1
+    manifest = {
+        "run_id": run_id, "seq": seq, "data": data_path, "lineage": lineage_path
+    }
     tmp = os.path.join(cdir, f".{run_id}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -109,9 +115,20 @@ def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> st
     return run_id
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Union of all committed snapshots (uncommitted dirs invisible)."""
+def read_extracted(
+    spark: SparkSession, out_dir: str, as_of: str | None = None
+) -> DataFrame:
+    """Union of all committed snapshots (uncommitted dirs invisible).
+
+    ``as_of=<run_id>`` is snapshot time travel (Iceberg
+    ``VERSION AS OF`` analog): read only snapshots committed up to and
+    including that run, in manifest commit order."""
     manifests = _committed_manifests(out_dir)
+    if as_of is not None:
+        ids = [m["run_id"] for m in manifests]
+        if as_of not in ids:
+            raise FileNotFoundError(f"no committed snapshot {as_of} under {out_dir}")
+        manifests = manifests[: ids.index(as_of) + 1]
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {out_dir}")
     return spark.read.parquet(*[m["data"] for m in manifests])

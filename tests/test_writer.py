@@ -58,6 +58,15 @@ def test_write_resume_lineage(spark, tmp_path):
     assert sums["ok"] + sums["err"] == n_total
     assert set(r["run_id"] for r in lineage.collect()) == {run1, run2}
 
+    # snapshot time travel: as-of the first commit sees only run1 rows
+    assert read_extracted(spark, out_dir, as_of=run1).count() == n_first
+    assert read_extracted(spark, out_dir, as_of=run2).count() == n_total
+    try:
+        read_extracted(spark, out_dir, as_of="nonexistent")
+        assert False, "unknown snapshot id should raise"
+    except FileNotFoundError:
+        pass
+
 
 def test_uncommitted_snapshot_invisible(spark, tmp_path):
     """A data dir without a manifest must not be readable — the
