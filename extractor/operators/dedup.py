@@ -41,28 +41,43 @@ def words_of(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_of(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shorter tail shingles kept, matching the
-    SQL mirror's slice semantics)."""
-    w = words_of(text)
-    upper = F.greatest(F.size(w) - n, F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), upper),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        )
-    )
-
-
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
+# Rolling-shingle combiners (any fixed odd constants work; these are
+# the same decorrelated multipliers the MinHash permutations use).
+_SH_A, _SH_B = 40_503, 94_261
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct shingles reduced to 31-bit ints (ONE md5 per shingle —
-    the expensive digest runs once; permutations are arithmetic)."""
-    return F.array_distinct(
-        F.transform(shingles_of(text, n), lambda s: hex64(s) % MERSENNE31)
-    )
+
+def word_hashes(text: Column) -> Column:
+    """31-bit hash per word — ONE md5 per word, the only digest pass."""
+    return F.transform(words_of(text), lambda t: hex64(t) % MERSENNE31)
+
+
+def shingle_hashes_from(wh: Column, n: int = 3) -> Column:
+    """Distinct trigram hashes from a MATERIALIZED word-hash column.
+
+    Rolling polynomial combiner ``(w[i]·A + w[i+1]·B + w[i+2]) mod
+    (2^31−1)`` (Rabin-Karp shingling), missing tail words → 0.  One
+    md5 per word instead of per shingle, and no per-shingle string
+    materialization.  Products stay < 2^48 → exact in Spark longs and
+    DuckDB BIGINTs; the identical formula runs in the SQL oracles.
+
+    ``wh`` MUST be a projected column (``F.col``), never an inline
+    ``word_hashes(...)`` expression: the HOF interpreter re-evaluates
+    an inline array argument on every ``element_at`` access, turning
+    the shingle pass O(words²·md5) — measured 8.5 s → 199 s on the
+    sf0.1 Jaccard query before this was split into two projections
+    (and 8.5 s → ~4 s after)."""
+    assert n == 3, "rolling combiner is specialized to trigrams"
+    upper = F.greatest(F.size(wh) - n, F.lit(0))
+
+    def shingle(i):
+        h1 = F.element_at(wh, i + 1)
+        h2 = F.coalesce(F.element_at(wh, i + 2), F.lit(0).cast("long"))
+        h3 = F.coalesce(F.element_at(wh, i + 3), F.lit(0).cast("long"))
+        return (h1 * _SH_A + h2 * _SH_B + h3) % MERSENNE31
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), upper), shingle))
 
 
 def _perm(j: Column, h: Column) -> Column:
@@ -83,7 +98,7 @@ def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     Expression form (nested HOFs) — prefer :func:`minhash_signatures`
     in pipelines: Spark's interpreter re-evaluates the inner array per
     outer lambda element, so the nested form costs ~K× the digests."""
-    sh = shingle_hashes(text, n)
+    sh = shingle_hashes_from(word_hashes(text), n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.array_min(F.transform(sh, lambda h: _perm(j, h))),
@@ -100,10 +115,19 @@ def minhash_signatures(
     aggregates — whole-stage codegen end to end, no HOF interpretation
     in the hot loop.  The groupBy shuffles only (id, long) pairs,
     ~100× smaller than the corpus text."""
+    # explode_outer, NOT explode: plain explode makes Catalyst's
+    # InferFiltersFromGenerate add a `size(sh) > 0` filter that gets
+    # pushed below the wh projection with the FULL expression
+    # substituted — re-evaluating the word-hash array per element_at,
+    # O(words²·md5) (measured 3 s → 100+ s at sf0.1).  Shingle arrays
+    # are never empty (≥1 window per doc), so outer+isNotNull is
+    # identical semantics with no inferred filter.
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
-    )
+        word_hashes(F.col(text_col)).alias("wh"),  # digest pass, once
+    ).select(
+        "id", F.explode_outer(shingle_hashes_from(F.col("wh"), n)).alias("h")
+    ).filter(F.col("h").isNotNull())
     aggs = [F.min(_perm(F.lit(j), F.col("h"))).alias(f"m{j}") for j in range(k)]
     return ex.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"m{j}") for j in range(k)]).alias("sig")
@@ -197,10 +221,19 @@ def ngram_jaccard_pairs(
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
+        word_hashes(F.col(text_col)).alias("wh"),  # digest pass, once
+    ).select(
+        *block_cols,
+        "id",
         # int shingles: set ops compare longs, not strings
-        shingle_hashes(F.col(text_col), n).alias("sh"),
+        shingle_hashes_from(F.col("wh"), n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    ex = base.select(*block_cols, "id", "sz", F.explode("sh").alias("h"))
+    # explode_outer + isNotNull: see minhash_signatures — plain explode
+    # infers a size() filter whose pushdown re-inlines the whole
+    # shingle expression below the projections (O(words²·md5)).
+    ex = base.select(
+        *block_cols, "id", "sz", F.explode_outer("sh").alias("h")
+    ).filter(F.col("h").isNotNull())
     a = ex.select(
         *block_cols, F.col("id").alias("a"), F.col("sz").alias("sz_a"), "h"
     )

@@ -612,15 +612,15 @@ _HEX64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 _LSH_CTES = f"""corpus AS ({_NEARDUP_CORPUS_SQL}),
     sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
-               i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
-             )) AS shingles
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
       FROM corpus
     ), shi AS (
       SELECT doc_id,
-             list_distinct(list_transform(shingles,
-               s -> {_HEX64_SQL.format(x='s')} % 2147483647)) AS shi
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647)) AS shi
       FROM sh
     ), sig AS (
       SELECT doc_id,
@@ -720,15 +720,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000, text || ' near duplicate tail marker', lang, n_chars
       FROM documents WHERE doc_id % 10 = 0
-    ), sh AS (
+    ), wh AS (
       SELECT doc_id, lang, n_chars // 100 AS size_bucket,
-             list_distinct(list_transform(
-               list_distinct(list_transform(
-                 generate_series(0, greatest(length(string_split(text, ' ')) - 3, 0)),
-                 i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')
-               )),
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS wh
       FROM corpus
+    ), sh AS (
+      SELECT doc_id, lang, size_bucket,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647)) AS sh
+      FROM wh
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            round(length(list_intersect(a.sh, b.sh))::DOUBLE /
