@@ -47,7 +47,8 @@ _WS_RE = re.compile(r"\s+")
 
 
 class _Block:
-    __slots__ = ("kind", "level", "parts", "link_chars", "boiler", "cells", "header_row")
+    __slots__ = ("kind", "level", "parts", "link_chars", "boiler", "cells",
+                 "header_row", "_text")
 
     def __init__(self, kind: str, level: int = 0, boiler: bool = False):
         self.kind = kind          # 'p' | 'h' | 'li' | 'pre' | 'quote' | 'row'
@@ -57,10 +58,17 @@ class _Block:
         self.boiler = boiler
         self.cells: list[str] = []   # for 'row'
         self.header_row = False      # row made of <th> cells
+        self._text: str | None = None
 
     @property
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+        # Memoized: first read happens at _flush time, after which
+        # parts never change; _keep and _render re-read it (the
+        # whitespace regex was ~1/3 of total parse cost unmemoized).
+        t = self._text
+        if t is None:
+            t = self._text = _WS_RE.sub(" ", "".join(self.parts)).strip()
+        return t
 
 
 class _Extractor(HTMLParser):

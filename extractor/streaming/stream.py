@@ -115,6 +115,27 @@ def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hour
     )
 
 
+def streaming_dedup_exact(
+    pages_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first document per content hash wins.
+
+    The streaming twin of the batch ``dedup_exact`` operator —
+    ``dropDuplicatesWithinWatermark`` on ``md5(text)`` keeps dedup
+    state only for the watermark horizon, so state is bounded by
+    (arrival rate × horizon) instead of growing with the corpus: the
+    property that makes continuous-crawl dedup feasible at 10^12 docs
+    (a full-history exact dedup belongs in the periodic batch
+    compaction, same as document reassembly)."""
+    ts = pages_stream.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+    return (
+        ts.withWatermark("ts", watermark)
+        .withColumn("text_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("url", "ts", "text_hash")
+    )
+
+
 _STATE_SCHEMA = "total double, n long"
 _OUT_SCHEMA = "user_id long, running_total double, n_events long"
 

@@ -126,3 +126,30 @@ def test_stateful_running_totals(spark, events_dir):
     for r in batch:
         assert got[r["user_id"]][1] == r["n"]
         assert abs(got[r["user_id"]][0] - r["t"]) < 0.05
+
+
+def test_streaming_dedup_exact_equals_batch_distinct(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark keeps exactly one row
+    per content hash (which row wins depends on micro-batch arrival;
+    the HASH SET must equal the batch distinct set)."""
+    from extractor.streaming.stream import streaming_dedup_exact
+
+    pages_dir = str(tmp_path / "pages_dedup")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    name = _run_stream(streaming_dedup_exact(stream))
+    got = spark.sql(f"select * from {name}").collect()
+    want_hashes = {
+        r["h"]
+        for r in spark.read.parquet(pages_dir)
+        .select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert {r["text_hash"] for r in got} == want_hashes
+    assert len(got) == len(want_hashes)  # exactly one survivor per hash
