@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -964,6 +964,127 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM documents
+    ), sh AS (  -- rolling trigram hashes (same spec as dedup shingles)
+      SELECT doc_id,
+             list_transform(generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647) AS sh
+      FROM wh
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             list_transform(generate_series(0, greatest(length(sh) - 4, 0)),
+               i -> list_min(sh[i+1:i+4])))) AS fingerprints
+    FROM sh
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003, value-distinct variant):
+    k-gram rolling hashes → min per sliding window of w=4 → distinct
+    selected values.  Guarantees any shared run ≥ w+k-1 words between
+    two documents shares a fingerprint — the partial-overlap detector
+    exact dedup misses.  Map-only over a materialized hash column;
+    window minima are O(w) slices of a bound column (never an inline
+    re-evaluated array)."""
+    from extractor.operators.dedup import MERSENNE31, _SH_A, _SH_B, word_hashes
+
+    docs = _docs(spark, sf_dir)
+    wh = F.col("wh")
+    shingle = lambda i: (  # noqa: E731
+        F.element_at(wh, i + 1) * _SH_A
+        + F.coalesce(F.element_at(wh, i + 2), F.lit(0).cast("long")) * _SH_B
+        + F.coalesce(F.element_at(wh, i + 3), F.lit(0).cast("long"))
+    ) % MERSENNE31
+    with_sh = docs.select(
+        "doc_id", word_hashes(F.col("text")).alias("wh")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(wh) - 3, F.lit(0))), shingle
+        ).alias("sh"),
+    )
+    sh = F.col("sh")
+    return with_sh.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(sh) - 4, F.lit(0))),
+                    lambda i: F.array_min(F.slice(sh, i + 1, 4)),
+                )
+            )
+        ).alias("fingerprints"),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk AS sample_rank FROM ranked WHERE rk <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (20 docs/stratum):
+    rank by md5(doc_id) inside each stratum — reproducible across runs
+    and engines, unlike rand()-based sampleBy.  At corpus scale the
+    window becomes a per-stratum top-k aggregate (no global sort)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+@register(
+    "vocab_topk",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts
+    )
+    SELECT lang, rk AS rank, token, n FROM ranked WHERE rk <= 10
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary top-10 (tokenizer-training prep):
+    explode → count (map-side partial agg collapses the heavy tail
+    before the shuffle) → per-lang rank."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.select("lang", F.row_number().over(w).alias("rank"), "token", "n")
+        .filter(F.col("rank") <= 10)
+    )
 
 
 @register(
