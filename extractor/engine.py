@@ -118,12 +118,30 @@ CORRUPT_MARKER = b"\xff\xfeCORRUPT"
 
 
 class SurrogateEngine:
-    """Deterministic stand-in for DeepSeek-OCR (tests + bench)."""
+    """Deterministic stand-in for DeepSeek-OCR (tests + bench).
+
+    ``SPARK_GRAFT_SURROGATE_PAGE_MS`` (default 0) adds that many
+    milliseconds of simulated inference latency per page — the real
+    model takes ~2,000 ms/page (reference README.md:356-363) while
+    this surrogate is byte-linear string work, so skew/parallelism
+    experiments (scripts/skew_demo.py) use the knob to reproduce the
+    latency-bound regime the pipeline is actually designed for.
+    """
 
     model_version = MODEL_VERSION
 
+    def __init__(self) -> None:
+        import os
+
+        self.page_ms = float(os.environ.get("SPARK_GRAFT_SURROGATE_PAGE_MS", "0"))
+
     def infer_batch(self, images: list[bytes], prompt: str = DEFAULT_PROMPT) -> list[str]:
-        return [self._infer_one(img) for img in images]
+        out = [self._infer_one(img) for img in images]
+        if self.page_ms > 0:
+            import time
+
+            time.sleep(self.page_ms * len(images) / 1000.0)
+        return out
 
     @staticmethod
     def _infer_one(img: bytes) -> str:
