@@ -57,13 +57,24 @@ def committed_run_ids(out_dir: str) -> list[str]:
     return [m["run_id"] for m in _committed_manifests(out_dir)]
 
 
-def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> str:
+def write_snapshot(
+    df: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
     """Write one snapshot atomically; returns the run_id.
 
     Adds a ``partition_id`` column (`spark_partition_id`) so lineage
     is derivable from the data itself, writes data, derives+writes the
     per-partition lineage table, then commits the manifest as the
     last, atomic step.
+
+    ``partition_by`` hive-partitions the snapshot's data files (e.g.
+    ``["doc_type"]``) — at 100 TB the output table must support
+    partition pruning so downstream readers of one slice (all pdf
+    docs, one crawl day) scan only that slice; the Iceberg analog is
+    the table's partition spec.
     """
     spark = df.sparkSession
     run_id = run_id or new_run_id()
@@ -77,7 +88,10 @@ def write_snapshot(df: DataFrame, out_dir: str, run_id: str | None = None) -> st
         "lineage_id",
         F.md5(F.concat(F.col("url"), F.lit(":" + run_id))),
     )
-    with_pid.write.mode("errorifexists").parquet(data_path)
+    writer = with_pid.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_path)
 
     # Lineage from the committed bytes (one cheap column-pruned scan),
     # never from a second execution of the pipeline.

@@ -119,3 +119,30 @@ def test_run_extract_script_end_to_end(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", argv)
     assert run_extract.main() == 0
     assert read_extracted(spark, out_dir).count() == n1
+
+
+def test_partitioned_snapshot_prunes_and_reads_back(spark, tmp_path):
+    """partition_by hive-partitions the snapshot; a doc_type filter on
+    the read path becomes a partition-pruned scan, and the full
+    read-back equals the unpartitioned write."""
+    from extractor.pipeline import run_extraction
+
+    out_dir = str(tmp_path / "extracted_part")
+    pages = pages_df(spark, SF_TINY).limit(120)
+    extracted = run_extraction(spark, pages, CFG)
+    write_snapshot(extracted, out_dir, partition_by=["doc_type"])
+
+    back = read_extracted(spark, out_dir)
+    assert back.count() == extracted.count()
+    # hive layout on disk: doc_type=html / doc_type=pdf directories
+    import glob
+
+    snap_dir = glob.glob(os.path.join(out_dir, "snapshots", "*"))[0]
+    subdirs = {os.path.basename(p) for p in glob.glob(os.path.join(snap_dir, "doc_type=*"))}
+    assert {"doc_type=html", "doc_type=pdf"} <= subdirs
+    # the filter reaches the scan as a partition filter (pruning)
+    plan = (
+        back.filter(F.col("doc_type") == "pdf")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "doc_type" in plan.split("PartitionFilters")[1][:200]
