@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--max-bytes", type=int, default=None)
     ap.add_argument("--html-partitions", type=int, default=None)
     ap.add_argument("--pdf-partitions", type=int, default=None)
+    ap.add_argument("--partition-by", default=None,
+                    help="comma-separated columns to hive-partition the "
+                         "output snapshot by (e.g. doc_type)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -75,7 +78,11 @@ def main() -> int:
         pages = resume_filter(pages, args.output)
 
     extracted = run_extraction(spark, pages, cfg)
-    run_id = write_snapshot(extracted, args.output)
+    run_id = write_snapshot(
+        extracted,
+        args.output,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
     summary = (
         spark.read.parquet(os.path.join(args.output, "lineage", run_id))
         .agg(
