@@ -115,6 +115,27 @@ def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hour
     )
 
 
+def streaming_sessionized_events(
+    events_stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessions on a stream via ``session_window`` — the
+    stateful operator that replaces the batch lag+running-sum
+    formulation (which needs a full per-user sort, impossible on an
+    unbounded stream).  State is one open window per (user, session),
+    merged as events arrive and closed when the gap exceeds ``gap``."""
+    es = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        es.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup_exact(
     pages_stream: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

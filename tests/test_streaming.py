@@ -153,3 +153,39 @@ def test_streaming_dedup_exact_equals_batch_distinct(spark, tmp_path):
     }
     assert {r["text_hash"] for r in got} == want_hashes
     assert len(got) == len(want_hashes)  # exactly one survivor per hash
+
+
+def test_streaming_sessionize_equals_batch(spark, events_dir):
+    """session_window on the stream equals the same session_window
+    aggregation run in batch (stream-batch unification for the
+    stateful session operator)."""
+    from extractor.streaming.stream import streaming_sessionized_events
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    name = _run_stream(streaming_sessionized_events(stream), mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "n_events",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
