@@ -44,6 +44,11 @@ HEADLINE_QUERIES = [
     "quality_score",
     "doc_fingerprint",
     "corpus_select",
+    "winnowing_fingerprints",
+    "stratified_sample",
+    "vocab_topk",
+    "sketch_distinct_kmv",
+    "ann_ivf",
     "pricing_summary",
     "revenue_by_nation",
     "events_windowed",
