@@ -91,3 +91,32 @@ def test_pdf_branch_has_skew_breaking_exchange(spark):
     )
     plan = plan_of(df)
     assert "hashpartitioning(url" in plan and "page_number" in plan, plan[:3000]
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Co-located joins: two tables bucketed+sorted on the join key
+    join with ZERO exchanges (and zero sorts), vs two for the plain
+    parquet join — the bucketing strategy for repeated 100 TB joins
+    (pay the shuffle once at write time, never again at read time)."""
+    from tests.conftest import SF_TINY
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    for name in ("bkt_docs_a", "bkt_docs_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (docs.write.bucketBy(4, "doc_id").sortBy("doc_id")
+             .mode("overwrite").saveAsTable(name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bkt_docs_a").select("doc_id", "text")
+        b = spark.table("bkt_docs_b").select("doc_id", "lang")
+        bucketed_plan = plan_of(a.join(b, "doc_id"))
+        pa = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+        pb = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "lang")
+        plain_plan = plan_of(pa.join(pb, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("bkt_docs_a", "bkt_docs_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert "Exchange hashpartitioning" not in bucketed_plan, bucketed_plan[:2000]
+    assert plain_plan.count("Exchange hashpartitioning") >= 2
