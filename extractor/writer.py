@@ -38,7 +38,7 @@ def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
-def _committed_manifests(out_dir: str) -> list[dict]:
+def _committed_manifests(out_dir: str, include_replaced: bool = False) -> list[dict]:
     cdir = os.path.join(out_dir, "_committed")
     if not os.path.isdir(cdir):
         return []
@@ -50,7 +50,15 @@ def _committed_manifests(out_dir: str) -> list[dict]:
     # commit order = the seq stamped at commit time (filenames are
     # random hex and carry no order)
     out.sort(key=lambda m: m.get("seq", 0))
-    return out
+    if include_replaced:
+        return out
+    # A compaction manifest lists the run_ids it replaces; replaced
+    # snapshots stay on disk (so as-of time travel still reaches them)
+    # but drop out of the live view.
+    replaced: set[str] = set()
+    for m in out:
+        replaced.update(m.get("replaces", []))
+    return [m for m in out if m["run_id"] not in replaced]
 
 
 def committed_run_ids(out_dir: str) -> list[str]:
@@ -136,13 +144,25 @@ def read_extracted(
 
     ``as_of=<run_id>`` is snapshot time travel (Iceberg
     ``VERSION AS OF`` analog): read only snapshots committed up to and
-    including that run, in manifest commit order."""
-    manifests = _committed_manifests(out_dir)
-    if as_of is not None:
-        ids = [m["run_id"] for m in manifests]
+    including that run, in manifest commit order (compaction manifests
+    after that point are ignored, so pre-compaction history stays
+    reachable)."""
+    if as_of is None:
+        manifests = _committed_manifests(out_dir)
+    else:
+        # Prefix of commit history up to as_of, with the replace-filter
+        # applied WITHIN that prefix (a later compaction must not hide
+        # the snapshots that were live at as_of time; an earlier one
+        # must still hide what it replaced).
+        full = _committed_manifests(out_dir, include_replaced=True)
+        ids = [m["run_id"] for m in full]
         if as_of not in ids:
             raise FileNotFoundError(f"no committed snapshot {as_of} under {out_dir}")
-        manifests = manifests[: ids.index(as_of) + 1]
+        prefix = full[: ids.index(as_of) + 1]
+        replaced: set[str] = set()
+        for m in prefix:
+            replaced.update(m.get("replaces", []))
+        manifests = [m for m in prefix if m["run_id"] not in replaced]
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {out_dir}")
     return spark.read.parquet(*[m["data"] for m in manifests])
@@ -153,6 +173,78 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {out_dir}")
     return spark.read.parquet(*[m["lineage"] for m in manifests])
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    out_dir: str,
+    target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> str | None:
+    """Rewrite all live snapshots into one (Iceberg
+    ``rewrite_data_files`` analog) — the periodic maintenance job a
+    continuously-appended table needs: streaming micro-batches and
+    incremental resume runs each commit a small snapshot, and a reader
+    of N snapshots pays N file listings plus small-file scan overhead.
+
+    Writes the combined data as a new snapshot whose manifest carries
+    ``replaces: [old run_ids]``; the manifest rename is the single
+    atomic commit point, after which readers see one snapshot.
+    Replaced snapshots stay on disk and remain reachable via
+    ``read_extracted(..., as_of=<old run>)``.  Returns the new run_id,
+    or None if there is nothing to compact (< 2 live snapshots).
+    """
+    live = _committed_manifests(out_dir)
+    if len(live) < 2:
+        return None
+    run_id = new_run_id()
+    data_path = os.path.join(out_dir, "snapshots", run_id)
+    lineage_path = os.path.join(out_dir, "lineage", run_id)
+
+    df = spark.read.parquet(*[m["data"] for m in live])
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_path)
+
+    # Compaction lineage: one row per replaced snapshot summarising
+    # what was folded in (the audit trail for the rewrite).
+    old_lineage = spark.read.parquet(*[m["lineage"] for m in live])
+    lineage = old_lineage.groupBy("run_id").agg(
+        F.sum("row_count").alias("row_count"),
+        F.sum("ok_count").alias("ok_count"),
+        F.sum("err_count").alias("err_count"),
+        F.round(F.sum("latency_s"), 3).alias("latency_s"),
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.monotonically_increasing_id().cast("int").alias("partition_id"),
+        "row_count",
+        "ok_count",
+        "err_count",
+        "latency_s",
+        F.current_timestamp().alias("committed_at"),
+    )
+    lineage.write.mode("errorifexists").parquet(lineage_path)
+
+    cdir = os.path.join(out_dir, "_committed")
+    seq = max(
+        (m.get("seq", 0) for m in _committed_manifests(out_dir, include_replaced=True)),
+        default=0,
+    ) + 1
+    manifest = {
+        "run_id": run_id,
+        "seq": seq,
+        "data": data_path,
+        "lineage": lineage_path,
+        "replaces": [m["run_id"] for m in live],
+    }
+    tmp = os.path.join(cdir, f".{run_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(cdir, f"{run_id}.json"))
+    return run_id
 
 
 def resume_filter(pages: DataFrame, out_dir: str) -> DataFrame:

@@ -146,3 +146,43 @@ def test_partitioned_snapshot_prunes_and_reads_back(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "doc_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compaction_folds_snapshots_preserving_view_and_history(spark, tmp_path):
+    """compact_snapshots rewrites N live snapshots into one: the live
+    view is unchanged (same rows, one snapshot), resume still works,
+    and as-of time travel to a pre-compaction run still sees only that
+    run's rows."""
+    from extractor.pipeline import run_extraction
+    from extractor.writer import compact_snapshots
+
+    out_dir = str(tmp_path / "compacted")
+    pages = pages_df(spark, SF_TINY).cache()
+    n_total = pages.count()
+    half = pages.filter(F.col("url") < "https://example-42.test/m")
+    n_half = half.count()
+    run1 = write_snapshot(run_extraction(spark, half, CFG), out_dir)
+    run2 = write_snapshot(
+        run_extraction(spark, resume_filter(pages, out_dir), CFG), out_dir
+    )
+    assert len(committed_run_ids(out_dir)) == 2
+
+    crun = compact_snapshots(spark, out_dir, target_partitions=2)
+    assert crun is not None
+    # live view: one snapshot, identical content
+    assert committed_run_ids(out_dir) == [crun]
+    back = read_extracted(spark, out_dir)
+    assert back.count() == n_total
+    assert back.select("url").distinct().count() == n_total
+    # resume over the compacted table is still a no-op
+    assert resume_filter(pages, out_dir).count() == 0
+    # time travel reaches pre-compaction history
+    assert read_extracted(spark, out_dir, as_of=run1).count() == n_half
+    assert read_extracted(spark, out_dir, as_of=run2).count() == n_total
+    # idempotence: nothing left to compact
+    assert compact_snapshots(spark, out_dir) is None
+    # compaction lineage: one audit row per folded snapshot
+    lineage = read_lineage(spark, out_dir)
+    folded = lineage.filter(F.col("run_id") == crun)
+    assert folded.count() == 2
+    assert folded.agg(F.sum("row_count")).first()[0] == n_total
