@@ -522,6 +522,146 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 1 AS side, NULL::TIMESTAMP AS c_ts,
+             NULL::BIGINT AS c_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts, event_id AS c_id
+      FROM events WHERE event_type = 'click'
+    ), carried AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(c_ts IGNORE NULLS) OVER w AS click_ts,
+             last_value(c_id IGNORE NULLS) OVER w AS click_event_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           click_event_id, click_ts,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(click_ts)) AS BIGINT) AS staleness_s
+    FROM carried WHERE side = 1
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-simultaneous click (ties broken by event_id).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is
+    union-the-sides + one window pass: sort (user, ts, side) and carry
+    the last click forward with ``last(..., ignoreNulls)``.  ONE
+    shuffle on user_id, no range self-join, no per-row probe — this is
+    the merge-scan an ASOF join compiles to anyway, expressed in
+    stock DataFrame ops."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+        F.lit(None).cast("long").alias("c_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("side"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = purchases.unionByName(clicks).select(
+        "event_id", "user_id", "ts", "side",
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("c_id", ignorenulls=True).over(w).alias("click_event_id"),
+    )
+    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "click_event_id", "click_ts",
+        (epoch("ts") - epoch("click_ts")).cast("long").alias("staleness_s"),
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), others AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type <> 'error'
+    )
+    SELECT e.event_id, e.user_id,
+           count(o.event_id)::BIGINT AS n_nearby,
+           CAST(coalesce(sum(CAST(o.value AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS nearby_value
+    FROM errors e LEFT JOIN others o
+      ON e.user_id = o.user_id
+     AND o.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, count+sum the user's other events
+    within +/- 5 minutes.
+
+    The naive form is a per-user inequality join (quadratic in events
+    per user, and Spark would nested-loop it).  The scale formulation
+    buckets time into 5-minute cells and equi-joins on (user_id,
+    cell +/- 1) via a 3-element explode, then applies the exact range
+    predicate — the join is hash-based, candidates are bounded by
+    2 cells' worth of events, and the equi-key carries the skew
+    machinery (AQE) a pure range predicate cannot use."""
+    ev = _events(spark, sf_dir)
+    cell = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("timestamp_ltz").cast("long") / 300
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        F.explode(
+            F.array(cell("ts") - 1, cell("ts"), cell("ts") + 1)
+        ).alias("cell"),
+    )
+    others = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id"), F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_id"),
+        F.col("value").cast("decimal(18,2)").alias("o_value"),
+        cell("ts").alias("cell"),
+    )
+    # exact interval predicate (timestamp arithmetic, not truncated
+    # epochs — truncation flips sub-second boundary cases vs the SQL
+    # BETWEEN); the cell equi-join only gates candidates
+    lo = F.col("ts") - F.expr("INTERVAL 5 MINUTES")
+    hi = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    matched = (
+        errors.join(others, ["user_id", "cell"])
+        .filter((F.col("o_ts") >= lo) & (F.col("o_ts") <= hi))
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("o_id").alias("n_nearby"),
+            F.sum("o_value").alias("nearby_value"),
+        )
+    )
+    # left-join back so zero-match errors still report 0 (an error
+    # whose candidate cells exist but all fail the exact range test
+    # must not vanish)
+    all_errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id"
+    )
+    return all_errors.join(matched, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_nearby"), F.lit(0)).cast("long").alias("n_nearby"),
+        F.coalesce(F.col("nearby_value"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("nearby_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
