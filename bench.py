@@ -54,6 +54,8 @@ HEADLINE_QUERIES = [
     "events_windowed",
     "sessionize",
     "events_topk_users",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
