@@ -67,14 +67,20 @@ def shingle_hashes_from(wh: Column, n: int = 3) -> Column:
     an inline array argument on every ``element_at`` access, turning
     the shingle pass O(words²·md5) — measured 8.5 s → 199 s on the
     sf0.1 Jaccard query before this was split into two projections
-    (and 8.5 s → ~4 s after)."""
+    (and 8.5 s → ~4 s after).
+
+    Tail accesses use ``try_element_at``: PySpark 4.x runs ANSI mode
+    by default, where a past-the-end ``element_at`` throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a 1- or 2-word document would
+    kill the whole job.  ``try_element_at`` returns null out of
+    bounds, matching the DuckDB oracle's ``wh[i+2]`` semantics."""
     assert n == 3, "rolling combiner is specialized to trigrams"
     upper = F.greatest(F.size(wh) - n, F.lit(0))
 
     def shingle(i):
-        h1 = F.element_at(wh, i + 1)
-        h2 = F.coalesce(F.element_at(wh, i + 2), F.lit(0).cast("long"))
-        h3 = F.coalesce(F.element_at(wh, i + 3), F.lit(0).cast("long"))
+        h1 = F.element_at(wh, i + 1)  # i ≤ size-1 ⇒ always in bounds
+        h2 = F.coalesce(F.try_element_at(wh, i + 2), F.lit(0).cast("long"))
+        h3 = F.coalesce(F.try_element_at(wh, i + 3), F.lit(0).cast("long"))
         return (h1 * _SH_A + h2 * _SH_B + h3) % MERSENNE31
 
     return F.array_distinct(F.transform(F.sequence(F.lit(0), upper), shingle))

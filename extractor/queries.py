@@ -474,15 +474,21 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
+      -- CAST: DuckDB's windowed sum yields HUGEINT (→ float64 in
+      -- pandas) while Spark yields int64; the driver hashes dtypes.
+      -- event_id tie-break: same total order as the lag window, so
+      -- simultaneous events get deterministic session ids.
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -506,12 +512,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(
         gap.isNull() | (gap > 30 * 60), 1
     ).otherwise(0)
+    # Running sum ordered by (ts, event_id) — the SAME total order as
+    # the lag window; ts alone would make tied rows nondeterministic
+    # on both engines (no ties at sf0.01, but ties at scale).
     sess = ev.select(
-        "user_id", "ts", is_new.alias("is_new")
+        "user_id", "ts", "event_id", is_new.alias("is_new")
     ).withColumn(
         "session_id",
         F.sum("is_new").over(
-            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
                 Window.unboundedPreceding, 0
             )
         ),
@@ -1155,12 +1164,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
                      coalesce(wh[i+3], 0)) % 2147483647) AS sh
       FROM wh
+    ), fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(generate_series(0, greatest(length(sh) - 4, 0)),
+                 i -> list_min(sh[i+1:i+4])))) AS fingerprints
+      FROM sh
     )
     SELECT doc_id,
-           list_sort(list_distinct(
-             list_transform(generate_series(0, greatest(length(sh) - 4, 0)),
-               i -> list_min(sh[i+1:i+4])))) AS fingerprints
-    FROM sh
+           length(fingerprints)::BIGINT AS n_fingerprints,
+           array_to_string(list_transform(fingerprints, x -> x::VARCHAR), ',')
+             AS fingerprints_csv
+    FROM fp
     """,
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,15 +1185,19 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     two documents shares a fingerprint — the partial-overlap detector
     exact dedup misses.  Map-only over a materialized hash column;
     window minima are O(w) slices of a bound column (never an inline
-    re-evaluated array)."""
+    re-evaluated array).  Registry surface projects the fingerprint
+    array to scalars (count + csv) so the driver's canonicalizer can
+    hash rows (pandas cannot factorize list cells)."""
     from extractor.operators.dedup import MERSENNE31, _SH_A, _SH_B, word_hashes
 
     docs = _docs(spark, sf_dir)
     wh = F.col("wh")
+    # try_element_at: ANSI-safe past-the-end access on 1-2-word docs
+    # (null → 0, the oracle's wh[i+2] semantics).
     shingle = lambda i: (  # noqa: E731
         F.element_at(wh, i + 1) * _SH_A
-        + F.coalesce(F.element_at(wh, i + 2), F.lit(0).cast("long")) * _SH_B
-        + F.coalesce(F.element_at(wh, i + 3), F.lit(0).cast("long"))
+        + F.coalesce(F.try_element_at(wh, i + 2), F.lit(0).cast("long")) * _SH_B
+        + F.coalesce(F.try_element_at(wh, i + 3), F.lit(0).cast("long"))
     ) % MERSENNE31
     with_sh = docs.select(
         "doc_id", word_hashes(F.col("text")).alias("wh")
@@ -1189,16 +1208,20 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     sh = F.col("sh")
-    return with_sh.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(sh) - 4, F.lit(0))),
-                    lambda i: F.array_min(F.slice(sh, i + 1, 4)),
-                )
+    fp = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(sh) - 4, F.lit(0))),
+                lambda i: F.array_min(F.slice(sh, i + 1, 4)),
             )
-        ).alias("fingerprints"),
+        )
+    )
+    return with_sh.select("doc_id", fp.alias("fingerprints")).select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.array_join(
+            F.transform(F.col("fingerprints"), lambda x: x.cast("string")), ","
+        ).alias("fingerprints_csv"),
     )
 
 
@@ -1488,31 +1511,63 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_stub",
     """
-    SELECT doc_id AS id,
-           list_transform(generate_series(0, 7), i ->
-             (('0x' || substr(md5(text || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000)
-             / 1000.0) AS embedding
-    FROM documents
+    SELECT doc_id AS id, i.i AS dim,
+           (('0x' || substr(md5(text || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 1000)
+             / 1000.0 AS component
+    FROM documents, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i
     """,
 )
 def q_embedding_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-embedding batch stage (mapInPandas; model
-    forward pass swaps in at deploy)."""
+    forward pass swaps in at deploy).  Registry surface explodes the
+    vector to (id, dim, component) rows — the driver's canonicalizer
+    cannot hash array cells; the component doubles are bit-identical
+    across engines (same integer k, same k/1000.0 division)."""
     from extractor.operators.multimodal import embed_stub
 
-    return embed_stub(_docs(spark, sf_dir), id_col="doc_id", text_col="text", dim=8)
+    emb = embed_stub(_docs(spark, sf_dir), id_col="doc_id", text_col="text", dim=8)
+    return emb.select(
+        "id", F.posexplode("embedding").alias("dim", "component")
+    ).select("id", F.col("dim").cast("long").alias("dim"), "component")
 
 
-@register("frame_sample", None)  # binary fan-out; no SQL-expressible oracle
+@register(
+    "frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ), idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n // 256, 1) - 1, 2)) AS i
+      FROM f
+    )
+    SELECT doc_id AS id, i::INT AS frame_no,
+           -- documents.text is pure ASCII (verified octet_length ==
+           -- length), so char slicing == the Spark side's byte slicing
+           md5(substring(text, i * 256 + 1, 256)) AS frame_md5,
+           octet_length(encode(substring(text, i * 256 + 1, 256)))::INT
+             AS frame_bytes_len
+    FROM idx
+    """,
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: binary → sampled frame rows
-    (the pdf-page fan-out pattern on an opaque codec)."""
+    (the pdf-page fan-out pattern on an opaque codec).  The stub codec
+    (fixed 256-byte chunks, every 2nd) is substr arithmetic, so the
+    oracle checks it; frames surface as md5 + length (the driver
+    cannot canonicalize raw binary cells)."""
     from extractor.operators.multimodal import frame_sample
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return frame_sample(docs, id_col="doc_id", bin_col="payload", every=2)
+    frames = frame_sample(docs, id_col="doc_id", bin_col="payload", every=2)
+    return frames.select(
+        "id",
+        "frame_no",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("frame_bytes_len"),
+    )
 
 
 @register("extract_pipeline", None)  # full pipeline; golden-tested in pytest
@@ -1520,13 +1575,24 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship end-to-end extraction job (html boilerplate strip +
     pdf fan-out/OCR/reassembly + quarantine).  Not SQL-expressible —
     byte-identity is asserted against the single-process oracle by
-    tests/test_pipeline.py; the driver records a rows-only check."""
+    tests/test_pipeline.py; the driver records a rows-only check.
+    Registry surface flattens the nested ``pages`` array to scalars
+    (text digest, counts) so the driver can canonicalize rows."""
     from extractor.config import ExtractConfig
     from extractor.pipeline import run_extraction
     from extractor.testgen import TEST_MAX_BYTES, pages_df
 
     pages = pages_df(spark, sf_dir)
-    return run_extraction(spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES))
+    out = run_extraction(spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES))
+    return out.select(
+        "url",
+        "doc_type",
+        F.md5(F.coalesce(F.col("text"), F.lit("\0null"))).alias("text_md5"),
+        F.size("pages").alias("n_pages"),  # null/-1 when pages is null
+        "total_pages",
+        "success",
+        "error",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,33 @@ def test_connected_components_cycle_terminates(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_short_docs_survive_ansi_mode(spark):
+    """0/1/2-word docs must not throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    under PySpark 4.x ANSI mode (tail shingle accesses past the array
+    end go through try_element_at → null → 0, the oracle semantics)."""
+    from extractor.operators.dedup import (
+        lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash32_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "now three words"), (4, "solo")],
+        ["id", "text"],
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df, "id", "text").collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert sigs[1] == sigs[4], "identical 1-word docs → identical signature"
+    # candidate generation end-to-end on short docs
+    pairs = {(r["a"], r["b"]) for r in lsh_pairs(df, "id", "text", threshold=0.9).collect()}
+    assert (1, 4) in pairs
+    blocked = df.withColumn("blk", F.lit(0))
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(blocked, ["blk"], "id", "text", threshold=0.5).collect()
+    }
+    assert jac[(1, 4)] == 1.0
+    assert simhash32_df(df, "id", "text").count() == 4
