@@ -56,6 +56,8 @@ HEADLINE_QUERIES = [
     "events_topk_users",
     "events_asof_join",
     "events_range_join",
+    # r2 additions (appended; r1 names stay stable for per-query diffs)
+    "image_extract",
 ]
 
 

@@ -22,6 +22,9 @@ ERR_TOO_MANY_PAGES = "PDF exceeds maximum page limit"         # pdf_processor.py
 
 HTML_EXTS = ("html", "htm", "")
 PDF_EXTS = ("pdf",)
+# Reference constants.py:65-73 (SupportedImageFormat) — the primary
+# /ocr/image endpoint's accepted extensions.
+IMAGE_EXTS = ("png", "jpg", "jpeg", "webp", "bmp", "tiff", "tif")
 
 
 @dataclass(frozen=True)
@@ -37,3 +40,4 @@ class ExtractConfig:
     # repartitioned stages sized to GPU batch capacity").
     html_partitions: int | None = None
     pdf_partitions: int | None = None
+    image_partitions: int | None = None

@@ -157,6 +157,12 @@ class SurrogateEngine:
                 body[first_nl + 1 :] if first_nl >= 0 else ""
             )
             page_no = header[5:].strip()
+        elif body.startswith("IMG "):
+            # Standalone-image payload (testgen: b"IMG <w>x<h>\n<text>");
+            # the header is codec metadata, not page content.
+            first_nl = body.find("\n")
+            page_no = "0"
+            text = body[first_nl + 1 :] if first_nl >= 0 else ""
         else:
             page_no, text = "0", body
         # Raw model stdout, faithfully noisy (shapes the reference's

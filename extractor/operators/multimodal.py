@@ -45,6 +45,83 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return width, height
 
 
+def parse_stub_header(payload: bytes) -> tuple[int, int] | None:
+    """Synthetic-image header ``IMG <w>x<h>\\n…`` → (w, h), else None.
+
+    The fixture generator embeds dimensions in the payload so the
+    resize arithmetic (T2) is exercised on meaningful numbers without
+    a codec; real image bytes never start with this header."""
+    if not payload.startswith(b"IMG "):
+        return None
+    nl = payload.find(b"\n")
+    head = payload[4 : nl if nl >= 0 else len(payload)]
+    try:
+        w_s, h_s = head.decode("ascii").strip().split("x", 1)
+        return int(w_s), int(h_s)
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def decode_dims(payload: bytes) -> tuple[int, int]:
+    """Image dimensions: PIL when available AND the payload decodes;
+    otherwise the stub header, then the digest-derived fake.  The
+    fallback chain keeps the operator working (and oracle-checkable on
+    text payloads) whether or not PIL is installed — installing the
+    codec must never break the stub fixtures."""
+    if HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(bytes(payload))) as im:
+                return im.width, im.height
+        except Exception:
+            pass  # not a decodable image → stub semantics below
+    hdr = parse_stub_header(bytes(payload))
+    if hdr is not None:
+        return hdr
+    return _fake_decode_dims(payload)
+
+
+def compress_image(payload: bytes, max_dim: int = MAX_DIMENSION) -> tuple[bytes, int, int, int, int]:
+    """T1+T2: decode → flatten alpha onto white → RGB/L → aspect-
+    preserving resize (LANCZOS, int-truncated) → JPEG q85 optimize.
+
+    Reference semantics: services/image_compressor.py:70-157 (alpha
+    flatten + mode conversion + save flags) and :45-68 (resize
+    arithmetic, reproduced in :func:`resize_dims`).  Returns
+    (bytes, width, height, out_width, out_height).  Without PIL (or
+    when the payload is not a decodable image) the pixel work is a
+    no-op passthrough and only the dimension arithmetic runs — the
+    deterministic stub the tests/oracle check."""
+    payload = bytes(payload)
+    if HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                w, h = im.width, im.height
+                ow, oh = resize_dims(w, h, max_dim)
+                # Flatten transparency onto a white background, then
+                # normalize mode (reference image_compressor.py:84-106).
+                if im.mode in ("RGBA", "LA", "P"):
+                    rgba = im.convert("RGBA")
+                    background = Image.new("RGB", rgba.size, (255, 255, 255))
+                    background.paste(rgba, mask=rgba.split()[-1])
+                    im = background
+                elif im.mode not in ("RGB", "L"):
+                    im = im.convert("RGB")
+                if (ow, oh) != (w, h):
+                    im = im.resize((ow, oh), Image.LANCZOS)
+                buf = io.BytesIO()
+                im.save(buf, format="JPEG", quality=85, optimize=True)
+                return buf.getvalue(), w, h, ow, oh
+        except Exception:
+            pass  # undecodable → stub passthrough
+    w, h = decode_dims(payload)
+    ow, oh = resize_dims(w, h, max_dim)
+    return payload, w, h, ow, oh
+
+
 def resize_dims(width: int, height: int, max_dim: int = MAX_DIMENSION) -> tuple[int, int]:
     """Aspect-preserving resize arithmetic — byte-exact port of the
     reference's `_calculate_new_size` (image_compressor.py:45-68):
@@ -72,11 +149,10 @@ def image_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") 
                     rows.append((rid, 0, None, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                if HAVE_PIL:
-                    raise NotImplementedError(
-                        "real decode path: wire PIL Image.open here"
-                    )
-                w, h = _fake_decode_dims(payload)
+                # decode_dims: PIL when installed and decodable, stub
+                # header / digest-derived dims otherwise — never raises
+                # just because the codec became available.
+                w, h = decode_dims(payload)
                 ow, oh = resize_dims(w, h)
                 rows.append(
                     (rid, len(payload), w, h, ow, oh, hashlib.md5(payload).hexdigest())

@@ -18,6 +18,7 @@ from extractor.config import (
     ERR_TOO_MANY_PAGES,
     ERR_UNSUPPORTED,
     HTML_EXTS,
+    IMAGE_EXTS,
     PDF_EXTS,
     ExtractConfig,
 )
@@ -40,6 +41,8 @@ def doc_type_for(url: str) -> str:
         return "html"
     if ext in PDF_EXTS:
         return "pdf"
+    if ext in IMAGE_EXTS:
+        return "image"
     return "unsupported"
 
 
@@ -54,6 +57,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
         "total_pages": None,
         "success": False,
         "error": None,
+        "warnings": None,
     }
     if doc_type == "unsupported":
         base["error"] = ERR_UNSUPPORTED
@@ -72,6 +76,20 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
         base["success"] = True
         return base
 
+    if doc_type == "image":
+        # reference image lifecycle (ocr.py:77-178): compress/resize →
+        # single-image inference → clean; OCR failure → error response
+        from extractor.operators.multimodal import compress_image
+
+        try:
+            compressed, _w, _h, _ow, _oh = compress_image(payload)
+            raw = engine.infer_batch([compressed])[0]
+            base["text"] = clean_stdout_output(raw, strip_grounding=cfg.strip_grounding)
+            base["success"] = True
+        except Exception as exc:
+            base["error"] = str(exc)
+        return base
+
     # pdf branch — reference pdf_processor.py:112-277 semantics
     try:
         pages = split_pdf_pages(payload)
@@ -82,6 +100,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
         base["error"] = ERR_TOO_MANY_PAGES
         return base
     page_results = []
+    warnings: list[str] = []
     for i, page in enumerate(pages):
         try:
             raw = engine.infer_batch([page])[0]
@@ -91,15 +110,19 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
                 {"page_number": i + 1, "text": text, "success": True, "error": None}
             )
         except Exception as exc:  # per-page isolation, pdf_processor.py:228-247
+            # page dict carries str(e) raw; the doc-level warning adds
+            # the prefix (pdf_processor.py:230, 241-247)
             page_results.append(
                 {
                     "page_number": i + 1,
                     "text": "",
                     "success": False,
-                    "error": f"Failed to process page {i + 1}: {exc}",
+                    "error": str(exc),
                 }
             )
+            warnings.append(f"Failed to process page {i + 1}: {exc}")
     base["pages"] = page_results
+    base["warnings"] = warnings
     base["total_pages"] = len(page_results)
     base["success"] = all(p["success"] for p in page_results)  # ocr.py:293
     base["text"] = "\n\n".join(p["text"] for p in page_results if p["success"])

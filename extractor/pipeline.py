@@ -6,6 +6,8 @@ DataFrame job:
 
     pages ──route (JVM exprs)──┬─ quarantine rows (errors are data)
                                ├─ html: mapInPandas(extract+clean)
+                               ├─ image: mapInPandas(compress T1/T2 →
+                               │         micro-batched OCR T5 → clean)
                                └─ pdf:  mapInPandas(page explode T4)
                                         → repartition(url, page_number)   # page-level salting
                                         → mapInPandas(micro-batched OCR T5 + clean T7/T8)
@@ -57,6 +59,7 @@ from extractor.config import (
     ERR_TOO_MANY_PAGES,
     ERR_UNSUPPORTED,
     HTML_EXTS,
+    IMAGE_EXTS,
     PDF_EXTS,
     ExtractConfig,
 )
@@ -86,6 +89,7 @@ def route(pages: DataFrame) -> DataFrame:
     doc_type = (
         F.when(ext.isin(*HTML_EXTS), "html")
         .when(ext.isin(*PDF_EXTS), "pdf")
+        .when(ext.isin(*IMAGE_EXTS), "image")
         .otherwise("unsupported")
     )
     return pages.withColumn("doc_type", doc_type)
@@ -133,6 +137,69 @@ def extract_html(valid_html: DataFrame, cfg: ExtractConfig) -> DataFrame:
     if cfg.html_partitions:
         df = df.repartition(cfg.html_partitions)
     return df.mapInPandas(_html_extract_iter(cfg), schema=HTML_RESULT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image branch — the reference's PRIMARY endpoint (POST /ocr/image,
+# api/routers/ocr.py:77-178): compress/resize (T1/T2) → single-image
+# inference (T5) → clean (T7/T8).  One input row → one result row; no
+# page fan-out.  Inference is micro-batched per Arrow batch exactly
+# like the pdf OCR stage, with per-row degradation on batch failure.
+# ---------------------------------------------------------------------------
+
+def _image_extract_iter(cfg: ExtractConfig):
+    strip = cfg.strip_grounding
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from extractor.operators.multimodal import compress_image
+
+        engine = get_engine()  # per-worker singleton, loaded once
+        for pdf in batches:
+            n = len(pdf)
+            payloads: list[bytes | None] = [None] * n
+            errors: dict[int, str] = {}
+            t0 = time.perf_counter()
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                try:
+                    compressed, _w, _h, _ow, _oh = compress_image(bytes(r.html))
+                    payloads[i] = compressed
+                except Exception as exc:  # undecodable image → error row
+                    errors[i] = str(exc)
+            ok_idx = [i for i in range(n) if i not in errors]
+            texts: dict[int, str] = {}
+            try:
+                raws = engine.infer_batch([payloads[i] for i in ok_idx])
+                for i, raw in zip(ok_idx, raws):
+                    texts[i] = clean_stdout_output(raw, strip_grounding=strip)
+            except Exception:
+                # Poison-image isolation: degrade to per-row calls so the
+                # failure stays on its row (reference handlers.py:123-130
+                # maps OCR errors per request; here per row).
+                for i in ok_idx:
+                    try:
+                        raw = engine.infer_batch([payloads[i]])[0]
+                        texts[i] = clean_stdout_output(raw, strip_grounding=strip)
+                    except Exception as exc:
+                        errors[i] = str(exc)
+            per_row_lat = round((time.perf_counter() - t0) / max(n, 1), 6)
+            out = []
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                if i in errors:
+                    out.append((r.url, r.warc_ts, None, False, errors[i], per_row_lat))
+                else:
+                    out.append((r.url, r.warc_ts, texts[i], True, None, per_row_lat))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "text", "success", "error", "latency_s"]
+            )
+
+    return fn
+
+
+def extract_image(valid_image: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    df = valid_image.select("url", "warc_ts", "html")
+    if cfg.image_partitions:
+        df = df.repartition(cfg.image_partitions)
+    return df.mapInPandas(_image_extract_iter(cfg), schema=HTML_RESULT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -194,9 +261,11 @@ def _pdf_ocr_iter(cfg: ExtractConfig):
                     try:
                         pairs.append((idx, engine.infer_batch([payload])[0]))
                     except Exception as exc:
-                        raw_results[idx] = (
-                            "", False, "Failed to process page %s: %s" % (
-                                int(pdf.at[idx, "page_number"]), exc))
+                        # Page row carries the RAW error (reference page
+                        # dict, pdf_processor.py:241-247); the doc-level
+                        # "Failed to process page N: …" prefix is added
+                        # by the reassembly warnings (A2, :230).
+                        raw_results[idx] = ("", False, str(exc))
             for idx, raw in pairs:
                 text = clean_stdout_output(raw, strip_grounding=strip)
                 text = text.strip() if text else ""  # T10
@@ -254,6 +323,20 @@ def extract_pdf(valid_pdf: DataFrame, cfg: ExtractConfig) -> DataFrame:
     )
     doc_failed = F.col("doc_error").isNotNull()
     ok_pages = F.filter(F.col("pages_raw"), lambda p: p["success"])
+    # A2 warning accumulation (reference pdf_processor.py:230, 240;
+    # assembled into PDFOCRResponse.warnings, ocr.py:299): one
+    # "Failed to process page N: <err>" per failed page, in page order
+    # (pages_raw is already array_sort'ed on page_number).
+    failed_pages = F.filter(F.col("pages_raw"), lambda p: ~p["success"])
+    warnings = F.transform(
+        failed_pages,
+        lambda p: F.concat(
+            F.lit("Failed to process page "),
+            p["page_number"].cast("string"),
+            F.lit(": "),
+            p["error"],
+        ),
+    )
     return agg.select(
         "url",
         "warc_ts",
@@ -264,6 +347,7 @@ def extract_pdf(valid_pdf: DataFrame, cfg: ExtractConfig) -> DataFrame:
         F.when(doc_failed, F.lit(None)).otherwise(F.col("total_pages")).alias("total_pages"),
         "success",
         F.col("doc_error").alias("error"),
+        F.when(doc_failed, F.lit(None)).otherwise(warnings).alias("warnings"),
         "latency_s",
     )
 
@@ -278,6 +362,10 @@ def run_extraction(
     """pages table → extracted table (EXTRACTED_SCHEMA)."""
     routed = route(pages).withColumn("route_error", _quarantine_error(cfg))
 
+    _PAGES_T = (
+        "array<struct<page_number:int,text:string,success:boolean,"
+        "error:string,latency_s:double>>"
+    )
     quarantined = (
         routed.filter(F.col("route_error").isNotNull())
         .select(
@@ -285,33 +373,40 @@ def run_extraction(
             "warc_ts",
             "doc_type",
             F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast(
-                "array<struct<page_number:int,text:string,success:boolean,"
-                "error:string,latency_s:double>>"
-            ).alias("pages"),
+            F.lit(None).cast(_PAGES_T).alias("pages"),
             F.lit(None).cast("int").alias("total_pages"),
             F.lit(False).alias("success"),
             F.col("route_error").alias("error"),
+            F.lit(None).cast("array<string>").alias("warnings"),
             F.lit(None).cast("double").alias("latency_s"),
             F.lit(None).cast("string").alias("model_version"),
         )
     )
 
     valid = routed.filter(F.col("route_error").isNull())
-    html_out = extract_html(valid.filter(F.col("doc_type") == "html"), cfg).select(
-        "url",
-        "warc_ts",
-        F.lit("html").alias("doc_type"),
-        "text",
-        F.lit(None).cast(
-            "array<struct<page_number:int,text:string,success:boolean,"
-            "error:string,latency_s:double>>"
-        ).alias("pages"),
-        F.lit(None).cast("int").alias("total_pages"),
-        "success",
-        "error",
-        "latency_s",
-        F.lit(MODEL_VERSION).alias("model_version"),
+
+    def _flat_out(df: DataFrame, doc_type: str) -> DataFrame:
+        """Single-result branches (html, image): no pages, no warnings
+        (the reference's ImageOCRResponse carries neither)."""
+        return df.select(
+            "url",
+            "warc_ts",
+            F.lit(doc_type).alias("doc_type"),
+            "text",
+            F.lit(None).cast(_PAGES_T).alias("pages"),
+            F.lit(None).cast("int").alias("total_pages"),
+            "success",
+            "error",
+            F.lit(None).cast("array<string>").alias("warnings"),
+            "latency_s",
+            F.lit(MODEL_VERSION).alias("model_version"),
+        )
+
+    html_out = _flat_out(
+        extract_html(valid.filter(F.col("doc_type") == "html"), cfg), "html"
+    )
+    image_out = _flat_out(
+        extract_image(valid.filter(F.col("doc_type") == "image"), cfg), "image"
     )
     pdf_out = extract_pdf(valid.filter(F.col("doc_type") == "pdf"), cfg).select(
         "url",
@@ -322,7 +417,12 @@ def run_extraction(
         "total_pages",
         "success",
         "error",
+        "warnings",
         "latency_s",
         F.lit(MODEL_VERSION).alias("model_version"),
     )
-    return quarantined.unionByName(html_out).unionByName(pdf_out)
+    return (
+        quarantined.unionByName(html_out)
+        .unionByName(image_out)
+        .unionByName(pdf_out)
+    )

@@ -70,7 +70,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLASS_ARRAY_SQL = (
     "['html_simple','html_simple','html_simple','html_simple',"
-    "'html_simple','html_simple','html_simple','html_simple',"
+    "'html_simple','html_simple','image_png','image_jpg',"
     "'html_boiler','html_boiler','html_boiler','html_boiler',"
     "'pdf_small','pdf_small','pdf_small','pdf_large',"
     "'html_grounded','html_grounded','reject_empty','reject_ext']"
@@ -90,6 +90,8 @@ _CLASS_ARRAY_SQL = (
              'https://example-42.test/' || cls || '/' ||
                lpad(doc_id::VARCHAR, 6, '0') ||
                CASE WHEN cls = 'reject_ext' THEN '.exe'
+                    WHEN cls = 'image_png' THEN '.png'
+                    WHEN cls = 'image_jpg' THEN '.jpg'
                     WHEN cls LIKE 'pdf%' THEN '.pdf' ELSE '.html' END AS url,
              CASE WHEN cls = 'reject_oversize' THEN 65537
                   WHEN cls = 'reject_empty' THEN 0
@@ -98,7 +100,9 @@ _CLASS_ARRAY_SQL = (
     )
     SELECT url,
            CASE WHEN url LIKE '%.exe' THEN 'unsupported'
-                WHEN url LIKE '%.pdf' THEN 'pdf' ELSE 'html' END AS doc_type,
+                WHEN url LIKE '%.pdf' THEN 'pdf'
+                WHEN url LIKE '%.png' OR url LIKE '%.jpg' THEN 'image'
+                ELSE 'html' END AS doc_type,
            CASE WHEN url LIKE '%.exe' THEN 'Unsupported file format'
                 WHEN payload_size = 0 THEN 'File is empty'
                 WHEN payload_size > 65536
@@ -120,6 +124,8 @@ def q_route_and_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ext = (
         F.when(cls == "reject_ext", ".exe")
+        .when(cls == "image_png", ".png")
+        .when(cls == "image_jpg", ".jpg")
         .when(cls.startswith("pdf"), ".pdf")
         .otherwise(".html")
     )
@@ -1592,6 +1598,68 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_pages",
         "success",
         "error",
+        F.size("warnings").alias("n_warnings"),
+        F.array_join("warnings", " | ").alias("warnings_joined"),
+    )
+
+
+@register(
+    "image_extract",
+    """
+    WITH img AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 20 = 6 THEN 'image_png'
+                  ELSE 'image_jpg' END AS cls,
+             doc_id % 40 = 7 AS corrupt
+      FROM documents
+      WHERE doc_id % 97 <> 0 AND doc_id % 20 IN (6, 7)
+    ), cleaned AS (
+      -- surrogate raw output = noise banners + grounding-tagged
+      -- '## Page 0' header + the payload text; after T7 noise filter +
+      -- T8 grounding strip the survivors are the header and the
+      -- stripped non-blank text lines (same predicates as the
+      -- stdout_noise_filter oracle)
+      SELECT doc_id, cls, corrupt,
+             array_to_string(list_concat(['## Page 0'],
+               list_transform(
+                 list_filter(string_split(text, chr(10)),
+                   l -> NOT (starts_with(l, '=====') OR starts_with(l, 'BASE:')
+                         OR starts_with(l, 'PATCHES:') OR trim(l) = '(0x0)'
+                         OR (starts_with(trim(l), '(0x0)') AND length(trim(l)) < 50)
+                         OR trim(l) = '0x0' OR contains(l, 'torch.Size'))
+                        AND trim(l) <> ''),
+                 l -> trim(l))), chr(10)) AS clean_text
+      FROM img
+    )
+    SELECT 'https://example-42.test/' || cls || '/' ||
+             lpad(doc_id::VARCHAR, 6, '0') ||
+             CASE WHEN cls = 'image_png' THEN '.png' ELSE '.jpg' END AS url,
+           CASE WHEN corrupt THEN NULL ELSE md5(clean_text) END AS text_md5,
+           NOT corrupt AS success,
+           CASE WHEN corrupt THEN 'corrupt page image' END AS error
+    FROM cleaned
+    """,
+)
+def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary endpoint (POST /ocr/image,
+    api/routers/ocr.py:77-178) as a batch branch: route image
+    extensions → compress/resize (T1/T2) → micro-batched single-image
+    inference (T5) → clean (T7/T8).  Corrupt images become error rows
+    (errors-are-data), verified against the SQL re-derivation of the
+    surrogate+cleaner semantics."""
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import _quarantine_error, extract_image, route
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    pages = pages_df(spark, sf_dir)
+    routed = route(pages).withColumn("route_error", _quarantine_error(cfg))
+    valid = routed.filter(
+        (F.col("doc_type") == "image") & F.col("route_error").isNull()
+    )
+    out = extract_image(valid, cfg)
+    return out.select(
+        "url", F.md5("text").alias("text_md5"), "success", "error"
     )
 
 

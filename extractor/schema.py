@@ -85,6 +85,9 @@ EXTRACTED_SCHEMA = StructType(
         StructField("total_pages", IntegerType(), True),
         StructField("success", BooleanType(), True),
         StructField("error", StringType(), True),
+        # A2: doc-level per-page failure summaries, pdf docs only
+        # (PDFOCRResponse.warnings, reference ocr.py:299)
+        StructField("warnings", ArrayType(StringType()), True),
         StructField("latency_s", DoubleType(), True),
         StructField("model_version", StringType(), True),
     ]

@@ -8,7 +8,14 @@ identically in a pandas loop (the oracle) and in a distributed Spark
 job at any scale prefix.  No wall-clock, no randomness.
 
 Row-class mix (doc_id mod 20; FIXTURES.md ratios):
-  0-7   html_simple    — clean article HTML
+  0-5   html_simple    — clean article HTML
+  6     image_png      — standalone image (reference's PRIMARY
+                         endpoint POST /ocr/image); payload
+                         ``IMG <w>x<h>\\n<text>`` so the resize
+                         arithmetic (T2) runs on real numbers
+  7     image_jpg      — ditto; every other one (doc_id % 40 == 7)
+                         carries the corrupt marker to exercise
+                         image-level error isolation
   8-11  html_boiler    — same content inside nav/aside/footer link farms
   12-14 pdf_small      — 1-3 page synthetic PDF
   15    pdf_large      — 24-30 page PDF (the skew row); every other
@@ -38,7 +45,8 @@ TEST_MAX_BYTES = 65536
 
 CLASSES = [
     "html_simple", "html_simple", "html_simple", "html_simple",
-    "html_simple", "html_simple", "html_simple", "html_simple",
+    "html_simple", "html_simple",
+    "image_png", "image_jpg",
     "html_boiler", "html_boiler", "html_boiler", "html_boiler",
     "pdf_small", "pdf_small", "pdf_small",
     "pdf_large",
@@ -129,11 +137,27 @@ def _pdf_pages_text(doc_id: int, words: list[str], n_pages: int) -> list[str]:
     return _sentences(words, n_pages)
 
 
+def image_dims(doc_id: int) -> tuple[int, int]:
+    """Synthetic image dimensions: deterministic, spanning both sides
+    of the 2048 resize threshold (some rows resize, some don't)."""
+    return 640 + (doc_id * 37) % 3000, 480 + (doc_id * 53) % 3000
+
+
+def _image_payload(doc_id: int, text: str) -> bytes:
+    w, h = image_dims(doc_id)
+    payload = f"IMG {w}x{h}\n{text}".encode("utf-8")
+    if doc_id % 40 == 7:  # every other image_jpg: undecodable image
+        payload = CORRUPT_MARKER + payload
+    return payload
+
+
 def make_page_record(doc_id: int, text: str, lang: str) -> dict:
     """One deterministic pages-table row from one documents-table row."""
     cls = row_class(doc_id)
     words = (text or "").split()
-    ext = {"reject_ext": ".exe"}.get(cls, ".pdf" if cls.startswith("pdf") else ".html")
+    ext = {
+        "reject_ext": ".exe", "image_png": ".png", "image_jpg": ".jpg",
+    }.get(cls, ".pdf" if cls.startswith("pdf") else ".html")
     url = f"https://example-42.test/{cls}/{doc_id:06d}{ext}"
     ts = EPOCH + _dt.timedelta(seconds=doc_id)
 
@@ -149,6 +173,8 @@ def make_page_record(doc_id: int, text: str, lang: str) -> dict:
         payload = _html_boiler(doc_id, words)
     elif cls == "html_grounded":
         payload = _html_grounded(doc_id, words)
+    elif cls in ("image_png", "image_jpg"):
+        payload = _image_payload(doc_id, text or "")
     else:  # pdf_small | pdf_large
         n_pages = 1 + doc_id % 3 if cls == "pdf_small" else 24 + doc_id % 7
         pages = [t.encode("utf-8") for t in _pdf_pages_text(doc_id, words, n_pages)]

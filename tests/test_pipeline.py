@@ -95,6 +95,7 @@ def test_class_mix_present(spark):
     classes = {u.split("/")[3] for u in urls}
     assert classes == {
         "html_simple", "html_boiler", "html_grounded",
+        "image_png", "image_jpg",
         "pdf_small", "pdf_large",
         "reject_empty", "reject_ext", "reject_oversize",
     }
@@ -116,3 +117,49 @@ def test_routing_stays_jvm_side(spark):
     routed = route(pages).withColumn("err", _quarantine_error(CFG))
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_image_branch(extracted_and_golden):
+    """The reference's primary endpoint (POST /ocr/image) as a batch
+    branch: image rows extract byte-identically vs the oracle; corrupt
+    images become error rows without killing neighbors."""
+    extracted, golden = extracted_and_golden
+    img_rows = [r for r in extracted.collect() if r["doc_type"] == "image"]
+    assert img_rows, "fixture should include image rows"
+    saw_ok = saw_corrupt = False
+    for r in img_rows:
+        g = golden[r["url"]]
+        assert g["doc_type"] == "image"
+        assert r["text"] == g["text"], r["url"]
+        assert bool(r["success"]) == bool(g["success"])
+        assert r["error"] == g["error"]
+        assert r["pages"] is None and r["total_pages"] is None
+        if r["success"]:
+            saw_ok = True
+            assert r["text"].startswith("## Page 0")
+        else:
+            saw_corrupt = True
+            assert r["error"] == "corrupt page image"
+    assert saw_ok and saw_corrupt
+
+
+def test_pdf_warnings_accumulation(extracted_and_golden):
+    """A2: doc-level warnings list one 'Failed to process page N: …'
+    per failed page (reference pdf_processor.py:230, ocr.py:299)."""
+    extracted, golden = extracted_and_golden
+    pdf_rows = [r for r in extracted.collect() if r["doc_type"] == "pdf"]
+    saw_nonempty = False
+    for r in pdf_rows:
+        g = golden[r["url"]]
+        if r["pages"] is None:  # doc-level rejection → warnings null
+            assert r["warnings"] is None
+            continue
+        assert list(r["warnings"]) == g["warnings"], r["url"]
+        if r["warnings"]:
+            saw_nonempty = True
+            assert all(w.startswith("Failed to process page ") for w in r["warnings"])
+        # page rows carry the raw error; warnings carry the prefix
+        for p in r["pages"]:
+            if not p["success"]:
+                assert not p["error"].startswith("Failed to process page")
+    assert saw_nonempty, "fixture should include a corrupt-page pdf_large"
