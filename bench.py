@@ -58,6 +58,7 @@ HEADLINE_QUERIES = [
     "events_range_join",
     # r2 additions (appended; r1 names stay stable for per-query diffs)
     "image_extract",
+    "dedup_embedding_lsh",
 ]
 
 

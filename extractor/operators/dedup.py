@@ -299,6 +299,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.src == labels.node)
@@ -319,6 +320,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silently returning unconverged labels would hand the caller
+        # WRONG clusters; a component with diameter > max_iter is a
+        # data smell (near-dup clusters are shallow) worth surfacing.
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"connected_components: not converged after {max_iter} "
+            f"iterations ({changed} labels still changing); cluster "
+            "ids may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -375,6 +389,54 @@ def simhash32_df(
     return agg.select("id", simhash.alias("simhash"), "n_distinct_tokens")
 
 
+def embedding_neardup_pairs_srp(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates blocked by SRP-LSH bucket —
+    the DEFAULT scale formulation.
+
+    Label/category blocking is quadratic within each block; with few
+    huge categories (the realistic corpus shape) that is the
+    scale-killer.  Sign-random-projection buckets (Charikar 2002;
+    same construction as similarity.srp_bucket) are ~uniform AND
+    similarity-preserving: a near-duplicate pair flips a plane's sign
+    with probability θ/π ≈ 0.03 at cos ≥ 0.95, so recall stays high
+    while the pair join shrinks by ~2^P.  Raise ``n_planes`` as the
+    corpus grows to keep |bucket| bounded; the bucket is the join AND
+    partition key, so AQE can split any residual hot bucket.
+    Returns (bucket, a, b, cosine)."""
+    from extractor.operators.similarity import srp_bucket
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
+        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    )
+    a = base.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("bucket", "a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("bucket", "a", "b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     block_col: str = "label",
@@ -382,10 +444,12 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates within blocking groups.
-
-    Blocking (here: the label column; at scale: a coarse IVF/LSH
-    bucket) keeps the pair join quadratic only within groups."""
+    """Embedding-cosine near-duplicates within CALLER-PROVIDED blocking
+    groups (a label/category column).  Prefer
+    :func:`embedding_neardup_pairs_srp` — category blocks are few and
+    huge at corpus scale, making this variant quadratic within blocks;
+    it is kept for the case where the block key is semantically
+    required (only dedup within a category)."""
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),

@@ -1024,6 +1024,61 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_lsh",
+    """
+    WITH pl AS (  -- deterministic hyperplanes: md5(plane:p:d)
+      SELECT p.p,
+             list_transform(generate_series(0, 63), d ->
+               ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
+                   1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, 64),
+               i -> embedding[i]::DOUBLE + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), base AS (
+      SELECT c.vec_id, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+             CAST(sum(CASE WHEN list_dot_product(c.v, pl.w) > 0
+                           THEN 2 ** pl.p ELSE 0 END) AS INT) AS bucket
+      FROM corpus c, pl
+      GROUP BY c.vec_id, c.v
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by SRP-LSH bucket — the scale
+    default (see operators.dedup.embedding_neardup_pairs_srp): bucket
+    equi-join replaces the per-category quadratic block join; the same
+    perturbed copies as dedup_embedding_cosine are the expected dups
+    (a 0.01 single-dim perturbation almost never flips a plane sign,
+    and the oracle derives identical buckets either way)."""
+    from extractor.operators.dedup import embedding_neardup_pairs_srp
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at(F.col("v"), i)
+            + F.when(i == 1, 0.01).otherwise(0.0),
+        ).alias("v"),
+    )
+    corpus = emb.unionAll(perturbed)
+    return embedding_neardup_pairs_srp(
+        corpus, id_col="vec_id", vec_col="v", threshold=0.99, n_planes=6, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis tier
 # ---------------------------------------------------------------------------
@@ -1247,15 +1302,28 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sample (20 docs/stratum):
     rank by md5(doc_id) inside each stratum — reproducible across runs
-    and engines, unlike rand()-based sampleBy.  At corpus scale the
-    window becomes a per-stratum top-k aggregate (no global sort)."""
+    and engines, unlike rand()-based sampleBy.
+
+    Scale shape: per-stratum top-k as a BOUNDED two-level aggregate
+    (operators.topk.grouped_topk) — the stratum-wide row_number window
+    would funnel every row of a language through one reducer; the
+    aggregate's state never exceeds max(|stratum|/B, B·k) rows.
+    Identical output to the window formulation (the oracle still uses
+    row_number — same ranking, independent plan)."""
+    from extractor.operators.topk import grouped_topk_exploded
+
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    sort_s = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("m"),
+        F.col("doc_id").alias("doc_id"),
     )
-    return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
-        .filter(F.col("sample_rank") <= 20)
+    ranked = grouped_topk_exploded(
+        docs.select("doc_id", "lang"), ["lang"], sort_s, k=20
+    )
+    return ranked.select(
+        F.col("value.doc_id").alias("doc_id"),
+        "lang",
+        F.col("rank").cast("int").alias("sample_rank"),
     )
 
 
@@ -1277,17 +1345,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary top-10 (tokenizer-training prep):
     explode → count (map-side partial agg collapses the heavy tail
-    before the shuffle) → per-lang rank."""
+    before the shuffle) → per-lang top-k.
+
+    Scale shape: the rank runs over per-(lang, token) COUNTS (already
+    ~vocab-sized), and the per-lang truncation is the bounded
+    two-level aggregate (operators.topk) — no per-lang global window,
+    so a 10^9-token vocabulary never lands in one task.  Ordering
+    (n desc, token asc) is encoded as struct(-n, token)."""
+    from extractor.operators.topk import grouped_topk_exploded
+
     docs = _docs(spark, sf_dir)
     counts = (
         docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.select("lang", F.row_number().over(w).alias("rank"), "token", "n")
-        .filter(F.col("rank") <= 10)
+    sort_s = F.struct(
+        (-F.col("n")).alias("negn"),
+        F.col("token").alias("token"),
+        F.col("n").alias("n"),
+    )
+    ranked = grouped_topk_exploded(counts, ["lang"], sort_s, k=10)
+    return ranked.select(
+        "lang",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("value.token").alias("token"),
+        F.col("value.n").alias("n"),
     )
 
 
@@ -1332,14 +1415,18 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact count is emitted alongside so the error is visible.
 
     Scale shape: distinct-(lang, h) is one shuffle with map-side
-    partial dedup; the per-group rank then runs over distinct hashes
-    only.  A production KMV replaces the rank with a bounded custom
-    partial aggregate (k values per map task), same estimate."""
+    partial dedup; the k-minimum selection is then the BOUNDED
+    two-level aggregate (operators.topk.grouped_topk) — per-(lang,
+    bucket) k-smallest, merged to per-lang k-smallest — never a
+    per-lang window, so no task ever holds a language's full distinct
+    hash set.  The exact count rides the same aggregation (counts are
+    additive), and the estimate is unchanged for any bucket count."""
     from extractor.operators.dedup import (
         MERSENNE31,
         shingle_hashes_from,
         word_hashes,
     )
+    from extractor.operators.topk import grouped_topk
 
     k = 64
     docs = _docs(spark, sf_dir)
@@ -1352,22 +1439,17 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy("lang").orderBy("h")
-    wc = Window.partitionBy("lang")
-    ranked = tok.select(
+    mins = grouped_topk(tok, ["lang"], F.col("h"), k=k, with_count=True)
+    return mins.select(
         "lang",
-        "h",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("exact_distinct"),
-    ).filter(F.col("rk") <= k)
-    return ranked.groupBy("lang", "exact_distinct").agg(
+        F.col("n_rows").alias("exact_distinct"),
         F.floor(
             (k - 1)
             * float(MERSENNE31)
-            / F.max(F.when(F.col("rk") == k, F.col("h")))
+            / F.try_element_at(F.col("topk"), F.lit(k))
         )
         .cast("long")
-        .alias("kmv_estimate")
+        .alias("kmv_estimate"),
     )
 
 

@@ -47,9 +47,13 @@ def _committed_manifests(out_dir: str, include_replaced: bool = False) -> list[d
         if name.endswith(".json"):
             with open(os.path.join(cdir, name)) as fh:
                 out.append(json.load(fh))
-    # commit order = the seq stamped at commit time (filenames are
-    # random hex and carry no order)
-    out.sort(key=lambda m: m.get("seq", 0))
+    # commit order = the seq stamped at commit time; run_id breaks
+    # ties deterministically for manifests written before seq existed
+    # (they all carry the default 0 — raw listdir order would make
+    # as-of prefixes nondeterministic).  Single-writer assumption: seq
+    # is a read-modify-write; concurrent committers need the real
+    # catalog (Iceberg) this module stands in for.
+    out.sort(key=lambda m: (m.get("seq", 0), m["run_id"]))
     if include_replaced:
         return out
     # A compaction manifest lists the run_ids it replaces; replaced
@@ -219,7 +223,11 @@ def compact_snapshots(
         F.round(F.sum("latency_s"), 3).alias("latency_s"),
     ).select(
         F.lit(run_id).alias("run_id"),
-        F.monotonically_increasing_id().cast("int").alias("partition_id"),
+        # spark_partition_id, NOT monotonically_increasing_id.cast(int):
+        # mono ids in shuffle partition >= 1 start at 2^33 and overflow
+        # the int cast (a CAST_OVERFLOW crash under ANSI once the agg
+        # spans >1 partition).
+        F.spark_partition_id().alias("partition_id"),
         "row_count",
         "ok_count",
         "err_count",

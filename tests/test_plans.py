@@ -120,3 +120,22 @@ def test_bucketed_join_avoids_shuffle(spark):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
     assert "Exchange hashpartitioning" not in bucketed_plan, bucketed_plan[:2000]
     assert plain_plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_topk_queries_have_no_per_group_window(spark):
+    """The de-weakened top-k/sketch/sample queries must compile to the
+    bounded two-level aggregate — a per-group ranking window (single
+    reducer per language) must NOT appear anywhere in the plan."""
+    for name in ("stratified_sample", "vocab_topk", "sketch_distinct_kmv"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Window" not in plan, f"{name} still uses a window:\n{plan[:2000]}"
+        assert "partial_" in plan, f"{name} lost map-side partial agg"
+
+
+def test_embedding_lsh_joins_on_bucket(spark):
+    """The SRP-blocked embedding dedup must pair via a bucket equi-join
+    — never a cartesian/broadcast-nested-loop over the corpus."""
+    plan = plan_of(REGISTRY["dedup_embedding_lsh"].spark(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
