@@ -32,6 +32,10 @@ class ExtractConfig:
     max_bytes: int = MAX_FILE_SIZE_BYTES      # reference constants.py:34 (50 MB)
     max_pdf_pages: int = MAX_PDF_PAGES        # reference constants.py:35 (100)
     strip_grounding: bool = True              # reference ocr.py:131-134 default
+    # T9: one of engine.OUTPUT_FORMAT_PROMPTS' six formats (reference
+    # constants.py:49-56); resolved + guard-validated (F6) driver-side
+    # in run_extraction, then shipped into the inference UDF closures.
+    output_format: str = "markdown"           # reference constants.py:46 default
     # Partition sizing for the two compute-heavy stages.  None → leave
     # the scan partitioning alone (local mode); on a cluster set these
     # to ~2-3× the executor-core count of each stage, independently —

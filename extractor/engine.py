@@ -74,6 +74,21 @@ _SUSPICIOUS_PATTERNS = [
 ]
 
 
+def resolve_prompt(output_format: str) -> str:
+    """T9 format→prompt binding + F6 guard, driver-side (reference
+    ocr.py:155 resolution, :158 validation).  Raises ValueError on an
+    unknown format or a prompt failing the guard — before any executor
+    work is scheduled."""
+    prompt = OUTPUT_FORMAT_PROMPTS.get(output_format)
+    if prompt is None:
+        raise ValueError(
+            f"Unsupported output format: {output_format!r} "
+            f"(supported: {sorted(OUTPUT_FORMAT_PROMPTS)})"
+        )
+    validate_prompt(prompt)
+    return prompt
+
+
 def validate_prompt(prompt: str, max_length: int = 2000) -> None:
     """Raise ValueError on empty/oversize/injection-pattern prompts
     (reference semantics: empty → 400, >2000 chars → 400, six

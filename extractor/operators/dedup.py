@@ -205,6 +205,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocking groups, via the
     inverted-index (explode → shingle-equijoin → count) formulation.
@@ -217,12 +218,22 @@ def ngram_jaccard_pairs(
     shingle are ever materialized, count shared shingles per pair
     (|A∩B|), and recover |A∪B| = |A| + |B| − |A∩B| from the
     per-doc sizes carried through the join.  Pairs with zero overlap
-    never appear — correct for any threshold > 0.  At corpus scale
-    the join key (block, shingle-hash) is high-cardinality and
-    uniform; a stop-shingle cap (drop shingles occurring in > P% of
-    a block) bounds the worst-case hot key, standard prefix-filter
-    territory.  Blocking is caller-provided so the oracle can
-    reproduce it; at 10^12 docs the block key would be an LSH bucket.
+    never appear — correct for any threshold > 0.  Blocking is
+    caller-provided so the oracle can reproduce it; at 10^12 docs the
+    block key would be an LSH bucket.
+
+    ``max_df`` is the stop-shingle cap for corpus scale: a shingle
+    occurring in more than ``max_df`` docs of a block ("the", boiler-
+    plate fragments) is excluded from CANDIDATE GENERATION — the
+    self-join on such a key is quadratic in its document frequency and
+    is exactly the hot key that stalls a 100 TB run.  Candidate pairs
+    are then re-verified EXACTLY against the full shingle arrays
+    (``array_intersect``), so reported Jaccard values are unchanged;
+    the only approximation is recall: a pair whose entire overlap is
+    stop-shingles is missed — for near-duplicates (high overlap of
+    mostly-rare shingles) that pair does not exist.  This is the
+    standard candidate+verify shape of prefix filtering (Bayardo et
+    al. 2007).  Default None = fully exact single-phase join.
     """
     base = df.select(
         *[F.col(c) for c in block_cols],
@@ -240,21 +251,60 @@ def ngram_jaccard_pairs(
     ex = base.select(
         *block_cols, "id", "sz", F.explode_outer("sh").alias("h")
     ).filter(F.col("h").isNotNull())
+    if max_df is not None:
+        # stop-shingle filter: df computed per (block, shingle) with
+        # map-side partial agg; the filtered index drops the hot keys
+        # BEFORE the self-join (candidate generation only — see doc).
+        dfreq = ex.groupBy(*block_cols, "h").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(
+            dfreq.filter(F.col("_df") <= max_df).select(*block_cols, "h"),
+            [*block_cols, "h"],
+        )
     a = ex.select(
         *block_cols, F.col("id").alias("a"), F.col("sz").alias("sz_a"), "h"
     )
     b = ex.select(
         *block_cols, F.col("id").alias("b"), F.col("sz").alias("sz_b"), "h"
     )
-    inter = (
-        a.join(b, [*block_cols, "h"])
+    if max_df is None:
+        inter = (
+            a.join(b, [*block_cols, "h"])
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        j = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        return (
+            inter.select("a", "b", j.alias("j"))
+            .filter(F.col("j") >= threshold)
+            .select("a", "b", F.round("j", 4).alias("jaccard"))
+        )
+    # capped path: pruned index yields CANDIDATES only; the exact
+    # intersection is recomputed from the full arrays per candidate
+    # pair (bounded by candidate count, not by hot-key df²).
+    cand = (
+        a.select(*block_cols, "a", "h")
+        .join(b.select(*block_cols, "b", "h"), [*block_cols, "h"])
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(*block_cols, "a", "b")
+        .distinct()
+    )
+    sh_a = base.select(
+        *block_cols, F.col("id").alias("a"),
+        F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"),
+    )
+    sh_b = base.select(
+        *block_cols, F.col("id").alias("b"),
+        F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"),
+    )
+    verified = (
+        cand.join(sh_a, [*block_cols, "a"])
+        .join(sh_b, [*block_cols, "b"])
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     j = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
-        inter.select("a", "b", j.alias("j"))
+        verified.select("a", "b", j.alias("j"))
         .filter(F.col("j") >= threshold)
         .select("a", "b", F.round("j", 4).alias("jaccard"))
     )

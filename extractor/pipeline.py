@@ -63,7 +63,7 @@ from extractor.config import (
     PDF_EXTS,
     ExtractConfig,
 )
-from extractor.engine import get_engine
+from extractor.engine import get_engine, resolve_prompt
 from extractor.html_extract import html_to_markdown
 from extractor.pdf_extract import split_pdf_pages
 from extractor.schema import HTML_RESULT_SCHEMA, PDF_PAGE_SCHEMA
@@ -149,6 +149,7 @@ def extract_html(valid_html: DataFrame, cfg: ExtractConfig) -> DataFrame:
 
 def _image_extract_iter(cfg: ExtractConfig):
     strip = cfg.strip_grounding
+    prompt = resolve_prompt(cfg.output_format)  # driver-side T9+F6
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from extractor.operators.multimodal import compress_image
@@ -168,7 +169,7 @@ def _image_extract_iter(cfg: ExtractConfig):
             ok_idx = [i for i in range(n) if i not in errors]
             texts: dict[int, str] = {}
             try:
-                raws = engine.infer_batch([payloads[i] for i in ok_idx])
+                raws = engine.infer_batch([payloads[i] for i in ok_idx], prompt)
                 for i, raw in zip(ok_idx, raws):
                     texts[i] = clean_stdout_output(raw, strip_grounding=strip)
             except Exception:
@@ -177,7 +178,7 @@ def _image_extract_iter(cfg: ExtractConfig):
                 # maps OCR errors per request; here per row).
                 for i in ok_idx:
                     try:
-                        raw = engine.infer_batch([payloads[i]])[0]
+                        raw = engine.infer_batch([payloads[i]], prompt)[0]
                         texts[i] = clean_stdout_output(raw, strip_grounding=strip)
                     except Exception as exc:
                         errors[i] = str(exc)
@@ -237,6 +238,7 @@ def _pdf_explode_iter(cfg: ExtractConfig):
 
 def _pdf_ocr_iter(cfg: ExtractConfig):
     strip = cfg.strip_grounding
+    prompt = resolve_prompt(cfg.output_format)  # driver-side T9+F6
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = get_engine()  # per-worker singleton, loaded once
@@ -250,7 +252,7 @@ def _pdf_ocr_iter(cfg: ExtractConfig):
             payloads = [bytes(b) for b in ok_rows["raw_page"]]
             try:
                 # One engine call per Arrow batch — the GPU micro-batch.
-                raws = engine.infer_batch(payloads)
+                raws = engine.infer_batch(payloads, prompt)
                 pairs = list(zip(ok_rows.index, raws))
             except Exception:
                 # A poison page failed the whole batch: degrade to
@@ -259,7 +261,7 @@ def _pdf_ocr_iter(cfg: ExtractConfig):
                 pairs = []
                 for idx, payload in zip(ok_rows.index, payloads):
                     try:
-                        pairs.append((idx, engine.infer_batch([payload])[0]))
+                        pairs.append((idx, engine.infer_batch([payload], prompt)[0]))
                     except Exception as exc:
                         # Page row carries the RAW error (reference page
                         # dict, pdf_processor.py:241-247); the doc-level

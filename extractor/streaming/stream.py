@@ -42,6 +42,7 @@ from extractor.pipeline import (
     _pdf_ocr_iter,
     _quarantine_error,
     extract_html,
+    extract_image,
     route,
 )
 from extractor.schema import PAGES_SCHEMA, PDF_PAGE_SCHEMA
@@ -60,9 +61,9 @@ def streaming_extract_pages(
 ) -> DataFrame:
     """Stateless extraction over a stream → page-grain result rows.
 
-    html docs yield one row (page_number null); pdf docs yield one row
-    per page.  All stages are the same functions the batch pipeline
-    uses — streams and batches share one implementation.
+    html and image docs yield one row (page_number null); pdf docs
+    yield one row per page.  All stages are the same functions the
+    batch pipeline uses — streams and batches share one implementation.
     """
     routed = route(pages_stream).withColumn("route_error", _quarantine_error(cfg))
     valid = routed.filter(F.col("route_error").isNull())
@@ -71,6 +72,17 @@ def streaming_extract_pages(
         "url",
         "warc_ts",
         F.lit("html").alias("doc_type"),
+        F.lit(None).cast("int").alias("page_number"),
+        "text",
+        "success",
+        "error",
+    )
+    image_rows = extract_image(
+        valid.filter(F.col("doc_type") == "image"), cfg
+    ).select(
+        "url",
+        "warc_ts",
+        F.lit("image").alias("doc_type"),
         F.lit(None).cast("int").alias("page_number"),
         "text",
         "success",
@@ -95,7 +107,11 @@ def streaming_extract_pages(
         F.lit(False).alias("success"),
         F.col("route_error").alias("error"),
     )
-    return html_rows.unionByName(pdf_pages).unionByName(quarantined)
+    return (
+        html_rows.unionByName(image_rows)
+        .unionByName(pdf_pages)
+        .unionByName(quarantined)
+    )
 
 
 def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

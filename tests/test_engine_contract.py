@@ -60,3 +60,26 @@ def test_output_format_prompt_binding():
         "markdown", "text", "table", "figure", "json", "structured_data",
     }
     assert DEFAULT_PROMPT == OUTPUT_FORMAT_PROMPTS["markdown"]
+
+
+def test_resolve_prompt_formats():
+    """T9 format->prompt binding + F6 guard run driver-side; unknown
+    formats fail before any executor work."""
+    import pytest
+
+    from extractor.engine import OUTPUT_FORMAT_PROMPTS, resolve_prompt
+
+    for fmt, expected in OUTPUT_FORMAT_PROMPTS.items():
+        assert resolve_prompt(fmt) == expected
+    with pytest.raises(ValueError, match="Unsupported output format"):
+        resolve_prompt("yaml")
+
+
+def test_pipeline_rejects_unknown_format():
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import _pdf_ocr_iter
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _pdf_ocr_iter(ExtractConfig(output_format="nope"))

@@ -152,3 +152,33 @@ def test_short_docs_survive_ansi_mode(spark):
     }
     assert jac[(1, 4)] == 1.0
     assert simhash32_df(df, "id", "text").count() == 4
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_df prunes hot shingles from candidate generation but the
+    reported Jaccard values stay EXACT (candidate+verify): on a fixture
+    where every true near-dup pair shares at least one rare shingle,
+    capped == uncapped."""
+    from extractor.operators.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    common = "the quick brown common filler words here"  # shared by all
+    rows = [
+        (1, f"{common} {base}"),
+        (2, f"{common} {base} tail"),              # near-dup of 1
+        (3, f"{common} totally different content list items now"),
+        (4, f"{common} another unrelated document body text words"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).withColumn("blk", F.lit(0))
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, ["blk"], "id", "text", threshold=0.3).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, ["blk"], "id", "text", threshold=0.3, max_df=3
+        ).collect()
+    }
+    assert (1, 2) in exact
+    assert capped == exact

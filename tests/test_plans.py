@@ -139,3 +139,40 @@ def test_embedding_lsh_joins_on_bucket(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """The revenue_by_nation docstring claims the lineitem⋈orders pair
+    would be bucketed on orderkey at 100 TB to eliminate its shuffle —
+    make that claim executable: two tables bucketed+sorted on the join
+    key produce a SortMergeJoin with NO Exchange on either side."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li_t, o_t = f"li_b_{suffix}", f"o_b_{suffix}"
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small sf tables would broadcast, hiding the bucketing effect
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_t)
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_t)
+        joined = spark.table(li_t).join(
+            spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        # sanity: same row count as the shuffled join
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")

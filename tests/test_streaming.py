@@ -81,6 +81,13 @@ def test_streaming_extraction_page_rows(spark, tmp_path):
     for url, r in stream_html.items():
         assert r["text"] == batch_by_url[url]["text"], url
 
+    # image rows match the batch image branch (stream==batch, one impl)
+    stream_img = {r["url"]: r for r in rows if r["doc_type"] == "image"}
+    assert stream_img, "fixture should include image rows"
+    for url, r in stream_img.items():
+        b = batch_by_url[url]
+        assert r["text"] == b["text"] and bool(r["success"]) == bool(b["success"]), url
+
     # pdf page texts match the batch pages arrays
     import collections
 
