@@ -59,6 +59,9 @@ HEADLINE_QUERIES = [
     # r2 additions (appended; r1 names stay stable for per-query diffs)
     "image_extract",
     "dedup_embedding_lsh",
+    "pii_scrub",
+    "domain_blocklist_stats",
+    "doc_chunking",
 ]
 
 

@@ -1746,6 +1746,151 @@ def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-hygiene tier: PII scrubbing, domain blocklist, chunking —
+# the remaining standard stages of a pretraining data pipeline, all
+# expression-only (JVM codegen, map-side; no Python, no extra shuffle
+# beyond the stated aggregations).
+# ---------------------------------------------------------------------------
+
+# Conservative patterns that mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,10}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@mail-' || (doc_id % 7)::VARCHAR || '.example or +1-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 7, '0') || ' today' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           length(regexp_extract_all(raw, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           length(regexp_extract_all(raw, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone numbers) — a mandatory pretraining
+    corpus-hygiene pass.  Entirely JVM regexp (codegen, map-only, no
+    shuffle); deterministic synthetic PII is injected so the scrubber
+    does real work on the fixture text.  Patterns are restricted to
+    the Java∩RE2 common dialect so the DuckDB oracle runs the IDENTICAL
+    expressions (the same discipline would apply porting the pipeline
+    between engines)."""
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        F.lit(" today"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "domain_blocklist_stats",
+    """
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             'site-' || (doc_id % 53)::VARCHAR || '.example' AS domain
+      FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM tagged
+    WHERE domain NOT IN ('site-3.example', 'site-17.example', 'site-29.example')
+    GROUP BY domain
+    """,
+)
+def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + per-domain corpus accounting (spam/abuse
+    domain removal, the first filter of a web-crawl pipeline).
+
+    Scale shape: the blocklist (thousands of domains in practice) is
+    BROADCAST into a left_anti join — the corpus scans once, never
+    shuffles for the filter; the per-domain aggregate is one shuffle
+    with map-side partials.  (A NOT IN expression would also work for
+    a literal list; the anti-join is the form that scales to a
+    blocklist TABLE, so that is what the engine exercises.)"""
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select(
+        F.concat(
+            F.lit("site-"), (F.col("doc_id") % 53).cast("string"), F.lit(".example")
+        ).alias("domain"),
+        "n_chars",
+    )
+    blocklist = docs.sparkSession.createDataFrame(
+        [("site-3.example",), ("site-17.example",), ("site-29.example",)],
+        ["domain"],
+    )
+    kept = tagged.join(F.broadcast(blocklist), "domain", "left_anti")
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, (length(w) + 63) // 64 - 1)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           length(w[chunk_id * 64 + 1 : (chunk_id + 1) * 64])::BIGINT
+             AS chunk_tokens,
+           md5(array_to_string(w[chunk_id * 64 + 1 : (chunk_id + 1) * 64], ' '))
+             AS chunk_md5
+    FROM idx
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (64-token windows) — the prep stage
+    for embedding/pretraining sequence packing.  posexplode over a
+    per-doc chunk index; slices of a MATERIALIZED token array (never
+    an inline re-evaluated expression — the HOF trap), map-only, the
+    explode multiplies rows ~n_tokens/64 with no shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = F.floor((F.size("w") + 63) / 64).cast("int")
+    idx = toks.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * 64 + 1, 64)
+    return idx.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN scale path: sign-random-projection LSH bucketing
 # ---------------------------------------------------------------------------
 
