@@ -1745,6 +1745,90 @@ def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_select_fuzzy",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    cand AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM cand
+      UNION
+      SELECT b AS src, a AS dst FROM cand
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ), with_lang AS (
+      SELECT c.doc_id, c.text, d.lang
+      FROM corpus c JOIN documents d
+        ON (CASE WHEN c.doc_id >= 1000000 THEN c.doc_id - 1000000
+                 ELSE c.doc_id END) = d.doc_id
+    ), feat AS (
+      SELECT w.doc_id, w.lang,
+             coalesce(cl.cluster_id, w.doc_id) AS cluster_id,
+             (list_sort([{_LANG_STRUCTS}]))[1].l AS pred_lang,
+             length(x.w) AS n_tokens,
+             (length(list_distinct(x.w)) * 10000 // length(x.w)) // 4 +
+             least(list_sum(list_transform(x.w, t -> length(t))) * 100
+                   // length(x.w), 1000) // 2 AS quality
+      FROM with_lang w
+      LEFT JOIN clusters cl ON cl.doc_id = w.doc_id,
+      LATERAL (SELECT string_split(w.text, ' ') AS w) x
+    )
+    SELECT doc_id, cluster_id, pred_lang,
+           n_tokens::BIGINT AS n_tokens, quality::BIGINT AS quality
+    FROM feat
+    WHERE doc_id = cluster_id AND pred_lang = lang
+      AND quality >= 1000 AND n_tokens >= 10
+    """,
+)
+def q_corpus_select_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL fuzzy-dedup corpus materialization: MinHash-LSH
+    candidate pairs → connected-components cluster resolution → keep
+    only cluster canonicals (min doc_id; non-clustered docs are their
+    own canonical) → language-agreement + quality thresholds.  This is
+    the composition a pretraining pipeline actually ships — exact
+    dedup (corpus_select) misses near-duplicates, which at web scale
+    are the majority of redundancy.
+
+    Scale: LSH band join is the only corpus-sized shuffle; CC runs on
+    the candidate EDGE list (orders of magnitude smaller); the
+    canonical filter is a broadcast-size left join at realistic dup
+    rates; feature filters are map-only codegen.  Oracle: recursive-
+    CTE transitive closure + the same feature expressions."""
+    from extractor.operators.dedup import connected_components, lsh_pairs
+    from extractor.operators.textstats import predict_lang, quality_score
+
+    d = _docs(spark, sf_dir)
+    corpus = d.select("doc_id", "text", "lang").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
+            "lang",
+        )
+    )
+    edges = lsh_pairs(corpus.select("doc_id", "text"), k=16, bands=4, threshold=0.5)
+    cc = connected_components(edges)  # (doc_id, cluster_id), clustered docs only
+    feats = quality_score(F.col("text"))
+    feat = corpus.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "lang",
+        predict_lang(F.col("text")).alias("pred_lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality"].alias("quality"),
+    )
+    return feat.filter(
+        (F.col("doc_id") == F.col("cluster_id"))
+        & (F.col("pred_lang") == F.col("lang"))
+        & (F.col("quality") >= 1000)
+        & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "cluster_id", "pred_lang", "n_tokens", "quality")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-hygiene tier: PII scrubbing, domain blocklist, chunking —
 # the remaining standard stages of a pretraining data pipeline, all
