@@ -305,10 +305,21 @@ def extract_pdf(valid_pdf: DataFrame, cfg: ExtractConfig) -> DataFrame:
     )
     pages = pages.repartition(int(n_parts), "url", "page_number")
     page_text = pages.mapInPandas(_pdf_ocr_iter(cfg), schema=PDF_PAGE_TEXT_SCHEMA)
+    return reassemble_pages(page_text)
 
-    # Reassembly A1-A4: one shuffle keyed by url; order restored by
-    # array_sort (struct sorts by its first field, page_number), NOT by
-    # arrival order — exactly the SURVEY §2.4 mapping.
+
+def reassemble_pages(page_text: DataFrame) -> DataFrame:
+    """A1-A4 document reassembly from page-grain rows
+    (PDF_PAGE_TEXT_SCHEMA shape): one shuffle keyed by url; order
+    restored by array_sort (struct sorts by its first field,
+    page_number), NOT by arrival order — exactly the SURVEY §2.4
+    mapping.
+
+    Standalone (not fused into :func:`extract_pdf`) because it is the
+    batch half of the streaming design: the stream emits page-grain
+    rows exactly-once, and the periodic compaction job runs THIS
+    function over them — one reassembly implementation for both
+    planes (tested in tests/test_streaming.py)."""
     page_struct = F.when(
         F.col("page_number").isNotNull(),
         F.struct("page_number", "text", "success", "error", "latency_s"),

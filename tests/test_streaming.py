@@ -196,3 +196,61 @@ def test_streaming_sessionize_equals_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_lambda_reassembly_from_streamed_pages(spark, tmp_path):
+    """The lambda-architecture claim, executable: stream page-grain
+    rows to storage, then run the SAME reassembly function the batch
+    pipeline uses over the stored rows — the resulting doc-grain pdf
+    table must equal the batch pipeline's output."""
+    from extractor.pipeline import (
+        PDF_PAGE_TEXT_SCHEMA,
+        _pdf_explode_iter,
+        _pdf_ocr_iter,
+        _quarantine_error,
+        reassemble_pages,
+        route,
+        run_extraction,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    sink_dir = str(tmp_path / "page_rows")
+    ckpt = str(tmp_path / "ckpt")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    # stream: route -> pdf page fan-out -> OCR -> page rows to parquet
+    from extractor.streaming.stream import read_pages_stream
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    routed = route(stream).withColumn("route_error", _quarantine_error(CFG))
+    page_rows = (
+        routed.filter(F.col("route_error").isNull() & (F.col("doc_type") == "pdf"))
+        .select("url", "warc_ts", "html")
+        .mapInPandas(_pdf_explode_iter(CFG), schema="url string, warc_ts timestamp, page_number int, total_pages int, raw_page binary, success boolean, error string, latency_s double")
+        .mapInPandas(_pdf_ocr_iter(CFG), schema=PDF_PAGE_TEXT_SCHEMA)
+    )
+    q = (
+        page_rows.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch compaction: the SAME reassembly function over stored rows
+    compacted = reassemble_pages(spark.read.parquet(sink_dir))
+    got = {r["url"]: r for r in compacted.collect()}
+
+    batch = run_extraction(spark, spark.read.parquet(pages_dir), CFG)
+    want = {r["url"]: r for r in batch.collect() if r["doc_type"] == "pdf"}
+
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        assert g["text"] == w["text"], url
+        assert bool(g["success"]) == bool(w["success"])
+        assert g["total_pages"] == w["total_pages"]
+        assert (g["warnings"] is None) == (w["warnings"] is None)
+        if g["warnings"] is not None:
+            assert list(g["warnings"]) == list(w["warnings"])
