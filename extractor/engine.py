@@ -21,14 +21,14 @@ Two implementations:
   prints (``=====`` banners, ``BASE:``/``PATCHES:`` lines,
   ``torch.Size`` shapes, grounding tags) so the cleaning stages do
   real byte-level work instead of being bypassed.
-* :class:`DeepSeekOCREngine` — the GPU wrapper contract.  The model
-  stack (torch/transformers/PIL) is not installed in this sandbox, so
-  it raises ``NotImplementedError`` at construction; the class
-  documents the exact call (prompt, base_size=1024, image_size=640,
-  crop_mode=True — reference constants.py:16-17,
-  inference_engine.py:88-100) and the load-time flags it must apply
-  (bf16, TF32, cuDNN benchmark, torch.compile reduce-overhead, FA2 —
-  reference services/model_loader.py:106-181).
+* :class:`DeepSeekOCREngine` — the real GPU wrapper (reference call:
+  prompt, base_size=1024, image_size=640, crop_mode=True —
+  constants.py:16-17, inference_engine.py:88-100; load flags bf16,
+  TF32, cuDNN benchmark, torch.compile reduce-overhead, FA2 —
+  services/model_loader.py:106-181).  Import-gated: constructing it
+  without torch/transformers installed (this sandbox) raises
+  ImportError; ``SPARK_GRAFT_ENGINE=deepseek`` selects it per worker
+  on a GPU deployment.
 
 Executor lifecycle: one engine per Python worker process, created
 lazily on first batch and cached in a module-level singleton — the
@@ -286,6 +286,7 @@ class DeepSeekOCREngine:
                         test_compress=False,
                     )
                 captured = buf.getvalue()
+                os.remove(path)  # per-image scratch, not per-batch
                 # T6 priority chain (inference_engine.py:215-245); raw
                 # text out — cleaning is the next pipeline stage.
                 text = captured if captured.strip() else None
@@ -312,5 +313,10 @@ def get_engine():
         import os
 
         name = os.environ.get("SPARK_GRAFT_ENGINE", "surrogate")
+        if name not in _ENGINE_CLASSES:
+            raise ValueError(
+                f"Unknown SPARK_GRAFT_ENGINE {name!r} "
+                f"(supported: {sorted(_ENGINE_CLASSES)})"
+            )
         _ENGINE = _ENGINE_CLASSES[name]()
     return _ENGINE

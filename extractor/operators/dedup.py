@@ -252,6 +252,15 @@ def ngram_jaccard_pairs(
         *block_cols, "id", "sz", F.explode_outer("sh").alias("h")
     ).filter(F.col("h").isNotNull())
     if max_df is not None:
+        # The capped path references ex/base from up to three subplans
+        # each (df-count + both join sides; both verify sides) —
+        # materialize once so the md5-per-word shingle pass is not
+        # recomputed per reference (localCheckpoint also truncates
+        # lineage; same pattern as connected_components).
+        base = base.localCheckpoint(eager=True)
+        ex = base.select(
+            *block_cols, "id", "sz", F.explode_outer("sh").alias("h")
+        ).filter(F.col("h").isNotNull()).localCheckpoint(eager=True)
         # stop-shingle filter: df computed per (block, shingle) with
         # map-side partial agg; the filtered index drops the hot keys
         # BEFORE the self-join (candidate generation only — see doc).

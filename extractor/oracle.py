@@ -48,6 +48,13 @@ def doc_type_for(url: str) -> str:
 
 def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractConfig()) -> dict:
     """Extract a single document — the per-request reference lifecycle."""
+    from extractor.engine import resolve_prompt
+
+    # T9+F6 exactly like the pipeline: resolve+validate up front (an
+    # invalid format must fail the oracle the same way it fails the
+    # job), and pass the resolved prompt to every inference call so
+    # golden parity holds for every output format, not just markdown.
+    prompt = resolve_prompt(cfg.output_format)
     doc_type = doc_type_for(url)
     base = {
         "url": url,
@@ -83,7 +90,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
 
         try:
             compressed, _w, _h, _ow, _oh = compress_image(payload)
-            raw = engine.infer_batch([compressed])[0]
+            raw = engine.infer_batch([compressed], prompt)[0]
             base["text"] = clean_stdout_output(raw, strip_grounding=cfg.strip_grounding)
             base["success"] = True
         except Exception as exc:
@@ -103,7 +110,7 @@ def extract_one(url: str, payload: bytes | None, cfg: ExtractConfig = ExtractCon
     warnings: list[str] = []
     for i, page in enumerate(pages):
         try:
-            raw = engine.infer_batch([page])[0]
+            raw = engine.infer_batch([page], prompt)[0]
             text = clean_stdout_output(raw, strip_grounding=cfg.strip_grounding)
             text = text.strip() if text else ""  # T10, pdf_processor.py:222
             page_results.append(

@@ -341,13 +341,16 @@ def reassemble_pages(page_text: DataFrame) -> DataFrame:
     # "Failed to process page N: <err>" per failed page, in page order
     # (pages_raw is already array_sort'ed on page_number).
     failed_pages = F.filter(F.col("pages_raw"), lambda p: ~p["success"])
+    # coalesce: concat null-propagates, and an externally-produced
+    # page row (this function also serves the streaming compaction
+    # path) may carry success=false with a null error.
     warnings = F.transform(
         failed_pages,
         lambda p: F.concat(
             F.lit("Failed to process page "),
             p["page_number"].cast("string"),
             F.lit(": "),
-            p["error"],
+            F.coalesce(p["error"], F.lit("unknown error")),
         ),
     )
     return agg.select(

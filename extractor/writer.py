@@ -214,7 +214,15 @@ def compact_snapshots(
     writer.parquet(data_path)
 
     # Compaction lineage: one row per replaced snapshot summarising
-    # what was folded in (the audit trail for the rewrite).
+    # what was folded in.  partition_id = index of the replaced run_id
+    # in sorted order — unique per row (mono-id.cast(int) overflowed
+    # under ANSI past partition 0; spark_partition_id would collide
+    # after the groupBy) AND attributable: manifest["replaces"] plus
+    # this deterministic ordering recovers which row summarizes which
+    # replaced snapshot.  The window is over #replaced-snapshots rows
+    # (tiny), not data.
+    from pyspark.sql import Window as _W
+
     old_lineage = spark.read.parquet(*[m["lineage"] for m in live])
     lineage = old_lineage.groupBy("run_id").agg(
         F.sum("row_count").alias("row_count"),
@@ -222,12 +230,14 @@ def compact_snapshots(
         F.sum("err_count").alias("err_count"),
         F.round(F.sum("latency_s"), 3).alias("latency_s"),
     ).select(
+        (F.row_number().over(_W.orderBy("run_id")) - 1).alias("partition_id"),
+        "row_count",
+        "ok_count",
+        "err_count",
+        "latency_s",
+    ).select(
         F.lit(run_id).alias("run_id"),
-        # spark_partition_id, NOT monotonically_increasing_id.cast(int):
-        # mono ids in shuffle partition >= 1 start at 2^33 and overflow
-        # the int cast (a CAST_OVERFLOW crash under ANSI once the agg
-        # spans >1 partition).
-        F.spark_partition_id().alias("partition_id"),
+        "partition_id",
         "row_count",
         "ok_count",
         "err_count",

@@ -94,6 +94,12 @@ def test_gpu_engine_is_import_gated():
 
     from extractor.engine import DeepSeekOCREngine, SurrogateEngine, get_engine
 
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch installed — the gate test targets torch-less envs")
+    except ImportError:
+        pass
     with pytest.raises(ImportError):
         DeepSeekOCREngine()
     assert isinstance(get_engine(), SurrogateEngine)
