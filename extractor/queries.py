@@ -601,39 +601,34 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent
     prior-or-simultaneous click (ties broken by event_id).
 
-    Spark has no ASOF JOIN operator; the scalable formulation is
-    union-the-sides + one window pass: sort (user, ts, side) and carry
-    the last click forward with ``last(..., ignoreNulls)``.  ONE
-    shuffle on user_id, no range self-join, no per-row probe — this is
-    the merge-scan an ASOF join compiles to anyway, expressed in
-    stock DataFrame ops."""
+    Spark has no ASOF JOIN operator; the scalable formulation
+    (operators.joins.asof_join) is union-the-sides + one window pass:
+    sort (user, ts, side) and carry the last click forward with
+    ``last(..., ignoreNulls)``.  ONE shuffle on user_id, no range
+    self-join, no per-row probe — this is the merge-scan an ASOF join
+    compiles to anyway, expressed in stock DataFrame ops."""
+    from extractor.operators.joins import asof_join
+
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
-        F.lit(None).cast("long").alias("c_id"),
+        "user_id", "ts", "event_id"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id",
-        F.lit(0).alias("side"),
-        F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("c_id"),
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = purchases.unionByName(clicks).select(
-        "event_id", "user_id", "ts", "side",
-        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
-        F.last("c_id", ignorenulls=True).over(w).alias("click_event_id"),
+    joined = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        on="ts",
+        value_cols={"event_id": "click_event_id"},
+        tie_breakers=["event_id"],
     )
     epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
-    return carried.filter(F.col("side") == 1).select(
-        "event_id", "user_id", "ts", "click_event_id", "click_ts",
-        (epoch("ts") - epoch("click_ts")).cast("long").alias("staleness_s"),
+    return joined.select(
+        "event_id", "user_id", "ts", "click_event_id",
+        F.col("ts_right").alias("click_ts"),
+        (epoch("ts") - epoch("ts_right")).cast("long").alias("staleness_s"),
     )
 
 
@@ -661,39 +656,30 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive form is a per-user inequality join (quadratic in events
     per user, and Spark would nested-loop it).  The scale formulation
-    buckets time into 5-minute cells and equi-joins on (user_id,
-    cell +/- 1) via a 3-element explode, then applies the exact range
-    predicate — the join is hash-based, candidates are bounded by
-    2 cells' worth of events, and the equi-key carries the skew
-    machinery (AQE) a pure range predicate cannot use."""
+    (operators.joins.time_range_join) buckets time into interval-width
+    cells, equi-joins on (user_id, cell) with the left side exploded
+    over the cells its window touches, then applies the exact range
+    predicate — the join is hash-based, candidates are bounded by a
+    couple of cells' worth of events, and the equi-key carries the
+    skew machinery (AQE) a pure range predicate cannot use."""
+    from extractor.operators.joins import time_range_join
+
     ev = _events(spark, sf_dir)
-    cell = lambda c: F.floor(  # noqa: E731
-        F.col(c).cast("timestamp_ltz").cast("long") / 300
-    )
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts",
-        F.explode(
-            F.array(cell("ts") - 1, cell("ts"), cell("ts") + 1)
-        ).alias("cell"),
+        "event_id", "user_id", "ts"
     )
     others = ev.filter(F.col("event_type") != "error").select(
-        F.col("user_id"), F.col("ts").alias("o_ts"),
-        F.col("event_id").alias("o_id"),
-        F.col("value").cast("decimal(18,2)").alias("o_value"),
-        cell("ts").alias("cell"),
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,2)").alias("value"),
     )
-    # exact interval predicate (timestamp arithmetic, not truncated
-    # epochs — truncation flips sub-second boundary cases vs the SQL
-    # BETWEEN); the cell equi-join only gates candidates
-    lo = F.col("ts") - F.expr("INTERVAL 5 MINUTES")
-    hi = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
     matched = (
-        errors.join(others, ["user_id", "cell"])
-        .filter((F.col("o_ts") >= lo) & (F.col("o_ts") <= hi))
+        time_range_join(
+            errors, others, by=["user_id"], on="ts", lower_s=-300, upper_s=300
+        )
         .groupBy("event_id", "user_id")
         .agg(
-            F.count("o_id").alias("n_nearby"),
-            F.sum("o_value").alias("nearby_value"),
+            F.count("r_event_id").alias("n_nearby"),
+            F.sum("r_value").alias("nearby_value"),
         )
     )
     # left-join back so zero-match errors still report 0 (an error

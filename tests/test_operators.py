@@ -182,3 +182,36 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     }
     assert (1, 2) in exact
     assert capped == exact
+
+
+def test_grouped_topk_equals_naive(spark):
+    """Randomized (seeded) equivalence: the bounded two-level top-k
+    equals a plain sort-and-head per group, for several bucket counts
+    (the result must be independent of B)."""
+    import random
+
+    from extractor.operators.topk import grouped_topk
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randrange(5)}", rng.randrange(10_000)) for _ in range(5_000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    naive = {}
+    for g, v in rows:
+        naive.setdefault(g, []).append(v)
+    want = {g: sorted(vs)[:7] for g, vs in naive.items()}
+    for b in (1, 4, 32):
+        got = {
+            r["g"]: list(r["topk"])
+            for r in grouped_topk(df, ["g"], F.col("v"), k=7, n_buckets=b).collect()
+        }
+        assert got == want, f"n_buckets={b}"
+    # with_count rides the same aggregation
+    counted = {
+        r["g"]: r["n_rows"]
+        for r in grouped_topk(
+            df, ["g"], F.col("v"), k=7, with_count=True
+        ).collect()
+    }
+    assert counted == {g: len(vs) for g, vs in naive.items()}
