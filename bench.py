@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "pii_scrub",
     "domain_blocklist_stats",
     "doc_chunking",
+    "repetition_stats",
 ]
 
 

@@ -1732,6 +1732,70 @@ def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks WHERE length(w) >= 2
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY doc_id, bigram
+    ), agg AS (
+      SELECT doc_id, max(n) AS top_n, sum(n) AS total_n FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.total_n, 0)::BIGINT AS n_bigrams,
+           coalesce(a.top_n, 0)::BIGINT AS top_bigram_n,
+           coalesce((a.top_n * 10000) // a.total_n, 0)::BIGINT
+             AS top_bigram_frac_x10000,
+           ((length(list_distinct(t.w)) * 10000) // length(t.w))::BIGINT
+             AS distinct_token_frac_x10000
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    top-bigram mass fraction and distinct-token fraction — the filters
+    that catch boilerplate/spam pages whose TTR alone looks fine.
+    Integer-scaled (x10000) for cross-engine exactness.
+
+    Scale shape: bigram counts are explode → groupBy(doc, bigram)
+    with map-side partials (the heavy tail collapses before the
+    shuffle), then a per-doc max/sum — keyed by doc_id, uniformly
+    distributed, no per-doc window; the distinct-token fraction is a
+    map-only expression."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )
+    bi = toks.filter(F.size(w) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    counts = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total_n")
+    )
+    return toks.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("total_n"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("top_n"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.coalesce(
+            F.floor(F.col("top_n") * 10000 / F.col("total_n")), F.lit(0)
+        ).cast("long").alias("top_bigram_frac_x10000"),
+        F.floor(F.size(F.array_distinct(w)) * 10000 / F.size(w))
+        .cast("long").alias("distinct_token_frac_x10000"),
+    )
+
+
+@register(
     "corpus_select_fuzzy",
     f"""
     WITH RECURSIVE {_LSH_CTES},
