@@ -19,7 +19,7 @@ Local smoke run:
         --output /tmp/extract_out --synthesize
 
 The job: read pages → (optional) resume anti-join against committed
-snapshots → route/validate → html + pdf extraction → snapshot-committed
+snapshots → route/validate → html + image + pdf extraction → snapshot-committed
 write with per-partition lineage rows.  Exit code 0 iff the snapshot
 manifest committed.
 """
@@ -45,6 +45,14 @@ def main() -> int:
     ap.add_argument("--max-bytes", type=int, default=None)
     ap.add_argument("--html-partitions", type=int, default=None)
     ap.add_argument("--pdf-partitions", type=int, default=None)
+    ap.add_argument("--image-partitions", type=int, default=None)
+    ap.add_argument("--output-format", default="markdown",
+                    help="one of the six reference output formats "
+                         "(markdown, text, table, figure, json, "
+                         "structured_data)")
+    ap.add_argument("--include-grounding", action="store_true",
+                    help="keep grounding annotations (T9 toggle; "
+                         "default strips them)")
     ap.add_argument("--partition-by", default=None,
                     help="comma-separated columns to hive-partition the "
                          "output snapshot by (e.g. doc_type)")
@@ -71,6 +79,9 @@ def main() -> int:
     cfg = ExtractConfig(
         html_partitions=args.html_partitions,
         pdf_partitions=args.pdf_partitions,
+        image_partitions=args.image_partitions,
+        output_format=args.output_format,
+        strip_grounding=not args.include_grounding,
         **cfg_kwargs,
     )
 
