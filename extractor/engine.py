@@ -149,6 +149,20 @@ class SurrogateEngine:
         import os
 
         self.page_ms = float(os.environ.get("SPARK_GRAFT_SURROGATE_PAGE_MS", "0"))
+        self.ready = False
+        self._self_check()
+
+    def _self_check(self) -> None:
+        """Warmup/readiness analog of the reference's startup warmup
+        inference + /health/ready gate (model_loader.py:229-296,
+        health.py:80-91): run one known input through the engine at
+        construction and verify the output shape, so a broken engine
+        fails the FIRST task loudly instead of emitting garbage rows
+        for hours."""
+        out = self._infer_one(b"PAGE 1\nwarmup")
+        if "warmup" not in out or "=====image 1=====" not in out:
+            raise RuntimeError("surrogate self-check failed: %r" % out[:80])
+        self.ready = True
 
     def infer_batch(self, images: list[bytes], prompt: str = DEFAULT_PROMPT) -> list[str]:
         out = [self._infer_one(img) for img in images]

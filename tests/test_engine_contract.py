@@ -103,3 +103,13 @@ def test_gpu_engine_is_import_gated():
     with pytest.raises(ImportError):
         DeepSeekOCREngine()
     assert isinstance(get_engine(), SurrogateEngine)
+
+
+def test_engine_self_check_readiness():
+    """The warmup/readiness analog (reference model_loader warmup +
+    /health/ready): the per-worker singleton is only usable after a
+    passing self-check."""
+    from extractor.engine import SurrogateEngine, get_engine
+
+    assert SurrogateEngine().ready
+    assert get_engine().ready

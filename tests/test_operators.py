@@ -215,3 +215,36 @@ def test_grouped_topk_equals_naive(spark):
         ).collect()
     }
     assert counted == {g: len(vs) for g, vs in naive.items()}
+
+
+def test_ngram_jaccard_cap_recall_edge_documented(spark):
+    """The documented recall edge of the max_df cap: a pair whose
+    ENTIRE overlap is stop-shingles is missed by the capped path
+    (and only that pair — such pairs are not near-duplicates)."""
+    from extractor.operators.dedup import ngram_jaccard_pairs
+
+    stop = "aaa bbb ccc ddd eee"  # shingles shared by ALL docs -> df=4
+    rows = [
+        (1, f"{stop} unique one xx"),
+        (2, f"{stop} unique one yy"),   # overlaps 1 beyond the stop run
+        (3, f"{stop} other tail zz"),   # overlaps others ONLY via stop run
+        (4, f"{stop} other tail qq"),   # overlaps 3 beyond the stop run
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).withColumn("blk", F.lit(0))
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(df, ["blk"], "id", "text", threshold=0.15).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(
+            df, ["blk"], "id", "text", threshold=0.15, max_df=2
+        ).collect()
+    }
+    # pairs with non-stop overlap survive the cap
+    assert (1, 2) in capped and (3, 4) in capped
+    # stop-only pairs exist exactly (1,3)-style in the exact result and
+    # are the ONLY thing the cap may lose
+    assert capped <= exact
+    for pair in exact - capped:
+        assert pair not in {(1, 2), (3, 4)}
