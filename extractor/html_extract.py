@@ -48,9 +48,10 @@ _WS_RE = re.compile(r"\s+")
 
 class _Block:
     __slots__ = ("kind", "level", "parts", "link_chars", "boiler", "cells",
-                 "header_row", "_text")
+                 "header_row", "table_id", "_text")
 
-    def __init__(self, kind: str, level: int = 0, boiler: bool = False):
+    def __init__(self, kind: str, level: int = 0, boiler: bool = False,
+                 table_id: int = 0):
         self.kind = kind          # 'p' | 'h' | 'li' | 'pre' | 'quote' | 'row'
         self.level = level        # heading level for 'h'
         self.parts: list[str] = []
@@ -58,6 +59,7 @@ class _Block:
         self.boiler = boiler
         self.cells: list[str] = []   # for 'row'
         self.header_row = False      # row made of <th> cells
+        self.table_id = table_id     # rows group per source table
         self._text: str | None = None
 
     @property
@@ -81,6 +83,7 @@ class _Extractor(HTMLParser):
         self.link_depth = 0
         self.cell_parts: list[str] | None = None
         self.in_th = False
+        self.table_count = 0
 
     # -- block lifecycle ----------------------------------------------------
     def _flush(self) -> None:
@@ -95,7 +98,18 @@ class _Extractor(HTMLParser):
 
     def _open(self, kind: str, level: int = 0) -> None:
         self._flush()
-        self.current = _Block(kind, level, boiler=self.boiler_depth > 0)
+        self.current = _Block(
+            kind, level, boiler=self.boiler_depth > 0, table_id=self.table_count
+        )
+
+    def _end_cell(self) -> None:
+        if self.cell_parts is not None and self.current is not None:
+            cell = _WS_RE.sub(" ", "".join(self.cell_parts)).strip()
+            self.current.cells.append(cell)
+            if self.in_th:
+                self.current.header_row = True
+        self.cell_parts = None
+        self.in_th = False
 
     # -- parser callbacks ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -105,8 +119,36 @@ class _Extractor(HTMLParser):
         if self.skip_depth:
             return
         if tag in _BOILER_TAGS:
+            if self.cell_parts is None:
+                # flush FIRST: text already in the open block was
+                # authored outside the boiler subtree and must not be
+                # classified (or concatenated) with what follows
+                self._flush()
             self.boiler_depth += 1
-        if tag in _HEADINGS:
+            return
+        if self.cell_parts is not None:
+            # Inside a table cell, block structure is flattened into
+            # the cell text (real-world <td><p>…</p></td> is routine);
+            # only links and cell/row boundaries are structural.
+            if tag == "a":
+                self.link_depth += 1
+            elif tag in ("tr", "td", "th"):
+                # malformed html: new cell/row without closing </td>
+                self._end_cell()
+                if tag == "tr":
+                    self._open("row")
+                else:
+                    if self.current is None or self.current.kind != "row":
+                        self._open("row")
+                    self.cell_parts = []
+                    self.in_th = tag == "th"
+            elif tag in _BLOCK_TAGS or tag in _HEADINGS:
+                self.cell_parts.append(" ")
+            return
+        if tag == "table":
+            self.table_count += 1
+            self._flush()
+        elif tag in _HEADINGS:
             self._open("h", _HEADINGS[tag])
         elif tag == "p":
             self._open("p")
@@ -136,15 +178,22 @@ class _Extractor(HTMLParser):
             return
         if tag in _BOILER_TAGS:
             self.boiler_depth = max(0, self.boiler_depth - 1)
-            self._flush()
-        elif tag in ("td", "th"):
-            if self.cell_parts is not None and self.current is not None:
-                cell = _WS_RE.sub(" ", "".join(self.cell_parts)).strip()
-                self.current.cells.append(cell)
-                if self.in_th:
-                    self.current.header_row = True
-            self.cell_parts = None
-            self.in_th = False
+            if self.cell_parts is None:
+                self._flush()
+            return
+        if self.cell_parts is not None:
+            if tag in ("td", "th"):
+                self._end_cell()
+            elif tag == "tr":
+                self._end_cell()
+                self._flush()
+            elif tag == "a":
+                self.link_depth = max(0, self.link_depth - 1)
+            elif tag in _BLOCK_TAGS or tag in _HEADINGS:
+                self.cell_parts.append(" ")
+            return
+        if tag in ("td", "th"):
+            self._end_cell()
         elif tag == "a":
             self.link_depth = max(0, self.link_depth - 1)
         elif tag in _HEADINGS or tag in _BLOCK_TAGS:
@@ -183,25 +232,36 @@ def _keep(block: _Block) -> bool:
 
 def _render(blocks: list[_Block]) -> str:
     out: list[str] = []
-    prev_row = False
+    prev_table: int | None = None  # table_id of an open row group
+    group_first = False            # next row is its group's first
     for b in blocks:
         if b.kind == "row":
             line = "| " + " | ".join(b.cells) + " |"
-            if prev_row:
+            if prev_table == b.table_id:
                 out[-1] = out[-1] + "\n" + line
+                group_first = False
             else:
+                # rows from a DIFFERENT table (even adjacent after
+                # dropped boilerplate) start their own markdown table
                 out.append(line)
-            if b.header_row:
+                group_first = True
+            if b.header_row and group_first:
+                # the |---| separator is a header marker; mid-table th
+                # rows must not re-emit it
                 out[-1] = out[-1] + "\n|" + " --- |" * len(b.cells)
-            prev_row = True
+            prev_table = b.table_id
             continue
-        prev_row = False
+        prev_table = None
         if b.kind == "h":
             out.append("#" * b.level + " " + b.text)
         elif b.kind == "li":
             out.append("- " + b.text)
         elif b.kind == "quote":
             out.append("> " + b.text)
+        elif b.kind == "pre":
+            # preformatted content keeps its own whitespace, fenced
+            raw = "".join(b.parts).strip("\n")
+            out.append("```\n" + raw + "\n```")
         else:
             out.append(b.text)
     # consecutive list items group into one block

@@ -88,10 +88,17 @@ def streaming_extract_pages(
         "success",
         "error",
     )
+    n_parts = cfg.pdf_partitions or pages_stream.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
     pdf_pages = (
         valid.filter(F.col("doc_type") == "pdf")
         .select("url", "warc_ts", "html")
         .mapInPandas(_pdf_explode_iter(cfg), schema=PDF_PAGE_SCHEMA)
+        # page-level salting, same as the batch branch: a micro-batch
+        # containing one giant PDF must not OCR serially in the task
+        # that exploded it (repartition is supported on streams)
+        .repartition(int(n_parts), "url", "page_number")
         .mapInPandas(_pdf_ocr_iter(cfg), schema=PDF_PAGE_TEXT_SCHEMA)
         .select(
             "url", "warc_ts", F.lit("pdf").alias("doc_type"),
@@ -123,25 +130,42 @@ def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hour
     events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        # group by the WINDOW STRUCT, not window(...).start: grouping
+        # by a plain projection of the window severs the watermark
+        # from the aggregation (Spark sees a watermarkless streaming
+        # agg → append mode rejected, state never evicted); the start
+        # column is projected AFTER the aggregate.
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 
 
 def streaming_sessionized_events(
-    events_stream: DataFrame, gap: str = "30 minutes"
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Gap-based sessions on a stream via ``session_window`` — the
     stateful operator that replaces the batch lag+running-sum
     formulation (which needs a full per-user sort, impossible on an
     unbounded stream).  State is one open window per (user, session),
-    merged as events arrive and closed when the gap exceeds ``gap``."""
+    merged as events arrive and closed when the gap exceeds ``gap``.
+    The watermark is what lets the store actually EVICT closed
+    sessions (and enables append mode); without it every open window
+    of every user lives in state forever.  Events later than
+    ``watermark`` are dropped — size it to the source's real
+    out-of-orderness."""
     es = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
-        es.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        es.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",

@@ -134,11 +134,26 @@ def write_snapshot(
     manifest = {
         "run_id": run_id, "seq": seq, "data": data_path, "lineage": lineage_path
     }
+    _commit_manifest(cdir, run_id, manifest)
+    return run_id
+
+
+def _commit_manifest(cdir: str, run_id: str, manifest: dict) -> None:
+    """Durably publish a manifest: write temp → fsync file → rename →
+    fsync directory.  Without the fsyncs, a crash after the rename can
+    surface a zero-length manifest that every reader then chokes on —
+    the opposite of the commit atomicity this layout promises."""
     tmp = os.path.join(cdir, f".{run_id}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(tmp, os.path.join(cdir, f"{run_id}.json"))  # the commit point
-    return run_id
+    dfd = os.open(cdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def read_extracted(
@@ -258,10 +273,7 @@ def compact_snapshots(
         "lineage": lineage_path,
         "replaces": [m["run_id"] for m in live],
     }
-    tmp = os.path.join(cdir, f".{run_id}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(cdir, f"{run_id}.json"))
+    _commit_manifest(cdir, run_id, manifest)
     return run_id
 
 

@@ -61,3 +61,48 @@ def test_html_extractor_output_has_no_markup(s):
     html = f"<html><body><p>{s}</p></body></html>"
     out = html_to_markdown(html.encode("utf-8", "surrogatepass"))
     assert "<p>" not in out and "</p>" not in out
+
+
+# -- html extractor regression vectors (confirmed bugs from review) ---------
+
+def test_block_inside_table_cell_kept():
+    """<p>/<div> inside <td> is routine Common-Crawl HTML; cell text
+    must survive with block structure flattened into the cell."""
+    out = html_to_markdown(
+        b"<table><tr><td>first<p>para</p></td><td>second</td></tr></table>"
+    )
+    assert out == "| first para | second |"
+
+
+def test_boiler_open_flushes_current_block():
+    """Text before an inline <nav> must not concatenate with (or keep)
+    the nav's boilerplate."""
+    out = html_to_markdown(
+        b"<div>Some article text<nav>Home About Pricing Contact</nav></div>"
+    )
+    assert out == "Some article text"
+
+
+def test_adjacent_tables_stay_separate():
+    """Two source tables never merge into one markdown table, even
+    when only dropped boilerplate separates them."""
+    out = html_to_markdown(
+        b"<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        b"<nav>x</nav>"
+        b"<table><tr><td>X</td><td>Y</td></tr></table>"
+    )
+    assert out == (
+        "| A | B |\n| --- | --- |\n| 1 | 2 |\n\n| X | Y |"
+    )
+
+
+def test_midtable_th_row_emits_no_separator():
+    out = html_to_markdown(
+        b"<table><tr><td>1</td></tr><tr><th>H</th></tr><tr><td>2</td></tr></table>"
+    )
+    assert out.count("---") == 0  # th row is not the table's first row
+
+
+def test_pre_preserves_newlines():
+    out = html_to_markdown(b"<p>before</p><pre>def f():\n    return 1</pre>")
+    assert out == "before\n\n```\ndef f():\n    return 1\n```"

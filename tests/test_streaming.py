@@ -174,7 +174,13 @@ def test_streaming_sessionize_equals_batch(spark, events_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    name = _run_stream(streaming_sessionized_events(stream), mode="complete")
+    # unordered finite files: a huge watermark means no late-drop, so
+    # the stream total must equal batch exactly (the production-sized
+    # watermark's append path is covered by
+    # test_streaming_aggs_support_append_mode)
+    name = _run_stream(
+        streaming_sessionized_events(stream, watermark="3650 days"), mode="complete"
+    )
     got = {
         (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
         for r in spark.sql(f"select * from {name}").collect()
@@ -254,3 +260,32 @@ def test_lambda_reassembly_from_streamed_pages(spark, tmp_path):
         assert (g["warnings"] is None) == (w["warnings"] is None)
         if g["warnings"] is not None:
             assert list(g["warnings"]) == list(w["warnings"])
+
+
+def test_streaming_aggs_support_append_mode(spark, events_dir, tmp_path):
+    """The watermark must actually bind to the aggregations: append
+    mode (the exactly-once file-sink path) must START without
+    AnalysisException for both the windowed and sessionized streams —
+    grouping by window(...).start (or omitting the watermark) severs
+    it and Spark rejects append."""
+    from extractor.streaming.stream import (
+        streaming_sessionized_events,
+        streaming_windowed_events,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    for i, fn in enumerate((streaming_windowed_events, streaming_sessionized_events)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        q = (
+            fn(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
