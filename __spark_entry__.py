@@ -18,14 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_SHIPPED: set = set()
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make the extractor package importable on executors regardless of
     which session the driver hands us (its session won't have run
-    extractor.session.build_session)."""
+    extractor.session.build_session).  Memoized per SparkContext —
+    re-zipping the package for every one of the ~40 registry calls is
+    pure waste."""
     try:
+        key = spark.sparkContext.applicationId
+        if key in _SHIPPED:
+            return
         from extractor.session import package_pyfiles
 
         spark.sparkContext.addPyFile(package_pyfiles())
+        _SHIPPED.add(key)
     except Exception:
         pass
 

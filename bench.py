@@ -83,21 +83,10 @@ def replicated_pages(spark, sf_dir: str, factor: int, text_mult: int | None = No
         F.array_join(F.array_repeat(F.col("text"), text_mult), " ").alias("text"),
         "lang",
     )
-    import pandas as pd
+    from extractor.testgen import pages_from_docs
 
-    from extractor.schema import PAGES_SCHEMA
-    from extractor.testgen import make_page_record
-
-    def gen(batches):
-        for pdf in batches:
-            recs = [
-                make_page_record(int(r.doc_id), r.text, r.lang)
-                for r in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(recs, columns=[f.name for f in PAGES_SCHEMA.fields])
-
-    return wide.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
-        gen, schema=PAGES_SCHEMA
+    return pages_from_docs(
+        wide.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
 
 

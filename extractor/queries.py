@@ -88,7 +88,7 @@ _CLASS_ARRAY_SQL = (
     ), pages AS (
       SELECT doc_id, cls,
              'https://example-42.test/' || cls || '/' ||
-               lpad(doc_id::VARCHAR, 6, '0') ||
+               printf('%06d', doc_id) ||
                CASE WHEN cls = 'reject_ext' THEN '.exe'
                     WHEN cls = 'image_png' THEN '.png'
                     WHEN cls = 'image_jpg' THEN '.jpg'
@@ -131,7 +131,7 @@ def q_route_and_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     url = F.concat(
         F.lit("https://example-42.test/"), cls, F.lit("/"),
-        F.lpad(F.col("doc_id").cast("string"), 6, "0"), ext,
+        F.format_string("%06d", F.col("doc_id")), ext,
     )
     size = (
         F.when(cls == "reject_oversize", 65537)
@@ -312,6 +312,26 @@ def q_page_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup operators (training-data pipeline; exact tier)
 # ---------------------------------------------------------------------------
 
+_NEARDUP_MARKER = " near duplicate tail marker"
+
+
+def _inject_dups(docs: DataFrame, marker: str = "", extra_cols: tuple = ()) -> DataFrame:
+    """Deterministic duplicate injection shared by every dedup query
+    (the Spark twin of _DUP_INJECT_SQL / _NEARDUP_CORPUS_SQL): every
+    10th doc is copied with doc_id+1_000_000 and ``marker`` appended
+    to its text.  One definition — the six dedup queries and their two
+    SQL CTE constants must change together or oracle parity breaks."""
+    base = docs.select("doc_id", "text", *extra_cols)
+    copy_text = F.concat(F.col("text"), F.lit(marker)) if marker else F.col("text")
+    return base.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            copy_text.alias("text"),
+            *extra_cols,
+        )
+    )
+
+
 _DUP_INJECT_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -334,12 +354,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, canonical = min doc_id.  Scale: one
     shuffle on a 32-byte key; map-side partial agg collapses dups
     before the exchange."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionAll(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
-    )
+    corpus = _inject_dups(_docs(spark, sf_dir))
     return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_doc_id"),
@@ -358,12 +373,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionAll(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
-    )
+    corpus = _inject_dups(_docs(spark, sf_dir))
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return corpus.groupBy(F.md5(norm).alias("norm_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),
@@ -511,12 +521,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ; go through LTZ (session TZ is pinned
-    # to UTC in build_session) to get epoch seconds.
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    # EXACT timestamp arithmetic, not truncated epochs: the oracle
+    # compares microsecond timestamps against the interval, and a gap
+    # like 1800.8 s computed on floor()'d seconds comes out 1800 —
+    # flipping the session split on boundary cases (same trap
+    # operators/joins.time_range_join documents).
+    prev = F.lag("ts").over(w)
     is_new = F.when(
-        gap.isNull() | (gap > 30 * 60), 1
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
     ).otherwise(0)
     # Running sum ordered by (ts, event_id) — the SAME total order as
     # the lag window; ts alone would make tied rows nondeterministic
@@ -731,39 +745,11 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate fold — no Python).  Scale path: the query side is tiny →
     broadcast it against the corpus so the corpus is scanned once with
     no shuffle; top-k per query via window over the broadcast-join
-    output (AQE handles the final small exchange)."""
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+    output.  One implementation — operators.similarity.cosine_topk —
+    serves both this registry entry and library callers."""
+    from extractor.operators.similarity import cosine_topk
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))  # norms once per row
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return cosine_topk(_emb(spark, sf_dir), F.col("vec_id") % 50 == 0, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -832,13 +818,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale analysis (band join is the only shuffle)."""
     from extractor.operators.dedup import lsh_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionAll(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
-        )
-    )
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
     return lsh_pairs(corpus, k=16, bands=4, threshold=0.5).select(
         F.col("a"), F.col("b"), F.col("est_jaccard")
     )
@@ -872,13 +852,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics)."""
     from extractor.operators.dedup import connected_components, lsh_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionAll(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
-        )
-    )
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
     edges = lsh_pairs(corpus, k=16, bands=4, threshold=0.5)
     cc = connected_components(edges)
     return cc.select(
@@ -922,13 +896,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard within (lang, size-bucket) blocks."""
     from extractor.operators.dedup import ngram_jaccard_pairs
 
-    d = _docs(spark, sf_dir)
-    corpus = d.select("doc_id", "text", "lang", "n_chars").unionAll(
-        d.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
-            "lang", "n_chars",
-        )
+    corpus = _inject_dups(
+        _docs(spark, sf_dir), marker=_NEARDUP_MARKER, extra_cols=("lang", "n_chars")
     )
     corpus = corpus.withColumn(
         "size_bucket", F.floor(F.col("n_chars") / 100).cast("long")
@@ -1700,7 +1669,7 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM img
     )
     SELECT 'https://example-42.test/' || cls || '/' ||
-             lpad(doc_id::VARCHAR, 6, '0') ||
+             printf('%06d', doc_id) ||
              CASE WHEN cls = 'image_png' THEN '.png' ELSE '.jpg' END AS url,
            CASE WHEN corrupt THEN NULL ELSE md5(clean_text) END AS text_md5,
            NOT corrupt AS success,
@@ -1852,13 +1821,8 @@ def q_corpus_select_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.operators.dedup import connected_components, lsh_pairs
     from extractor.operators.textstats import predict_lang, quality_score
 
-    d = _docs(spark, sf_dir)
-    corpus = d.select("doc_id", "text", "lang").unionAll(
-        d.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" near duplicate tail marker")).alias("text"),
-            "lang",
-        )
+    corpus = _inject_dups(
+        _docs(spark, sf_dir), marker=_NEARDUP_MARKER, extra_cols=("lang",)
     )
     edges = lsh_pairs(corpus.select("doc_id", "text"), k=16, bands=4, threshold=0.5)
     cc = connected_components(edges)  # (doc_id, cluster_id), clustered docs only

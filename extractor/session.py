@@ -55,9 +55,12 @@ def build_session(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     if shuffle_partitions is None:
-        # local[N] → N; a real cluster should pass an explicit value.
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
-        shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
+        # local[N] / local[N,maxFailures] → N; anything unparsable
+        # (a cluster master, local[*]) → cpu count. A real cluster
+        # should pass an explicit value.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        n = inner.split(",", 1)[0].strip()
+        shuffle_partitions = int(n) if n.isdigit() else os.cpu_count()
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -191,20 +191,16 @@ def make_page_record(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
-def pages_df(spark, sf_dir: str):
-    """The synthetic pages table as a Spark DataFrame.
+def pages_from_docs(docs):
+    """(doc_id, text, lang) DataFrame → synthetic pages table.
 
-    Scan-side generation: one ``mapInPandas`` over documents.parquet,
-    so at scale the pages table inherits the scan's partitioning and
-    never bottlenecks on the driver.
-    """
+    Scan-side generation: one ``mapInPandas``, so at scale the pages
+    table inherits the scan's partitioning and never bottlenecks on
+    the driver.  Shared by :func:`pages_df` and the bench harness —
+    one definition of the docs→pages contract."""
     import pandas as pd
 
     from extractor.schema import PAGES_SCHEMA
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
-    )
 
     def gen(batches):
         for pdf in batches:
@@ -215,3 +211,12 @@ def pages_df(spark, sf_dir: str):
             yield pd.DataFrame(recs, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_df(spark, sf_dir: str):
+    """The synthetic pages table for a testdata scale dir."""
+    return pages_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang"
+        )
+    )
