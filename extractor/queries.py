@@ -1613,29 +1613,168 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("extract_pipeline", None)  # full pipeline; golden-tested in pytest
+@register(
+    "extract_pipeline",
+    """
+    -- Partial oracle for the flagship pipeline: re-derives EVERY output
+    -- row (route + quarantine + pdf fan-out/OCR/reassembly + image
+    -- branch) in SQL.  The ONE exclusion is the html branch's text
+    -- BYTES (DOM boilerplate-strip is not SQL-expressible): html rows
+    -- carry the sentinel 'HTML_GOLDEN' when extraction yielded text —
+    -- presence/success are driver-checked here, byte identity is
+    -- pinned by tests/test_pipeline.py goldens.  All other columns are
+    -- checked for all rows; pdf/image/quarantine text is checked by
+    -- md5.  Derivation mirrors extractor/testgen.py (pages synthesis),
+    -- the surrogate engine's raw-output shape, and cleaning.py T7/T8.
+    WITH cls AS (
+      SELECT doc_id, text,
+        CASE WHEN doc_id % 97 = 0 THEN 'reject_oversize'
+             ELSE (['html_simple','html_simple','html_simple','html_simple',
+                    'html_simple','html_simple','image_png','image_jpg',
+                    'html_boiler','html_boiler','html_boiler','html_boiler',
+                    'pdf_small','pdf_small','pdf_small','pdf_large',
+                    'html_grounded','html_grounded','reject_empty',
+                    'reject_ext'])[(doc_id % 20) + 1]
+        END AS cls
+      FROM documents
+    ), routed AS (
+      SELECT doc_id, text, cls,
+        'https://example-42.test/' || cls || '/' || printf('%06d', doc_id) ||
+          CASE WHEN cls = 'reject_ext' THEN '.exe'
+               WHEN cls = 'image_png' THEN '.png'
+               WHEN cls = 'image_jpg' THEN '.jpg'
+               WHEN cls IN ('pdf_small','pdf_large') THEN '.pdf'
+               ELSE '.html' END AS url,
+        CASE WHEN cls = 'reject_ext' THEN 'unsupported'
+             WHEN cls IN ('image_png','image_jpg') THEN 'image'
+             WHEN cls IN ('pdf_small','pdf_large') THEN 'pdf'
+             ELSE 'html' END AS doc_type
+      FROM cls
+    ), quarantine AS (
+      -- F1/F3/F5 rejection rows, first-match-wins error order
+      SELECT url, doc_type, CAST(NULL AS VARCHAR) AS text_md5,
+             -1 AS n_pages, CAST(NULL AS INT) AS total_pages,
+             false AS success,
+             CASE cls WHEN 'reject_ext' THEN 'Unsupported file format'
+                      WHEN 'reject_empty' THEN 'File is empty'
+                      ELSE 'File size exceeds maximum allowed size'
+             END AS error,
+             -1 AS n_warnings, CAST(NULL AS VARCHAR) AS warnings_joined
+      FROM routed WHERE cls IN ('reject_ext','reject_empty','reject_oversize')
+    ), htmlrows AS (
+      SELECT url, doc_type, 'HTML_GOLDEN' AS text_md5,
+             -1 AS n_pages, CAST(NULL AS INT) AS total_pages,
+             true AS success, CAST(NULL AS VARCHAR) AS error,
+             -1 AS n_warnings, CAST(NULL AS VARCHAR) AS warnings_joined
+      FROM routed WHERE cls LIKE 'html%'
+    ), imgrows AS (
+      -- image branch == image_extract oracle: surrogate header line +
+      -- noise-filtered payload text; corrupt marker rows → error rows
+      SELECT url, doc_type,
+             CASE WHEN doc_id % 40 = 7 THEN NULL ELSE md5(
+               array_to_string(list_concat(['## Page 0'],
+                 list_transform(
+                   list_filter(string_split(text, chr(10)),
+                     l -> NOT (starts_with(l, '=====') OR starts_with(l, 'BASE:')
+                           OR starts_with(l, 'PATCHES:') OR trim(l) = '(0x0)'
+                           OR (starts_with(trim(l), '(0x0)') AND length(trim(l)) < 50)
+                           OR trim(l) = '0x0' OR contains(l, 'torch.Size'))
+                          AND trim(l) <> ''),
+                   l -> trim(l))), chr(10))) END AS text_md5,
+             -1 AS n_pages, CAST(NULL AS INT) AS total_pages,
+             doc_id % 40 <> 7 AS success,
+             CASE WHEN doc_id % 40 = 7 THEN 'corrupt page image' END AS error,
+             -1 AS n_warnings, CAST(NULL AS VARCHAR) AS warnings_joined
+      FROM routed WHERE cls IN ('image_png','image_jpg')
+    ), pdfdocs AS (
+      -- testgen page counts; words == Python str.split() (documents
+      -- text is single-spaced ASCII, verified; filter guards empties)
+      SELECT doc_id, url, doc_type,
+             CAST(CASE WHEN cls = 'pdf_small' THEN 1 + doc_id % 3
+                       ELSE 24 + doc_id % 7 END AS INT) AS n,
+             (cls = 'pdf_large' AND doc_id % 40 = 15) AS has_corrupt,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM routed WHERE cls IN ('pdf_small','pdf_large')
+    ), pdfpages AS (
+      -- testgen._sentences chunking: size = max(1, len // n); last
+      -- chunk takes the remainder
+      SELECT doc_id, url, doc_type, n, has_corrupt, p.p AS p,
+             -- coalesce: an out-of-range list_slice (fewer words than
+             -- pages) is NULL in DuckDB, and a NULL page would vanish
+             -- from string_agg — Python emits '' there
+             coalesce(CASE WHEN p.p < n
+                  THEN array_to_string(list_slice(w,
+                         (p.p - 1) * greatest(1, length(w) // n) + 1,
+                         p.p * greatest(1, length(w) // n)), ' ')
+                  ELSE array_to_string(list_slice(w,
+                         (n - 1) * greatest(1, length(w) // n) + 1,
+                         length(w)), ' ')
+             END, '') AS chunk,
+             NOT (has_corrupt AND p.p = 2) AS page_ok
+      FROM pdfdocs, LATERAL (SELECT unnest(generate_series(1, n)) AS p) p
+    ), pdfclean AS (
+      -- surrogate raw → T7 noise filter + T8 grounding strip + T10
+      -- trim == '## Page <p>' header + the (non-blank) chunk line
+      SELECT doc_id, url, doc_type, n, has_corrupt, p, page_ok,
+             CASE WHEN trim(chunk) = '' THEN '## Page ' || p
+                  ELSE '## Page ' || p || chr(10) || trim(chunk)
+             END AS page_text
+      FROM pdfpages
+    ), pdfagg AS (
+      SELECT doc_id, url, doc_type, n, has_corrupt,
+             string_agg(page_text, chr(10) || chr(10) ORDER BY p)
+               FILTER (WHERE page_ok) AS doc_text
+      FROM pdfclean
+      GROUP BY doc_id, url, doc_type, n, has_corrupt
+    ), pdfrows AS (
+      SELECT url, doc_type, md5(doc_text) AS text_md5,
+             n AS n_pages, n AS total_pages,
+             NOT has_corrupt AS success, CAST(NULL AS VARCHAR) AS error,
+             CASE WHEN has_corrupt THEN 1 ELSE 0 END AS n_warnings,
+             CASE WHEN has_corrupt
+                  THEN 'Failed to process page 2: corrupt page image'
+                  ELSE '' END AS warnings_joined
+      FROM pdfagg
+    )
+    SELECT url, doc_type, text_md5, n_pages::INT AS n_pages,
+           total_pages::INT AS total_pages, success, error,
+           n_warnings::INT AS n_warnings, warnings_joined
+    FROM (SELECT * FROM quarantine UNION ALL SELECT * FROM htmlrows
+          UNION ALL SELECT * FROM imgrows UNION ALL SELECT * FROM pdfrows)
+    """,
+)
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship end-to-end extraction job (html boilerplate strip +
-    pdf fan-out/OCR/reassembly + quarantine).  Not SQL-expressible —
-    byte-identity is asserted against the single-process oracle by
-    tests/test_pipeline.py; the driver records a rows-only check.
+    pdf fan-out/OCR/reassembly + image branch + quarantine).
+
     Registry surface flattens the nested ``pages`` array to scalars
-    (text digest, counts) so the driver can canonicalize rows."""
+    (text digest, counts) so the driver can canonicalize rows.  Every
+    column of every row is oracle-checked EXCEPT html text bytes: DOM
+    extraction is not SQL-expressible, so html-branch rows surface the
+    sentinel ``HTML_GOLDEN`` when text was produced (presence/success
+    still driver-checked) and byte identity is asserted against the
+    single-process oracle by tests/test_pipeline.py."""
     from extractor.config import ExtractConfig
     from extractor.pipeline import run_extraction
     from extractor.testgen import TEST_MAX_BYTES, pages_df
 
     pages = pages_df(spark, sf_dir)
     out = run_extraction(spark, pages, ExtractConfig(max_bytes=TEST_MAX_BYTES))
+    html_extracted = (F.col("doc_type") == "html") & F.col("error").isNull()
     return out.select(
         "url",
         "doc_type",
-        F.md5(F.coalesce(F.col("text"), F.lit("\0null"))).alias("text_md5"),
-        F.size("pages").alias("n_pages"),  # null/-1 when pages is null
+        F.when(
+            html_extracted,
+            F.when(F.col("text").isNotNull(), F.lit("HTML_GOLDEN")),
+        ).otherwise(F.md5("text")).alias("text_md5"),
+        F.when(F.col("pages").isNull(), F.lit(-1))
+        .otherwise(F.size("pages")).alias("n_pages"),
         "total_pages",
         "success",
         "error",
-        F.size("warnings").alias("n_warnings"),
+        F.when(F.col("warnings").isNull(), F.lit(-1))
+        .otherwise(F.size("warnings")).alias("n_warnings"),
         F.array_join("warnings", " | ").alias("warnings_joined"),
     )
 
