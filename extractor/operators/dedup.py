@@ -502,13 +502,26 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates within CALLER-PROVIDED blocking
-    groups (a label/category column).  Prefer
-    :func:`embedding_neardup_pairs_srp` — category blocks are few and
-    huge at corpus scale, making this variant quadratic within blocks;
-    it is kept for the case where the block key is semantically
-    required (only dedup within a category)."""
+    """Embedding-cosine near-duplicates scoped to a CALLER-PROVIDED
+    category column (only dedup within a label), blocked on the
+    COMPOSITE key ``(label, srp_bucket)``.
+
+    Blocking on the label alone is quadratic within each category —
+    with few huge categories (the realistic corpus shape) that is a
+    scale-killer.  Compounding the label with the same sign-random-
+    projection bucket :func:`embedding_neardup_pairs_srp` uses keeps
+    the within-category semantics (a pair in different labels can
+    never join) while bounding every block to ~|label|/2^P rows; the
+    composite is the join AND partition key, so AQE can split any
+    residual hot (label, bucket).  Recall: a near-dup pair at the
+    0.95+ thresholds flips a plane sign with probability θ/π per
+    plane (≈0.03 at cos 0.95), same trade as the unscoped SRP variant.
+    """
+    from extractor.operators.similarity import srp_bucket
+
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -521,13 +534,21 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
+        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    )
 
-    a = base.select("blk", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select("blk", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    a = base.select(
+        "blk", "bucket",
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "blk", "bucket",
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("blk", "a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -940,7 +940,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     """
-    WITH corpus AS (
+    WITH pl AS (  -- deterministic hyperplanes: md5(plane:p:d)
+      SELECT p.p,
+             list_transform(generate_series(0, 63), d ->
+               ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
+                   1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+    ), corpus AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000, label,
@@ -948,17 +954,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> embedding[i]::DOUBLE + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END) AS v
       FROM embeddings WHERE vec_id % 25 = 0
     ), normed AS (
-      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+      SELECT c.vec_id, c.label, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+             CAST(sum(CASE WHEN list_dot_product(c.v, pl.w) > 0
+                           THEN 2 ** pl.p ELSE 0 END) AS INT) AS bucket
+      FROM corpus c, pl
+      GROUP BY c.vec_id, c.label, c.v
     )
     SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-    FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (label-blocked; injected perturbed
-    copies are the expected dups — natural max same-label cos is 0.47)."""
+    """Category-scoped embedding near-dup pairs, blocked on the
+    composite (label, srp_bucket) key — within-category semantics with
+    bounded blocks (the label-only block join is quadratic inside a
+    huge category).  Injected perturbed copies are the expected dups —
+    natural max same-label cos is 0.47, and a 0.01 single-dim
+    perturbation almost never flips a plane sign (both engines derive
+    identical buckets either way)."""
     from extractor.operators.dedup import embedding_neardup_pairs
 
     emb = _emb(spark, sf_dir).select(

@@ -132,6 +132,19 @@ def test_topk_queries_have_no_per_group_window(spark):
         assert "partial_" in plan, f"{name} lost map-side partial agg"
 
 
+def test_embedding_cosine_joins_on_label_and_bucket(spark):
+    """The category-scoped embedding dedup must pair on the COMPOSITE
+    (label, srp_bucket) key — label-only blocking is quadratic inside a
+    huge category.  The pair join's key list must carry both columns."""
+    plan = plan_of(REGISTRY["dedup_embedding_cosine"].spark(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any("blk" in ln and "bucket" in ln for ln in join_lines), (
+        "\n".join(join_lines) or plan[:2000]
+    )
+
+
 def test_embedding_lsh_joins_on_bucket(spark):
     """The SRP-blocked embedding dedup must pair via a bucket equi-join
     — never a cartesian/broadcast-nested-loop over the corpus."""
