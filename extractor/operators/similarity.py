@@ -98,10 +98,13 @@ def ivf_assign(
     (cos desc, cell_id asc).
 
     Scale: the centroid set is tiny (≤ a few thousand) → broadcast
-    cross join + per-vector window; the corpus is scanned once and
-    never shuffled (the window partitions by vec_id over the map-side
-    result — at 10^9 rows one would replace the window with
-    ``max_by`` aggregates, same semantics)."""
+    cross join, then AGGREGATES — never a ranking window over the
+    N×|cells| scored set.  nprobe=1 is one ``max_by`` with map-side
+    partials (each task collapses its rows to one per vec_id before
+    the shuffle, so the exchange moves N rows, not N×|cells|);
+    nprobe>1 is the bounded two-level top-k
+    (:mod:`extractor.operators.topk`), same partial-agg property.
+    Both reproduce the window's exact tie order."""
     scored = (
         base.crossJoin(F.broadcast(centroids))
         .select(
@@ -109,11 +112,42 @@ def ivf_assign(
             (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("ccos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("vec_id", "v", "nrm", "cell_id", "cell_rank")
+    if nprobe == 1:
+        # argmax by (ccos desc, cell_id asc): max_by over a struct
+        # ordering — structs compare field-by-field, so (ccos,
+        # -cell_id) max == the window's first row.  v/nrm ride in the
+        # payload struct (constant per vec_id).
+        best = scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct("cell_id", "v", "nrm"),
+                F.struct(F.col("ccos").alias("c"), (-F.col("cell_id")).alias("nc")),
+            ).alias("best")
+        )
+        return best.select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.cell_id").alias("cell_id"),
+            F.lit(1).alias("cell_rank"),
+        )
+    from extractor.operators.topk import grouped_topk_exploded
+
+    # k smallest of (-ccos, cell_id) == top-nprobe of (ccos desc,
+    # cell_id asc); (vec_id, cell_id) is unique so the trailing
+    # payload fields never influence the order.
+    sort_s = F.struct(
+        (-F.col("ccos")).alias("nc"),
+        F.col("cell_id").alias("cell_id"),
+        F.col("v").alias("v"),
+        F.col("nrm").alias("nrm"),
+    )
+    ranked = grouped_topk_exploded(scored, ["vec_id"], sort_s, k=nprobe)
+    return ranked.select(
+        "vec_id",
+        F.col("value.v").alias("v"),
+        F.col("value.nrm").alias("nrm"),
+        F.col("value.cell_id").alias("cell_id"),
+        F.col("rank").cast("int").alias("cell_rank"),
     )
 
 

@@ -132,6 +132,27 @@ def test_topk_queries_have_no_per_group_window(spark):
         assert "partial_" in plan, f"{name} lost map-side partial agg"
 
 
+def test_ivf_assign_has_no_window(spark):
+    """IVF coarse quantization must be max_by / two-level aggregates
+    with map-side partials — a ranking window over the N×|cells|
+    scored set shuffles the whole assignment."""
+    from extractor.operators.similarity import _dot, ivf_assign
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    for nprobe in (1, 2):
+        plan = plan_of(ivf_assign(base, cents, nprobe=nprobe))
+        assert "Window" not in plan, f"nprobe={nprobe}:\n{plan[:2000]}"
+        assert "partial_" in plan, f"nprobe={nprobe} lost map-side partials"
+
+
 def test_embedding_cosine_joins_on_label_and_bucket(spark):
     """The category-scoped embedding dedup must pair on the COMPOSITE
     (label, srp_bucket) key — label-only blocking is quadratic inside a
