@@ -225,11 +225,19 @@ class DeepSeekOCREngine:
         API takes a file PATH, so each image spills to executor-local
         scratch for the duration of the call (the S2 temp-file
         pattern, executor-side only — SURVEY §2.1).
-      * result extraction (inference_engine.py:108-134, 215-245):
-        RAW captured stdout first, else the coerced return value
-        (:func:`extract_text_from_result`), else ``""`` — returned
-        UNcleaned; T7/T8 cleaning is the downstream stage, exactly as
-        in the reference.
+      * result extraction (inference_engine.py:108-134, 167-245): the
+        reference's full 3-way priority chain — captured stdout IF its
+        CLEANED form is non-empty (banner-only stdout must not shadow
+        a real result), else the coerced return value
+        (:func:`extract_text_from_result`), else the first
+        ``*.txt``/``*.md`` under the per-image output dir (S3 — a
+        duck-typed model that only writes files still yields text),
+        else ``""``.  The returned text is UNcleaned; T7/T8 cleaning
+        is the downstream stage.  The chain's emptiness probe runs
+        ``clean_stdout_output`` with the default grounding strip
+        (reference ``strip_grounding=True`` default, ocr.py:131-134) —
+        a stdout of pure grounding tags falls through to the model
+        result, as the reference's default path does.
 
     Requires torch + transformers (not installed in this sandbox —
     construction raises ImportError here, which is the import-try gate,
@@ -278,12 +286,20 @@ class DeepSeekOCREngine:
         import contextlib
         import io
         import os
+        import shutil
         import tempfile
+
+        from extractor.cleaning import clean_stdout_output
 
         out: list[str] = []
         with tempfile.TemporaryDirectory(prefix="dsocr_") as scratch:
             for i, img in enumerate(images):
                 path = os.path.join(scratch, f"img_{i}.jpg")
+                # Per-IMAGE output dir (reference mkdtemp per request,
+                # inference_engine.py:193-196): the S3 file-fallback
+                # glob below must never read a neighbor image's files.
+                out_dir = os.path.join(scratch, f"out_{i}")
+                os.makedirs(out_dir, exist_ok=True)
                 with open(path, "wb") as fh:
                     fh.write(bytes(img))
                 buf = io.StringIO()
@@ -292,7 +308,7 @@ class DeepSeekOCREngine:
                         self.tokenizer,
                         prompt=prompt,
                         image_file=path,
-                        output_path=scratch,
+                        output_path=out_dir,
                         base_size=1024,        # constants.py:16
                         image_size=640,        # constants.py:17
                         crop_mode=True,
@@ -300,14 +316,41 @@ class DeepSeekOCREngine:
                         test_compress=False,
                     )
                 captured = buf.getvalue()
-                os.remove(path)  # per-image scratch, not per-batch
                 # T6 priority chain (inference_engine.py:215-245); raw
-                # text out — cleaning is the next pipeline stage.
-                text = captured if captured.strip() else None
+                # text out — cleaning is the next pipeline stage:
+                # 1. stdout, but only if it CLEANS to something —
+                #    banner-only stdout falls through (ref :219-229)
+                text: str | None = None
+                if captured and clean_stdout_output(captured):
+                    text = captured
+                # 2. the coerced duck-typed return value (ref :232-238)
                 if text is None:
                     text = extract_text_from_result(result)
+                # 3. S3: output files the model wrote on its own —
+                #    first *.txt, then *.md (ref :136-166, :240-243)
+                if text is None:
+                    text = self._read_output_files(out_dir)
                 out.append(text or "")
+                os.remove(path)  # per-image scratch, not per-batch
+                shutil.rmtree(out_dir, ignore_errors=True)
         return out
+
+    @staticmethod
+    def _read_output_files(out_dir: str) -> str | None:
+        """S3 output-file fallback (reference inference_engine.py:
+        136-166): first ``*.txt`` then ``*.md`` under the per-image
+        output dir, raw bytes as text — grounding strip happens in the
+        downstream cleaning stage, not here."""
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(out_dir, "*.txt"))) + sorted(
+            glob.glob(os.path.join(out_dir, "*.md"))
+        )
+        if not files:
+            return None
+        with open(files[0], encoding="utf-8") as fh:
+            return fh.read() or None
 
 
 _ENGINE = None

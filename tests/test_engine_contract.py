@@ -105,6 +105,93 @@ def test_gpu_engine_is_import_gated():
     assert isinstance(get_engine(), SurrogateEngine)
 
 
+class _FakeInferenceMode:
+    def __call__(self):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+class _FakeTorch:
+    inference_mode = _FakeInferenceMode()
+
+
+def _gpu_engine_with(model):
+    """DeepSeekOCREngine around a duck-typed fake model, skipping the
+    torch-importing constructor — infer_batch touches only
+    self._torch.inference_mode / self.model.infer / self.tokenizer."""
+    from extractor.engine import DeepSeekOCREngine
+
+    e = DeepSeekOCREngine.__new__(DeepSeekOCREngine)
+    e._torch = _FakeTorch()
+    e.model = model
+    e.tokenizer = object()
+    return e
+
+
+def test_gpu_engine_result_chain_stdout_priority():
+    """Priority 1: stdout wins when its CLEANED form is non-empty; the
+    RAW stdout (noise included) is returned — cleaning is downstream."""
+
+    class M:
+        def infer(self, tok, **kw):
+            print("=====banner=====")
+            print("real text")
+            return "return value"
+
+    out = _gpu_engine_with(M()).infer_batch([b"x"], "p")
+    assert out == ["=====banner=====\nreal text\n"]
+
+
+def test_gpu_engine_result_chain_banner_only_stdout_falls_through():
+    """Noisy-but-content-free stdout (banners only) must NOT shadow the
+    model's return value (reference inference_engine.py:219-238)."""
+
+    class M:
+        def infer(self, tok, **kw):
+            print("=====banner=====")
+            print("BASE: torch.Size([1, 3, 1024, 1024])")
+            return {"text": "from result"}
+
+    assert _gpu_engine_with(M()).infer_batch([b"x"], "p") == ["from result"]
+
+
+def test_gpu_engine_result_chain_output_files_leg():
+    """S3: a duck-typed model that only writes files (stdout silent,
+    returns None) still yields text — *.txt preferred over *.md, read
+    from the PER-IMAGE output dir (reference inference_engine.py:
+    136-166, chain :240-243)."""
+    import os
+
+    class M:
+        def __init__(self):
+            self.calls = 0
+
+        def infer(self, tok, output_path=None, **kw):
+            self.calls += 1
+            if self.calls == 1:  # first image: txt + md → txt wins
+                with open(os.path.join(output_path, "r.md"), "w") as fh:
+                    fh.write("md text")
+                with open(os.path.join(output_path, "r.txt"), "w") as fh:
+                    fh.write("txt text")
+            else:  # second image: md only — and must not see image 1's files
+                with open(os.path.join(output_path, "o.md"), "w") as fh:
+                    fh.write("md only")
+            return None
+
+    assert _gpu_engine_with(M()).infer_batch([b"a", b"b"], "p") == [
+        "txt text", "md only",
+    ]
+
+
+def test_gpu_engine_result_chain_all_legs_empty():
+    class M:
+        def infer(self, tok, **kw):
+            return None
+
+    assert _gpu_engine_with(M()).infer_batch([b"x"], "p") == [""]
+
+
 def test_engine_self_check_readiness():
     """The warmup/readiness analog (reference model_loader warmup +
     /health/ready): the per-worker singleton is only usable after a
