@@ -82,17 +82,75 @@ def decode_dims(payload: bytes) -> tuple[int, int]:
     return _fake_decode_dims(payload)
 
 
+def plan_compress(
+    mode: str, width: int, height: int, max_dim: int = MAX_DIMENSION
+) -> tuple[str, tuple[int, int] | None]:
+    """T1/T2 DECISION logic as a pure function — the testable core of
+    the reference's compress path (image_compressor.py:179-191 mode
+    normalization, :45-68 + :192-194 resize decision):
+
+      * mode in (RGBA, LA, P)   → ``flatten_white`` (alpha composited
+        onto a white RGB background; P via an RGBA roundtrip)
+      * other non-(RGB, L) mode → ``to_rgb`` (plain convert; CMYK etc.)
+      * RGB / L                 → ``keep``
+
+    plus the resize target: ``None`` when both sides fit ``max_dim``,
+    else the aspect-preserving int-truncated dimensions.  Pinned by
+    sandbox-runnable tests (no PIL needed); :func:`compress_image`'s
+    PIL branch is a thin shim applying this plan."""
+    if mode in ("RGBA", "LA", "P"):
+        op = "flatten_white"
+    elif mode not in ("RGB", "L"):
+        op = "to_rgb"
+    else:
+        op = "keep"
+    ow, oh = resize_dims(width, height, max_dim)
+    return op, (None if (ow, oh) == (width, height) else (ow, oh))
+
+
+def apply_compress_plan(im, op: str, resize_to: tuple[int, int] | None,
+                        image_mod=None) -> bytes:
+    """Apply a :func:`plan_compress` decision to an open image handle
+    and return JPEG q85 optimized bytes (reference
+    image_compressor.py:196-199 save flags).  ``image_mod`` defaults
+    to PIL's ``Image`` module; tests inject a fake module, so the
+    sequencing (flatten → resize → save) is pinned without PIL."""
+    import io
+
+    mod = image_mod if image_mod is not None else Image
+    if op == "flatten_white":
+        rgba = im.convert("RGBA")
+        background = mod.new("RGB", rgba.size, (255, 255, 255))
+        background.paste(rgba, mask=rgba.split()[-1])
+        im = background
+    elif op == "to_rgb":
+        im = im.convert("RGB")
+    if resize_to is not None:
+        im = im.resize(resize_to, mod.LANCZOS)
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=85, optimize=True)
+    return buf.getvalue()
+
+
 def compress_image(payload: bytes, max_dim: int = MAX_DIMENSION) -> tuple[bytes, int, int, int, int]:
     """T1+T2: decode → flatten alpha onto white → RGB/L → aspect-
     preserving resize (LANCZOS, int-truncated) → JPEG q85 optimize.
 
-    Reference semantics: services/image_compressor.py:70-157 (alpha
+    Reference semantics: services/image_compressor.py:159-222 (alpha
     flatten + mode conversion + save flags) and :45-68 (resize
     arithmetic, reproduced in :func:`resize_dims`).  Returns
-    (bytes, width, height, out_width, out_height).  Without PIL (or
-    when the payload is not a decodable image) the pixel work is a
-    no-op passthrough and only the dimension arithmetic runs — the
-    deterministic stub the tests/oracle check."""
+    (bytes, width, height, out_width, out_height).  Without PIL the
+    pixel work is a no-op passthrough and only the dimension
+    arithmetic runs — the deterministic stub the tests/oracle check.
+
+    Undecodable payloads pass through UNCHANGED even with PIL
+    installed: that is the reference's own failure mode — its
+    ``compress_image_bytes`` catches every exception and "uses
+    original" bytes (image_compressor.py:215-222), deferring the
+    failure to the model call, whose error the pipeline maps to an
+    error row.  Rejecting here would be stricter than the reference
+    and would also break the stub fixtures (``IMG WxH`` payloads are
+    not PIL-decodable by design)."""
     payload = bytes(payload)
     if HAVE_PIL:
         import io
@@ -100,23 +158,12 @@ def compress_image(payload: bytes, max_dim: int = MAX_DIMENSION) -> tuple[bytes,
         try:
             with Image.open(io.BytesIO(payload)) as im:
                 w, h = im.width, im.height
-                ow, oh = resize_dims(w, h, max_dim)
-                # Flatten transparency onto a white background, then
-                # normalize mode (reference image_compressor.py:84-106).
-                if im.mode in ("RGBA", "LA", "P"):
-                    rgba = im.convert("RGBA")
-                    background = Image.new("RGB", rgba.size, (255, 255, 255))
-                    background.paste(rgba, mask=rgba.split()[-1])
-                    im = background
-                elif im.mode not in ("RGB", "L"):
-                    im = im.convert("RGB")
-                if (ow, oh) != (w, h):
-                    im = im.resize((ow, oh), Image.LANCZOS)
-                buf = io.BytesIO()
-                im.save(buf, format="JPEG", quality=85, optimize=True)
-                return buf.getvalue(), w, h, ow, oh
+                op, resize_to = plan_compress(im.mode, w, h, max_dim)
+                out = apply_compress_plan(im, op, resize_to)
+                ow, oh = resize_to if resize_to is not None else (w, h)
+                return out, w, h, ow, oh
         except Exception:
-            pass  # undecodable → stub passthrough
+            pass  # undecodable → original bytes (reference :215-222)
     w, h = decode_dims(payload)
     ow, oh = resize_dims(w, h, max_dim)
     return payload, w, h, ow, oh

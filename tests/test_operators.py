@@ -26,6 +26,108 @@ def test_resize_vectors():
         assert resize_dims(w, h) == expected, (w, h)
 
 
+def test_plan_compress_mode_decisions():
+    """T1 mode normalization (reference image_compressor.py:179-191):
+    alpha-carrying modes flatten onto white, exotic modes convert to
+    RGB, RGB/L pass through — pinned without PIL."""
+    from extractor.operators.multimodal import plan_compress
+
+    for mode in ("RGBA", "LA", "P"):
+        assert plan_compress(mode, 10, 10)[0] == "flatten_white", mode
+    for mode in ("CMYK", "I", "F", "1", "YCbCr", "I;16"):
+        assert plan_compress(mode, 10, 10)[0] == "to_rgb", mode
+    for mode in ("RGB", "L"):
+        assert plan_compress(mode, 10, 10)[0] == "keep", mode
+    # resize decision rides the same plan (T2 vectors above)
+    for (w, h), expected in RESIZE_VECTORS:
+        _, resize_to = plan_compress("RGB", w, h)
+        assert resize_to == (None if expected == (w, h) else expected), (w, h)
+
+
+class _FakeImg:
+    """Duck-typed PIL image recording the operation sequence."""
+
+    def __init__(self, mode, size, log=None):
+        self.mode, self.size = mode, size
+        self.log = log if log is not None else []
+
+    def convert(self, mode):
+        self.log.append(("convert", mode))
+        return _FakeImg(mode, self.size, self.log)
+
+    def split(self):
+        self.log.append(("split",))
+        return [_FakeImg("L", self.size, self.log)] * (4 if self.mode == "RGBA" else 2)
+
+    def paste(self, im, mask=None):
+        self.log.append(("paste", im.mode, mask is not None))
+
+    def resize(self, size, resample):
+        self.log.append(("resize", size, resample))
+        return _FakeImg(self.mode, size, self.log)
+
+    def save(self, buf, format=None, **kw):
+        self.log.append(("save", format, kw.get("quality"), kw.get("optimize")))
+        buf.write(b"JPEG:" + f"{self.mode}:{self.size}".encode())
+
+
+class _FakeImageMod:
+    """Fake PIL ``Image`` module sharing one op log with the images it
+    creates, so the full flatten sequence is observable."""
+
+    LANCZOS = "LANCZOS"
+
+    def __init__(self, log):
+        self.log = log
+
+    def new(self, mode, size, color):
+        self.log.append(("new", mode, size, color))
+        return _FakeImg(mode, size, self.log)
+
+
+def test_apply_compress_plan_flatten_sequence():
+    """The PIL shim must composite alpha onto a white RGB background
+    via the mask paste, then resize, then save JPEG q85 optimized —
+    the reference sequence (image_compressor.py:179-199), pinned with
+    a fake Image module (no PIL in this sandbox)."""
+    from extractor.operators.multimodal import apply_compress_plan
+
+    im = _FakeImg("RGBA", (4096, 2048))
+    out = apply_compress_plan(im, "flatten_white", (2048, 1024), _FakeImageMod(im.log))
+    assert out == b"JPEG:RGB:(2048, 1024)"
+    log = im.log
+    assert ("convert", "RGBA") in log
+    assert any(op[0] == "new" and op[1] == "RGB" and op[3] == (255, 255, 255) for op in log)
+    assert ("paste", "RGBA", True) in log, "alpha mask paste missing"
+    assert ("resize", (2048, 1024), "LANCZOS") in log
+    assert log[-1] == ("save", "JPEG", 85, True)
+    # paste happens before resize (flatten at original size)
+    assert log.index(("paste", "RGBA", True)) < log.index(("resize", (2048, 1024), "LANCZOS"))
+
+
+def test_apply_compress_plan_keep_and_convert():
+    from extractor.operators.multimodal import apply_compress_plan
+
+    im = _FakeImg("L", (100, 100))
+    assert apply_compress_plan(im, "keep", None, _FakeImageMod(im.log)) == b"JPEG:L:(100, 100)"
+    assert im.log == [("save", "JPEG", 85, True)]
+
+    im = _FakeImg("CMYK", (10, 10))
+    assert apply_compress_plan(im, "to_rgb", None, _FakeImageMod(im.log)) == b"JPEG:RGB:(10, 10)"
+    assert im.log[0] == ("convert", "RGB")
+
+
+def test_compress_image_passthrough_on_undecodable():
+    """Reference parity: undecodable bytes pass through unchanged
+    (compress_image_bytes 'using original', image_compressor.py:
+    215-222) — the model call downstream is what fails the row."""
+    from extractor.operators.multimodal import compress_image
+
+    payload = b"IMG 640x480\nhello"
+    out, w, h, ow, oh = compress_image(payload)
+    assert out == payload and (w, h) == (640, 480) and (ow, oh) == (640, 480)
+
+
 def test_minhash_properties(spark):
     from extractor.operators.dedup import minhash_signatures
 
