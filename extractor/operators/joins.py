@@ -44,28 +44,35 @@ def asof_join(
     sides ordering simultaneous rows deterministically (right side
     sorts before left at equal ``on``, so an exactly-simultaneous
     right row IS eligible — the reference "prior-or-simultaneous"
-    semantics)."""
+    semantics).
+
+    Row atomicity: ALL right-side output columns (``{on}_right`` and
+    every value column) travel as ONE struct through a single
+    ``last(ignoreNulls)`` — so a matched right row is carried whole,
+    even when some of its value columns are NULL.  Per-column carries
+    would instead backfill a NULL cell from an OLDER right row,
+    emitting a composite of different right rows."""
     tie_breakers = tie_breakers or []
     left_extra = [
         c for c in left.columns if c not in by and c != on and c not in tie_breakers
     ]
-    out_aliases = list(value_cols.values())
 
+    rstruct = F.struct(
+        F.col(on).alias(f"{on}_right"),
+        *[F.col(src).alias(dst) for src, dst in value_cols.items()],
+    )
     l_tagged = left.select(
         *by, on, *tie_breakers, *left_extra,
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(f"{on}_right"),
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(dst)
-            for src, dst in value_cols.items()
-        ],
+        F.lit(None).cast(
+            right.select(rstruct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         *by, on, *tie_breakers,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"{on}_right"),
-        *[F.col(src).alias(dst) for src, dst in value_cols.items()],
+        rstruct.alias("_r"),
     )
     w = (
         Window.partitionBy(*by)
@@ -74,10 +81,13 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         *by, on, *tie_breakers, *left_extra, "_side",
-        F.last(f"{on}_right", ignorenulls=True).over(w).alias(f"{on}_right"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_aliases],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *by, on, *tie_breakers, *left_extra,
+        F.col(f"_r.{on}_right").alias(f"{on}_right"),
+        *[F.col(f"_r.{dst}").alias(dst) for dst in value_cols.values()],
+    )
 
 
 def time_range_join(

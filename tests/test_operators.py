@@ -128,6 +128,30 @@ def test_compress_image_passthrough_on_undecodable():
     assert out == payload and (w, h) == (640, 480) and (ow, oh) == (640, 480)
 
 
+def test_asof_join_carries_matched_row_atomically(spark):
+    """A matched right row with a NULL value column must yield NULL for
+    that column — never a backfill from an OLDER right row (the output
+    would be a composite of two different right rows)."""
+    import datetime as dt
+
+    from extractor.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([("k", t(10))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("k", t(1), "old_a", "old_b"), ("k", t(5), None, "new_b")],
+        ["k", "ts", "a", "b"],
+    )
+    out = asof_join(
+        left, right, by=["k"], on="ts", value_cols={"a": "a", "b": "b"}
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ts_right"] == t(5)
+    assert r["b"] == "new_b"
+    assert r["a"] is None, "NULL cell backfilled from an older right row"
+
+
 def test_minhash_properties(spark):
     from extractor.operators.dedup import minhash_signatures
 
