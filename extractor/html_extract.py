@@ -129,9 +129,18 @@ class _Extractor(HTMLParser):
         if self.cell_parts is not None:
             # Inside a table cell, block structure is flattened into
             # the cell text (real-world <td><p>…</p></td> is routine);
-            # only links and cell/row boundaries are structural.
+            # only links, cell/row boundaries and NESTED TABLES are
+            # structural.
             if tag == "a":
                 self.link_depth += 1
+            elif tag == "table":
+                # A table opened inside a cell: close the partial cell
+                # (its accumulated text stays on the outer row) and
+                # bump table_count so the nested rows form their OWN
+                # markdown table instead of silently merging into the
+                # outer one with the outer table_id.
+                self._end_cell()
+                self.table_count += 1
             elif tag in ("tr", "td", "th"):
                 # malformed html: new cell/row without closing </td>
                 self._end_cell()
@@ -189,6 +198,11 @@ class _Extractor(HTMLParser):
                 self._flush()
             elif tag == "a":
                 self.link_depth = max(0, self.link_depth - 1)
+            elif tag == "table":
+                # empty/text-only nested table closing inside a cell:
+                # bump so rows after it never share its group id
+                self.table_count += 1
+                self.cell_parts.append(" ")
             elif tag in _BLOCK_TAGS or tag in _HEADINGS:
                 self.cell_parts.append(" ")
             return
@@ -196,6 +210,12 @@ class _Extractor(HTMLParser):
             self._end_cell()
         elif tag == "a":
             self.link_depth = max(0, self.link_depth - 1)
+        elif tag == "table":
+            # bump on close too: outer-table rows emitted AFTER a
+            # nested table must not adopt the nested group's id (only
+            # adjacent-row equality matters, so extra bumps are safe)
+            self.table_count += 1
+            self._flush()
         elif tag in _HEADINGS or tag in _BLOCK_TAGS:
             self._flush()
 

@@ -96,6 +96,21 @@ def test_adjacent_tables_stay_separate():
     )
 
 
+def test_nested_table_forms_own_group():
+    """A <table> opened inside a cell must not merge its rows into the
+    outer markdown table under the outer table_id, and must not drop
+    the partially-accumulated outer cell text; rows of the outer table
+    AFTER the nested one form their own group too."""
+    out = html_to_markdown(
+        b"<table><tr><td>outer1</td><td>pre "
+        b"<table><tr><td>n1</td><td>n2</td></tr></table>"
+        b"</td></tr><tr><td>after1</td><td>after2</td></tr></table>"
+    )
+    assert out == (
+        "| outer1 | pre |\n\n| n1 | n2 |\n\n| after1 | after2 |"
+    )
+
+
 def test_midtable_th_row_emits_no_separator():
     out = html_to_markdown(
         b"<table><tr><td>1</td></tr><tr><th>H</th></tr><tr><td>2</td></tr></table>"
