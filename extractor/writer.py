@@ -38,6 +38,63 @@ def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+WRITER_BACKENDS = ("manifest", "iceberg")
+
+
+def _iceberg_catalog_names(spark: SparkSession) -> list[str]:
+    """Catalogs registered via ``spark.sql.catalog.<name>`` conf keys
+    (the way an Iceberg catalog is attached to a session).  ``SET``
+    sees both builder-time and runtime-set confs."""
+    names = set()
+    for r in spark.sql("SET").collect():
+        parts = r["key"].split(".")
+        if r["key"].startswith("spark.sql.catalog.") and len(parts) == 4:
+            names.add(parts[3])
+    return sorted(names)
+
+
+def _write_snapshot_iceberg(
+    df: DataFrame,
+    table: str,
+    run_id: str,
+    partition_by: list[str] | None,
+) -> str:
+    """The real-catalog branch of :func:`write_snapshot`: one
+    ``writeTo(table).append()`` — the append IS the snapshot commit,
+    and Iceberg's own metadata supplies what the manifest emulation
+    hand-rolls (atomic visibility, time travel via ``VERSION AS OF``,
+    compaction via ``rewrite_data_files``).  Everything upstream — the
+    partition_id/lineage_id columns, the lineage aggregate — is
+    byte-identical to the manifest branch, which is the claim this
+    branch exists to prove.
+
+    Fails loudly (RuntimeError) when the session has no Iceberg
+    catalog configured: silently falling back to the emulation would
+    hide a misconfigured production deployment."""
+    spark = df.sparkSession
+    catalogs = _iceberg_catalog_names(spark)
+    if not catalogs:
+        raise RuntimeError(
+            "writer backend 'iceberg' requires an Iceberg catalog "
+            "(spark.sql.catalog.<name> = org.apache.iceberg.spark."
+            "SparkCatalog + the iceberg-spark-runtime jar); none is "
+            "configured on this session. Use backend='manifest' for "
+            "the catalog-free emulation."
+        )
+    with_pid = df.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        "lineage_id", F.md5(F.concat(F.col("url"), F.lit(":" + run_id)))
+    ).withColumn("run_id", F.lit(run_id))
+    writer = with_pid.writeTo(table)
+    if partition_by:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    try:
+        writer.append()
+    except Exception:
+        # first write: table does not exist yet
+        writer.create()
+    return run_id
+
+
 def _committed_manifests(out_dir: str, include_replaced: bool = False) -> list[dict]:
     cdir = os.path.join(out_dir, "_committed")
     if not os.path.isdir(cdir):
@@ -74,6 +131,8 @@ def write_snapshot(
     out_dir: str,
     run_id: str | None = None,
     partition_by: list[str] | None = None,
+    backend: str = "manifest",
+    iceberg_table: str | None = None,
 ) -> str:
     """Write one snapshot atomically; returns the run_id.
 
@@ -87,9 +146,24 @@ def write_snapshot(
     partition pruning so downstream readers of one slice (all pdf
     docs, one crawl day) scan only that slice; the Iceberg analog is
     the table's partition spec.
+
+    ``backend`` selects the commit mechanism: ``"manifest"`` (default)
+    is the catalog-free snapshot emulation below; ``"iceberg"`` issues
+    ``df.writeTo(iceberg_table).append()`` against a configured
+    catalog (:func:`_write_snapshot_iceberg`) and raises RuntimeError
+    when no catalog is attached — the "swapping in a real catalog
+    changes nothing upstream" claim, as an executable branch.
     """
-    spark = df.sparkSession
+    if backend not in WRITER_BACKENDS:
+        raise ValueError(
+            f"unknown writer backend {backend!r} (supported: {WRITER_BACKENDS})"
+        )
     run_id = run_id or new_run_id()
+    if backend == "iceberg":
+        if not iceberg_table:
+            raise ValueError("backend='iceberg' requires iceberg_table")
+        return _write_snapshot_iceberg(df, iceberg_table, run_id, partition_by)
+    spark = df.sparkSession
     data_path = os.path.join(out_dir, "snapshots", run_id)
     lineage_path = os.path.join(out_dir, "lineage", run_id)
 

@@ -186,3 +186,41 @@ def test_compaction_folds_snapshots_preserving_view_and_history(spark, tmp_path)
     folded = lineage.filter(F.col("run_id") == crun)
     assert folded.count() == 2
     assert folded.agg(F.sum("row_count")).first()[0] == n_total
+
+
+def test_writer_backend_selection(spark, tmp_path):
+    """The backend enum is real: unknown backends and a missing table
+    name fail fast, and the iceberg branch fails LOUDLY when the
+    session has no catalog configured (never silently falling back to
+    the manifest emulation)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("https://x.test/a.html", True, 0.1)], ["url", "success", "latency_s"]
+    )
+    out_dir = str(tmp_path / "sink")
+    with pytest.raises(ValueError, match="unknown writer backend"):
+        write_snapshot(df, out_dir, backend="nope")
+    with pytest.raises(ValueError, match="iceberg_table"):
+        write_snapshot(df, out_dir, backend="iceberg")
+    with pytest.raises(RuntimeError, match="catalog"):
+        write_snapshot(df, out_dir, backend="iceberg", iceberg_table="cat.db.t")
+    # nothing was committed by any failed attempt
+    assert committed_run_ids(out_dir) == []
+
+
+def test_writer_iceberg_catalog_detection(spark):
+    """_iceberg_catalog_names sees catalogs registered at runtime via
+    spark.sql.catalog.<name>; with one attached the branch proceeds to
+    writeTo().append() (exercised end-to-end only on a deployment with
+    the iceberg-spark-runtime jar — not installable in this sandbox)."""
+    from extractor.writer import _iceberg_catalog_names
+
+    assert _iceberg_catalog_names(spark) == []
+    spark.conf.set(
+        "spark.sql.catalog.testcat", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert "testcat" in _iceberg_catalog_names(spark)
+    finally:
+        spark.conf.unset("spark.sql.catalog.testcat")
