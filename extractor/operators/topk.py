@@ -49,6 +49,13 @@ def grouped_topk(
     ``with_count=True`` adds the group's total row count, merged
     through the same two shuffles (count is additive) instead of a
     third pass over the input.
+
+    NULL caveat: ``array_sort`` ranks NULL sort keys LAST, while the
+    ``row_number`` window's ascending default is NULLS FIRST — for a
+    nullable ``sort_col`` the two formulations disagree on which rows
+    make the top k.  Pass a non-null key (coalesce a sentinel, or
+    filter nulls out) when porting a window that must keep the NULLS
+    FIRST order; every caller in this repo uses non-null keys.
     """
     bucket = F.pmod(F.hash(sort_col), F.lit(n_buckets))
     stage1_aggs = [

@@ -159,36 +159,51 @@ def _image_extract_iter(cfg: ExtractConfig):
             n = len(pdf)
             payloads: list[bytes | None] = [None] * n
             errors: dict[int, str] = {}
-            t0 = time.perf_counter()
+            # Per-row latency semantics (reference image_processor.py
+            # times each request end-to-end, :136/:194): preprocessing
+            # (T1/T2 compress) is timed PER IMAGE; the micro-batched
+            # inference call is one unit of GPU work, so its wall time
+            # is amortized equally over the batch's rows — except in
+            # the degraded per-row path, where each row gets its own
+            # true inference time.
+            comp_lat = [0.0] * n
+            infer_lat: dict[int, float] = {}
             for i, r in enumerate(pdf.itertuples(index=False)):
+                t0 = time.perf_counter()
                 try:
                     compressed, _w, _h, _ow, _oh = compress_image(bytes(r.html))
                     payloads[i] = compressed
                 except Exception as exc:  # undecodable image → error row
                     errors[i] = str(exc)
+                comp_lat[i] = time.perf_counter() - t0
             ok_idx = [i for i in range(n) if i not in errors]
             texts: dict[int, str] = {}
+            t1 = time.perf_counter()
             try:
                 raws = engine.infer_batch([payloads[i] for i in ok_idx], prompt)
+                share = (time.perf_counter() - t1) / max(len(ok_idx), 1)
                 for i, raw in zip(ok_idx, raws):
                     texts[i] = clean_stdout_output(raw, strip_grounding=strip)
+                    infer_lat[i] = share
             except Exception:
                 # Poison-image isolation: degrade to per-row calls so the
                 # failure stays on its row (reference handlers.py:123-130
                 # maps OCR errors per request; here per row).
                 for i in ok_idx:
+                    t2 = time.perf_counter()
                     try:
                         raw = engine.infer_batch([payloads[i]], prompt)[0]
                         texts[i] = clean_stdout_output(raw, strip_grounding=strip)
                     except Exception as exc:
                         errors[i] = str(exc)
-            per_row_lat = round((time.perf_counter() - t0) / max(n, 1), 6)
+                    infer_lat[i] = time.perf_counter() - t2
             out = []
             for i, r in enumerate(pdf.itertuples(index=False)):
+                lat = round(comp_lat[i] + infer_lat.get(i, 0.0), 6)
                 if i in errors:
-                    out.append((r.url, r.warc_ts, None, False, errors[i], per_row_lat))
+                    out.append((r.url, r.warc_ts, None, False, errors[i], lat))
                 else:
-                    out.append((r.url, r.warc_ts, texts[i], True, None, per_row_lat))
+                    out.append((r.url, r.warc_ts, texts[i], True, None, lat))
             yield pd.DataFrame(
                 out, columns=["url", "warc_ts", "text", "success", "error", "latency_s"]
             )

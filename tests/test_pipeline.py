@@ -163,3 +163,38 @@ def test_pdf_warnings_accumulation(extracted_and_golden):
             if not p["success"]:
                 assert not p["error"].startswith("Failed to process page")
     assert saw_nonempty, "fixture should include a corrupt-page pdf_large"
+
+
+def test_image_branch_per_row_latency(monkeypatch):
+    """Latency semantics parity (reference image_processor.py times
+    each request): compress is timed per image, inference amortized
+    per micro-batch — the latency column must vary per row within one
+    batch, not be a flat batch average."""
+    import time as _t
+
+    import pandas as pd
+
+    import extractor.operators.multimodal as mm
+    from extractor import pipeline
+    from extractor.config import ExtractConfig
+
+    real = mm.compress_image
+
+    def slow(payload, max_dim=mm.MAX_DIMENSION):
+        _t.sleep(0.003 * (len(payload) % 3))  # deterministic per-row skew
+        return real(payload, max_dim)
+
+    monkeypatch.setattr(mm, "compress_image", slow)
+    fn = pipeline._image_extract_iter(ExtractConfig())
+    batch = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "warc_ts": [None] * 3,
+            "html": [b"IMG 10x10\na", b"IMG 10x10\nbb", b"IMG 10x10\nccc"],
+        }
+    )
+    out = next(fn(iter([batch])))
+    lats = list(out["latency_s"])
+    assert all(lat >= 0 for lat in lats)
+    assert len(set(lats)) > 1, f"flat batch-average latency: {lats}"
+    assert list(out["success"]) == [True] * 3
