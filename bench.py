@@ -63,6 +63,10 @@ HEADLINE_QUERIES = [
     "domain_blocklist_stats",
     "doc_chunking",
     "repetition_stats",
+    # r3 additions: the two iterative/composed queries get wall-time
+    # tracking before round 4 scales anything (VERDICT r2 item 9)
+    "corpus_select_fuzzy",
+    "dedup_clusters",
 ]
 
 

@@ -184,6 +184,36 @@ def test_gpu_engine_result_chain_output_files_leg():
     ]
 
 
+def test_gpu_engine_native_batching_probe():
+    """A checkpoint exposing a duck-typed batched entrypoint gets ONE
+    call for the whole micro-batch; result order maps per image."""
+
+    class M:
+        def __init__(self):
+            self.calls = []
+
+        def infer(self, tok, **kw):  # must NOT be used
+            raise AssertionError("serial path used despite native batching")
+
+        def infer_batch(self, tok, image_files=None, **kw):
+            self.calls.append(len(image_files))
+            return [f"r{i}" for i in range(len(image_files))]
+
+    m = M()
+    out = _gpu_engine_with(m).infer_batch([b"a", b"b", b"c"], "p")
+    assert out == ["r0", "r1", "r2"]
+    assert m.calls == [3], "expected exactly one native batched call"
+
+
+def test_gpu_engine_native_batching_shape_mismatch_is_loud():
+    class M:
+        def infer_batch(self, tok, image_files=None, **kw):
+            return ["only one"]
+
+    with pytest.raises(RuntimeError, match="one result per image"):
+        _gpu_engine_with(M()).infer_batch([b"a", b"b"], "p")
+
+
 def test_gpu_engine_result_chain_all_legs_empty():
     class M:
         def infer(self, tok, **kw):
