@@ -294,6 +294,73 @@ def _render(blocks: list[_Block]) -> str:
     return "\n\n".join(merged)
 
 
+class _LinkCollector(HTMLParser):
+    """Collect every ``<a href>`` with its whitespace-normalized anchor
+    text, in document order.  Unlike the main-content extractor this
+    keeps boilerplate regions — the outlink graph WANTS nav/footer
+    edges — and skips only non-content subtrees (script/style/…)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self.skip_depth = 0
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _finish(self) -> None:
+        if self._href is not None:
+            text = _WS_RE.sub(" ", "".join(self._parts)).strip()
+            self.links.append((self._href, text))
+            self._href = None
+            self._parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        if tag == "a":
+            self._finish()  # malformed html: new <a> closes the open one
+            href = dict(attrs).get("href")
+            if href:
+                self._href = href
+                self._parts = []
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
+        if tag == "a":
+            self._finish()
+
+    def handle_data(self, data):
+        if self.skip_depth or self._href is None:
+            return
+        self._parts.append(data)
+
+
+def extract_links(html: bytes | str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs in document order — the edge list a
+    web-graph build consumes.  Deterministic, pure; shared by the Spark
+    operator (operators.webgraph.html_outlinks) and the SQL oracle's
+    expectations."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _LinkCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    parser._finish()
+    return parser.links
+
+
 def html_to_markdown(html: bytes | str) -> str:
     """Extract main content from an HTML byte stream as markdown.
 

@@ -1,0 +1,117 @@
+"""Web-graph operators: outlink extraction and PageRank.
+
+A Common-Crawl-scale corpus is a hyperlink graph as much as a text
+corpus; training-data pipelines use link structure for quality priors
+(harmonic/PageRank centrality in CCNet-descendant pipelines) and crawl
+frontier scoring.  Two operators:
+
+* :func:`html_outlinks` — pages(html) → (url, seq, href, anchor_text)
+  edge rows, via the same Arrow-batched pure-Python parse as the
+  main-content extractor (boilerplate KEPT: nav/footer edges are the
+  graph).  Map-only; inherits upstream partitioning, no shuffle.
+* :func:`pagerank_int` — fixed-iteration PageRank over an edge list,
+  in INTEGER arithmetic (rank mass scaled by 10^12, contributions via
+  integer division, damping 85/100).  Float PageRank sums doubles in
+  partition order — non-associative, so Spark and a single-process
+  oracle drift in the last bits; the integer form is exactly
+  reproducible in any engine, which is what makes the operator
+  driver-checkable.  Production swaps doubles back in by changing two
+  expressions; the plan shape is identical.
+
+Scale shape (the standard Pregel-as-joins formulation): per iteration
+one equi-join of edges against current ranks on src (edges can be
+pre-partitioned/bucketed by src so only ranks shuffle), one map-side-
+partial aggregate of contributions by dst, one left join back onto the
+node set.  ``localCheckpoint`` truncates the growing lineage each
+round (same pattern as dedup.connected_components).  Dangling-node
+mass is dropped (PageRank-lite) — documented, standard for link-spam
+scoring where absolute calibration is irrelevant.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def html_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Outlink edge rows (url, seq, href, anchor_text), seq = 0-based
+    document order.  Anchors without href are skipped; anchor text is
+    whitespace-normalized (html_extract._LinkCollector)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from extractor.html_extract import extract_links
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                url = getattr(r, url_col)
+                for seq, (href, anchor) in enumerate(
+                    extract_links(getattr(r, html_col))
+                ):
+                    rows.append((url, seq, href, anchor))
+            yield pd.DataFrame(
+                rows, columns=["url", "seq", "href", "anchor_text"]
+            )
+
+    return pages.select(F.col(url_col), F.col(html_col)).mapInPandas(
+        fn, schema="url string, seq int, href string, anchor_text string"
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank; returns (node, rank).
+
+    rank_0(v) = scale for every node (src ∪ dst); each iteration
+    rank(v) = 15% of scale + 85% of the sum over in-edges of
+    rank(u) div outdeg(u) — all integer ops (div = floor division,
+    damping via *85 then div 100), so the result is bit-identical
+    across engines and partitionings.  Multi-edges count with their
+    multiplicity (each anchor is an endorsement)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = 15 * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div odeg").alias("c"),
+            )
+        )
+        in_mass = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(in_mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("85 * coalesce(s, 0L) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2248,3 +2248,110 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-graph tier (r3): outlink extraction + PageRank.  A Common-Crawl
+# corpus is a hyperlink graph; link structure feeds quality priors and
+# frontier scoring in training-data pipelines.
+# ---------------------------------------------------------------------------
+
+# The boiler fixture's link farms (testgen._html_boiler): five farms in
+# document order — nav li1 (doc_id, 4), nav li2 (doc_id+1, 4), div
+# (doc_id, 6), aside (doc_id+2, 5), footer (doc_id, 3) — each farm i
+# emitting <a href="/x/{d}/{i}">link word {i}</a>.  (ord, d-offset,
+# count, seq-start) rows; both oracles below derive edges from this.
+_LINK_FARMS_SQL = """
+      SELECT * FROM (VALUES (0, 0, 4, 0), (1, 1, 4, 4), (2, 0, 6, 8),
+                            (3, 2, 5, 14), (4, 0, 3, 19))
+        AS f(ord, doff, n, start)
+"""
+
+_BOILER_EDGES_SQL = f"""
+    boiler AS (
+      SELECT doc_id,
+             'https://example-42.test/html_boiler/' ||
+               printf('%06d', doc_id) || '.html' AS url
+      FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 20 IN (8, 9, 10, 11)
+    ), farm AS ({_LINK_FARMS_SQL})
+"""
+
+
+@register(
+    "html_outlinks",
+    f"""
+    WITH {_BOILER_EDGES_SQL}
+    SELECT b.url, (f.start + i.i)::INT AS seq,
+           '/x/' || (b.doc_id + f.doff) || '/' || i.i AS href,
+           'link word ' || i.i AS anchor_text
+    FROM boiler b, farm f,
+         LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    """,
+)
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink edge extraction over the valid html rows (anchors in
+    boilerplate KEPT — nav/footer edges are the web graph; only
+    html_boiler fixtures carry anchors).  Map-only mapInPandas; the
+    oracle re-derives the deterministic link-farm structure."""
+    from extractor.config import ExtractConfig
+    from extractor.operators.webgraph import html_outlinks
+    from extractor.pipeline import _quarantine_error, route
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    routed = route(pages_df(spark, sf_dir)).withColumn(
+        "route_error", _quarantine_error(cfg)
+    )
+    valid_html = routed.filter(
+        (F.col("doc_type") == "html") & F.col("route_error").isNull()
+    )
+    return html_outlinks(valid_html)
+
+
+_PAGERANK_ITER_SQL = """
+    i{K} AS (
+      SELECT n.node,
+             CAST(150000000000 + (85 * coalesce(m.s, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.odeg) AS s
+        FROM edges e
+        JOIN i{PREV} r ON r.node = e.src
+        JOIN odeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+    )
+"""
+
+
+@register(
+    "pagerank",
+    f"""
+    WITH {_BOILER_EDGES_SQL},
+    edges AS (
+      SELECT b.url AS src, '/x/' || (b.doc_id + f.doff) || '/' || i.i AS dst
+      FROM boiler b, farm f,
+           LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    ),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    i0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+    {_PAGERANK_ITER_SQL.format(K=1, PREV=0)},
+    {_PAGERANK_ITER_SQL.format(K=2, PREV=1)},
+    {_PAGERANK_ITER_SQL.format(K=3, PREV=2)}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer PageRank over the extracted outlink graph
+    (operators.webgraph.pagerank_int): rank mass scaled by 10^12,
+    contributions by integer division, damping 85/100 — exact in both
+    engines regardless of summation order (float PageRank drifts in
+    the last bits across partitionings).  The oracle unrolls the same
+    three iterations as CTEs over the same derived edge list."""
+    from extractor.operators.webgraph import pagerank_int
+
+    edges = q_html_outlinks(spark, sf_dir).select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    )
+    return pagerank_int(edges, iterations=3)
