@@ -554,3 +554,107 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select(F.col("blk").alias("label"), "a", "b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Paragraph-grain exact dedup with document reconstruction — the
+    CCNet/RefinedWeb line-level dedup shape (Wenzek et al. 2020 §4.1;
+    Penedo et al. 2023): hash fixed chunks corpus-wide, keep only each
+    chunk's FIRST occurrence (ordered by (doc, position)), rebuild
+    every document from its surviving chunks.  Kills boilerplate that
+    repeats ACROSS documents, which doc-level dedup cannot see.
+
+    "Paragraph" here is a fixed ``chunk_words``-word window (the
+    corpus text carries no newlines); a real pipeline splits on
+    newline — only the chunking expression changes.
+
+    Returns (id, n_chunks, n_kept, kept_text) for every document;
+    fully-duplicate docs survive with n_kept=0 and kept_text ''.
+
+    Scale shape: chunking is map-only (the word array is a MATERIALIZED
+    projection — see minhash_signatures for the inline-HOF trap);
+    first-occurrence selection is one groupBy(hash) min-aggregate with
+    map-side partials over an ENCODED (doc, idx) key (single long, so
+    min is a codegen'd primitive, no struct comparator) joined back on
+    the hash; reconstruction is one groupBy(doc) array_sort aggregate.
+    No window, no per-group state beyond a doc's own chunks."""
+    n_chunks_col = F.ceil(F.size("w") / F.lit(chunk_words)).cast("int")
+    chunked = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    ).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_col - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("w"), i * chunk_words + 1, chunk_words), " "
+            ),
+        ).alias("chunks"),
+    )
+    # posexplode_outer + filter, NOT posexplode: the inferred size()>0
+    # filter would re-inline the chunk expression below the projection
+    ch = chunked.select(
+        "id", F.posexplode_outer("chunks").alias("idx", "chunk")
+    ).filter(F.col("idx").isNotNull()).select(
+        "id", "idx", "chunk", F.md5("chunk").alias("h"),
+        # encoded first-occurrence key: doc ids < 10^12, idx < 10^6
+        (F.col("id") * F.lit(1_000_000) + F.col("idx")).alias("k"),
+    )
+    firsts = ch.groupBy("h").agg(F.min("k").alias("first_k"))
+    kept = ch.join(firsts, "h").filter(F.col("k") == F.col("first_k"))
+    totals = ch.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return totals.join(kept_agg, "id", "left").select(
+        "id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3 §C / PaLM n-gram
+    overlap check): count each corpus document's distinct word n-gram
+    hashes that also occur anywhere in the benchmark set.  Returns
+    (id, n_hits) for contaminated docs only (n_hits >= 1); the caller
+    thresholds.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are KBs against TBs) → distinct-hash set on
+    the benchmark side, BROADCAST to the corpus-side equi-join, so the
+    corpus shingles never shuffle; per-doc hit counts are a map-side-
+    partial groupBy on the corpus's own partitioning."""
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            word_hashes(F.col(text_col)).alias("wh"),
+        ).select(
+            "id", F.explode_outer(shingle_hashes_from(F.col("wh"), n)).alias("h")
+        ).filter(F.col("h").isNotNull())
+
+    bench_sh = shingles(benchmark).select("h").distinct()
+    return (
+        shingles(corpus)
+        .join(F.broadcast(bench_sh), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -2355,3 +2355,202 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("src"), F.col("href").alias("dst")
     )
     return pagerank_int(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene additions (r3): paragraph-grain dedup, benchmark
+# decontamination, URL canonicalization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH corpus AS ({_DUP_INJECT_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    ch AS (
+      SELECT doc_id, i.i AS idx,
+             array_to_string(list_slice(w, i.i * 10 + 1, i.i * 10 + 10), ' ')
+               AS chunk
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(length(w) / 10.0) AS INT) - 1)) AS i) i
+    ),
+    h AS (SELECT doc_id, idx, chunk, md5(chunk) AS h,
+                 doc_id * 1000000 + idx AS k FROM ch),
+    firsts AS (SELECT h, min(k) AS first_k FROM h GROUP BY h),
+    kept AS (
+      SELECT hh.doc_id, hh.idx, hh.chunk
+      FROM h hh JOIN firsts f ON f.h = hh.h AND hh.k = f.first_k
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id AS id, t.n_chunks::BIGINT AS n_chunks,
+           coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+           md5(coalesce(ka.kept_text, '')) AS kept_md5
+    FROM totals t LEFT JOIN ka ON ka.doc_id = t.doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style paragraph-grain dedup with document
+    reconstruction (operators.dedup.paragraph_dedup): corpus-wide
+    first-occurrence on 10-word chunk hashes; injected full copies
+    (every 10th doc) come back with n_kept 0."""
+    from extractor.operators.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_inject_dups(_docs(spark, sf_dir)), chunk_words=10)
+    return out.select(
+        "id", "n_chunks", "n_kept", F.md5("kept_text").alias("kept_md5")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 3
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 3
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' benchmark leak suffix words'
+      FROM bench
+    ), bwh AS (
+      SELECT doc_id, list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM bench
+    ), bsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647))) AS h
+      FROM bwh
+    ), cwh AS (
+      SELECT doc_id, list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM corpus
+    ), csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647))) AS h
+      FROM cwh
+    )
+    SELECT c.doc_id AS id, count(*)::BIGINT AS n_hits
+    FROM csh c JOIN bsh b ON b.h = c.h
+    GROUP BY c.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan (GPT-3 §C / PaLM style): distinct trigram
+    hashes shared with the benchmark subset (doc_id%50==3), benchmark
+    side broadcast (operators.dedup.ngram_contamination).  Injected
+    leak copies (benchmark text + suffix) are the expected hits;
+    natural cross-doc overlaps count symmetrically in both engines."""
+    from extractor.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 3)
+    leaked = bench.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" benchmark leak suffix words")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 3).unionAll(leaked)
+    return ngram_contamination(corpus, bench)
+
+
+@register(
+    "url_canonicalize",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'https://example-42.test/page/' || printf('%06d', doc_id) ||
+               '.html' AS v0
+      FROM documents
+    ), variants AS (
+      SELECT doc_id, unnest(list_concat(
+               [v0, v0 || '?utm_source=feed&ref=rss', v0 || '#section-2'],
+               CASE WHEN doc_id % 5 = 0
+                    THEN ['HTTPS://EXAMPLE-42.TEST' || substring(v0, 24)]
+                    ELSE [] END)) AS url
+      FROM base
+    ), canon AS (
+      SELECT url,
+             'https://' ||
+               lower(split_part(split_part(split_part(url, '#', 1), '?', 1),
+                                '/', 3)) ||
+               substring(split_part(split_part(url, '#', 1), '?', 1),
+                         strpos(split_part(split_part(url, '#', 1), '?', 1),
+                                '://') + 3 +
+                         length(split_part(split_part(split_part(url, '#', 1),
+                                '?', 1), '/', 3)))
+               AS canon_url
+      FROM variants
+    )
+    SELECT canon_url, count(*)::BIGINT AS n_variants, min(url) AS first_url
+    FROM canon GROUP BY canon_url
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup (crawl frontier /
+    url-level dedup): lowercase scheme+host, strip query and fragment;
+    synthetic tracking-param/fragment/case variants collapse onto one
+    canonical key.  Map-only expressions + one count shuffle."""
+    v0 = F.concat(
+        F.lit("https://example-42.test/page/"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(".html"),
+    )
+    upper_v = F.concat(F.lit("HTTPS://EXAMPLE-42.TEST"), F.expr("substring(v0, 24)"))
+    base = _docs(spark, sf_dir).select("doc_id").withColumn("v0", v0)
+    variants = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.array(
+                    F.col("v0"),
+                    F.concat(F.col("v0"), F.lit("?utm_source=feed&ref=rss")),
+                    F.concat(F.col("v0"), F.lit("#section-2")),
+                    upper_v,
+                ),
+            ).otherwise(
+                F.array(
+                    F.col("v0"),
+                    F.concat(F.col("v0"), F.lit("?utm_source=feed&ref=rss")),
+                    F.concat(F.col("v0"), F.lit("#section-2")),
+                )
+            )
+        ).alias("url"),
+    )
+    canonized = (
+        variants
+        # strip fragment then query, then split scheme / host / path —
+        # projected intermediates keep the expressions readable and
+        # each step inside whole-stage codegen
+        .withColumn(
+            "stripped",
+            F.substring_index(F.substring_index(F.col("url"), "#", 1), "?", 1),
+        )
+        .withColumn(
+            "no_scheme",
+            F.expr("substring(stripped, instr(stripped, '://') + 3)"),
+        )
+        .withColumn("host", F.substring_index(F.col("no_scheme"), "/", 1))
+        .withColumn(
+            "canon_url",
+            F.concat(
+                F.lit("https://"),
+                F.lower(F.col("host")),
+                F.expr("substring(no_scheme, length(host) + 1)"),
+            ),
+        )
+    )
+    return (
+        canonized
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("url").alias("first_url"),
+        )
+    )
