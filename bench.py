@@ -67,6 +67,12 @@ HEADLINE_QUERIES = [
     # tracking before round 4 scales anything (VERDICT r2 item 9)
     "corpus_select_fuzzy",
     "dedup_clusters",
+    # r3 new tiers
+    "html_outlinks",
+    "pagerank",
+    "paragraph_dedup",
+    "benchmark_contamination",
+    "url_canonicalize",
 ]
 
 

@@ -175,6 +175,22 @@ def test_embedding_lsh_joins_on_bucket(spark):
     assert "bucket" in plan
 
 
+def test_r3_operators_plan_shapes(spark):
+    """Round-3 additions keep their claimed scale shapes: the
+    decontamination scan broadcasts the benchmark shingle set (the
+    corpus side never shuffles for the join), paragraph dedup has no
+    window and map-side partials, pagerank's per-iteration join is
+    hash-based (no cartesian/nested-loop anywhere)."""
+    plan = plan_of(REGISTRY["benchmark_contamination"].spark(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    plan = plan_of(REGISTRY["paragraph_dedup"].spark(spark, SF_SMALL))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_" in plan
+    plan = plan_of(REGISTRY["pagerank"].spark(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """The revenue_by_nation docstring claims the lineitem⋈orders pair
     would be bucketed on orderkey at 100 TB to eliminate its shuffle —
