@@ -3,9 +3,13 @@
 * ``dedup``       — exact, MinHash+LSH, SimHash, n-gram Jaccard
                     (optional stop-shingle cap), embedding-cosine
                     near-dup (SRP-LSH-blocked scale default),
-                    connected-components cluster resolution
+                    connected-components cluster resolution,
+                    paragraph-grain dedup with reconstruction,
+                    benchmark n-gram decontamination
 * ``similarity``  — brute-force cosine top-k, SRP-LSH-bucketed and
                     IVF approximate top-k
+* ``webgraph``    — outlink edge extraction, fixed-iteration integer
+                    PageRank (bit-identical across partitionings)
 * ``textstats``   — language-ID, quality scoring, token counting,
                     document fingerprinting
 * ``topk``        — bounded per-group top-k (the window-free

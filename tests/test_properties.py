@@ -121,3 +121,44 @@ def test_midtable_th_row_emits_no_separator():
 def test_pre_preserves_newlines():
     out = html_to_markdown(b"<p>before</p><pre>def f():\n    return 1</pre>")
     assert out == "before\n\n```\ndef f():\n    return 1\n```"
+
+
+def test_extract_links_edge_cases():
+    from extractor.html_extract import extract_links
+
+    # document order, whitespace-normalized anchor text
+    assert extract_links(
+        b'<p><a href="/a"> one  two </a>x<a href="/b">three</a></p>'
+    ) == [("/a", "one two"), ("/b", "three")]
+    # anchors without href are skipped; script subtrees ignored
+    assert extract_links(
+        b'<a name="x">no href</a><script><a href="/s">skip</a></script>'
+        b'<a href="/c">kept</a>'
+    ) == [("/c", "kept")]
+    # malformed: a new <a> implicitly closes the open one
+    assert extract_links(b'<a href="/a">one<a href="/b">two</a>') == [
+        ("/a", "one"), ("/b", "two"),
+    ]
+    # unclosed trailing anchor is still flushed
+    assert extract_links(b'<a href="/z">tail') == [("/z", "tail")]
+    assert extract_links(None) == []
+    assert extract_links(b"") == []
+
+
+def test_extract_links_matches_boiler_fixture():
+    """The oracle's derived link-farm structure must equal the real
+    parse of the boiler fixture html (the same invariant the driver
+    checks end-to-end through Spark)."""
+    from extractor.html_extract import extract_links
+    from extractor.testgen import make_page_record
+
+    doc_id = 28  # 28 % 20 == 8 → html_boiler
+    rec = make_page_record(doc_id, "alpha beta gamma delta epsilon zeta", "en")
+    links = extract_links(rec["html"])
+    farms = [(doc_id, 4), (doc_id + 1, 4), (doc_id, 6), (doc_id + 2, 5), (doc_id, 3)]
+    expected = [
+        (f"/x/{d}/{i}", f"link word {i}")
+        for d, n in farms
+        for i in range(n)
+    ]
+    assert links == expected
