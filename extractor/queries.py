@@ -2496,9 +2496,11 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     url-level dedup): lowercase scheme+host, strip query and fragment;
     synthetic tracking-param/fragment/case variants collapse onto one
     canonical key.  Map-only expressions + one count shuffle."""
+    # format_string, not lpad: lpad TRUNCATES ids past 6 digits, while
+    # printf('%06d') (the oracle) widens — identical only on format_string
     v0 = F.concat(
         F.lit("https://example-42.test/page/"),
-        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.format_string("%06d", F.col("doc_id")),
         F.lit(".html"),
     )
     upper_v = F.concat(F.lit("HTTPS://EXAMPLE-42.TEST"), F.expr("substring(v0, 24)"))

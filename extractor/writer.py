@@ -90,7 +90,11 @@ def _write_snapshot_iceberg(
     try:
         writer.append()
     except Exception:
-        # first write: table does not exist yet
+        # first write: table does not exist yet.  Only fall through to
+        # create() in that case — a failed append against an EXISTING
+        # table must surface, not be masked by a doomed create.
+        if spark.catalog.tableExists(table):
+            raise
         writer.create()
     return run_id
 
