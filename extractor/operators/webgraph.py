@@ -80,11 +80,18 @@ def pagerank_int(
     rank(u) div outdeg(u) — all integer ops (div = floor division,
     damping via *85 then div 100), so the result is bit-identical
     across engines and partitionings.  Multi-edges count with their
-    multiplicity (each anchor is an endorsement)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    multiplicity (each anchor is an endorsement) — collapsed ONCE into
+    (src, dst, weight) before the loop, so every iteration joins the
+    distinct-edge table and moves weight·contrib instead of repeated
+    rows (same integer result: the per-copy contribution is identical,
+    so w·(rank div odeg) == the multi-row sum)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("odeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -99,7 +106,7 @@ def pagerank_int(
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank div odeg").alias("c"),
+                F.expr("w * (rank div odeg)").alias("c"),
             )
         )
         in_mass = contribs.groupBy("node").agg(F.sum("c").alias("s"))

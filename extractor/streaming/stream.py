@@ -121,6 +121,24 @@ def streaming_extract_pages(
     )
 
 
+def streaming_outlinks(
+    pages_stream: DataFrame, cfg: ExtractConfig = ExtractConfig()
+) -> DataFrame:
+    """Stateless outlink extraction over a pages stream — the edge feed
+    for an incrementally-maintained web graph (a periodic batch
+    ``pagerank_int`` job consumes the accumulated edges, the same
+    lambda split as page reassembly).  Same operator as batch
+    (operators.webgraph.html_outlinks): one implementation, plan
+    unchanged on a stream."""
+    from extractor.operators.webgraph import html_outlinks
+
+    routed = route(pages_stream).withColumn("route_error", _quarantine_error(cfg))
+    valid_html = routed.filter(
+        (F.col("doc_type") == "html") & F.col("route_error").isNull()
+    )
+    return html_outlinks(valid_html)
+
+
 def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h window per event_type with late-data watermark —
     identical expressions to the batch ``events_windowed`` oracle

@@ -289,3 +289,33 @@ def test_streaming_aggs_support_append_mode(spark, events_dir, tmp_path):
         )
         q.processAllAvailable()
         q.stop()
+
+
+def test_streaming_outlinks_equals_batch(spark, tmp_path):
+    """The streaming edge feed must emit exactly the batch operator's
+    edge rows (one implementation, stream==batch)."""
+    from extractor.operators.webgraph import html_outlinks
+    from extractor.pipeline import _quarantine_error, route
+    from extractor.streaming.stream import read_pages_stream, streaming_outlinks
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    name = _run_stream(streaming_outlinks(stream, CFG))
+    srows = {
+        (r["url"], r["seq"], r["href"], r["anchor_text"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    routed = route(spark.read.parquet(pages_dir)).withColumn(
+        "route_error", _quarantine_error(CFG)
+    )
+    batch = html_outlinks(
+        routed.filter((F.col("doc_type") == "html") & F.col("route_error").isNull())
+    )
+    brows = {
+        (r["url"], r["seq"], r["href"], r["anchor_text"]) for r in batch.collect()
+    }
+    assert srows == brows
+    assert len(brows) > 100  # boiler fixtures contribute 22 edges each
