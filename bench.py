@@ -73,6 +73,7 @@ HEADLINE_QUERIES = [
     "paragraph_dedup",
     "benchmark_contamination",
     "url_canonicalize",
+    "source_mixture_sample",
 ]
 
 

@@ -2556,3 +2556,82 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("url").alias("first_url"),
         )
     )
+
+
+@register(
+    "source_mixture_sample",
+    f"""
+    -- temperature-style source mixing (alpha=0.5), fully integer-exact:
+    -- w_s = floor(sqrt(n_s * 10^6)) (single correctly-rounded sqrt, no
+    -- float accumulation), quotas = target * w_s // W, and per-doc
+    -- acceptance by hash threshold h6 * n_s < quota_s * 10^6 — every
+    -- cross-engine-compared value is an integer.
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_s)::BIGINT AS n_total,
+             sum(CAST(floor(sqrt(n_s * 1000000.0)) AS BIGINT))::BIGINT AS w_tot
+      FROM counts
+    ), quotas AS (
+      SELECT c.source, c.n_s,
+             ((t.n_total // 2) * CAST(floor(sqrt(c.n_s * 1000000.0)) AS BIGINT))
+               // t.w_tot AS quota
+      FROM counts c, tot t
+    ), accepted AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM documents d JOIN quotas q ON q.source = d.source
+      WHERE ({_HEX64_SQL.format(x="d.doc_id::VARCHAR || ':' || d.source || ':mix'")}
+             % 1000000) * q.n_s < q.quota * 1000000
+      GROUP BY d.source
+    )
+    SELECT q.source, q.n_s::BIGINT AS n_docs, q.quota::BIGINT AS quota,
+           coalesce(a.n_sampled, 0)::BIGINT AS n_sampled
+    FROM quotas q LEFT JOIN accepted a ON a.source = q.source
+    """,
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling (the data-mixing step of
+    a training pipeline; temperature alpha=0.5 a la UniMax/multilingual
+    sampling): per-source quotas from integer-exact sqrt weights, and
+    hash-thresholded per-doc acceptance so the SAME docs are selected
+    on any cluster, any partitioning, and in the oracle.
+
+    Scale shape: the per-source stats table is tiny (sources ~10^3) →
+    computed with one map-side-partial groupBy, then BROADCAST back
+    onto the corpus; acceptance is a map-only expression; the only
+    corpus-wide shuffle is the final per-source count."""
+    from extractor.operators.dedup import hex64
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_s = F.floor(F.sqrt(F.col("n_s") * F.lit(1_000_000.0))).cast("long")
+    weighted = counts.withColumn("w_s", w_s)
+    tot = weighted.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_tot")
+    )
+    quotas = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr("((n_total div 2) * w_s) div w_tot").alias("quota"),
+    )
+    h6 = (
+        hex64(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("source"),
+                F.lit(":mix"),
+            )
+        )
+        % 1_000_000
+    )
+    accepted = (
+        docs.join(F.broadcast(quotas), "source")
+        .filter(h6 * F.col("n_s") < F.col("quota") * 1_000_000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return quotas.join(accepted, "source", "left").select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "quota",
+        F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+    )
