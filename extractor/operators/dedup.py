@@ -140,23 +140,24 @@ def minhash_signatures(
     )
 
 
-def lsh_pairs(
+def banded_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs with signature-estimated Jaccard.
+    """(id, sig, band_idx, band_key) rows — the LSH index grain.
 
-    shingle → K minhashes → ``bands`` bands of K/bands rows → band-key
-    self-join → estimate = matching-component fraction ≥ threshold.
-    Returns (a, b, est_jaccard) with a < b, deduplicated.
-    """
+    One row per (doc, band); ``band_key`` is the md5 of that band's
+    signature slice.  This is both :func:`lsh_pairs`' candidate stage
+    and the PERSISTED table of the incremental dedup index
+    (operators.incremental): the index stores exactly these rows, so
+    a new crawl batch can join against committed history without
+    recomputing historic signatures."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k)
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
@@ -174,6 +175,23 @@ def lsh_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with signature-estimated Jaccard.
+
+    shingle → K minhashes → ``bands`` bands of K/bands rows → band-key
+    self-join → estimate = matching-component fraction ≥ threshold.
+    Returns (a, b, est_jaccard) with a < b, deduplicated.
+    """
+    banded = banded_signatures(df, id_col=id_col, text_col=text_col, k=k, bands=bands)
     left = banded.select(
         F.col("band_idx"), F.col("band_key"),
         F.col("id").alias("a"), F.col("sig").alias("sig_a"),

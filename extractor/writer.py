@@ -137,6 +137,7 @@ def write_snapshot(
     partition_by: list[str] | None = None,
     backend: str = "manifest",
     iceberg_table: str | None = None,
+    key_col: str = "url",
 ) -> str:
     """Write one snapshot atomically; returns the run_id.
 
@@ -157,6 +158,12 @@ def write_snapshot(
     catalog (:func:`_write_snapshot_iceberg`) and raises RuntimeError
     when no catalog is attached — the "swapping in a real catalog
     changes nothing upstream" claim, as an executable branch.
+
+    ``key_col`` seeds the per-row lineage id (default the extracted
+    table's ``url``); tables without ``success``/``latency_s`` columns
+    (e.g. the incremental dedup index) get NULL ok/err/latency lineage
+    instead of failing — row counts and commit atomicity are
+    schema-independent.
     """
     if backend not in WRITER_BACKENDS:
         raise ValueError(
@@ -174,9 +181,9 @@ def write_snapshot(
     with_pid = df.withColumn("partition_id", F.spark_partition_id()).withColumn(
         # O1: deterministic per-row lineage id (reference's uuid4
         # correlation id, middleware.py:70-75, made reproducible:
-        # hash of url + snapshot id)
+        # hash of key + snapshot id)
         "lineage_id",
-        F.md5(F.concat(F.col("url"), F.lit(":" + run_id))),
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + run_id))),
     )
     writer = with_pid.write.mode("errorifexists")
     if partition_by:
@@ -186,13 +193,24 @@ def write_snapshot(
     # Lineage from the committed bytes (one cheap column-pruned scan),
     # never from a second execution of the pipeline.
     written = spark.read.parquet(data_path)
+    has_success = "success" in written.columns
+    has_latency = "latency_s" in written.columns
     lineage = (
         written.groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("row_count"),
-            F.count(F.when(F.col("success"), 1)).alias("ok_count"),
-            F.count(F.when(~F.col("success"), 1)).alias("err_count"),
-            F.round(F.sum("latency_s"), 3).alias("latency_s"),
+            (
+                F.count(F.when(F.col("success"), 1)) if has_success
+                else F.lit(None).cast("long")
+            ).alias("ok_count"),
+            (
+                F.count(F.when(~F.col("success"), 1)) if has_success
+                else F.lit(None).cast("long")
+            ).alias("err_count"),
+            (
+                F.round(F.sum("latency_s"), 3) if has_latency
+                else F.lit(None).cast("double")
+            ).alias("latency_s"),
         )
         .select(
             F.lit(run_id).alias("run_id"),

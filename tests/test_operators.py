@@ -374,3 +374,47 @@ def test_ngram_jaccard_cap_recall_edge_documented(spark):
     assert capped <= exact
     for pair in exact - capped:
         assert pair not in {(1, 2), (3, 4)}
+
+
+def test_incremental_lsh_dedup_equals_one_shot(spark, tmp_path):
+    """Batched dedup against the committed band index must find exactly
+    the one-shot pair set over the union, with identical estimates —
+    and a crashed (uncommitted) batch must leave the index unchanged."""
+    from extractor.operators.dedup import lsh_pairs
+    from extractor.operators.incremental import incremental_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # inject dups across the batch boundary: copies of early docs with
+    # ids landing in the SECOND batch
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(copies)
+    b1 = corpus.filter(F.col("doc_id") < 250)
+    b2 = corpus.filter(F.col("doc_id") >= 250)
+    assert b1.count() > 0 and b2.count() > 0
+
+    def key(rows):
+        return {(r["a"], r["b"]): r["est_jaccard"] for r in rows}
+
+    one_shot = key(lsh_pairs(corpus, threshold=0.5).collect())
+    assert one_shot, "fixture must produce near-dup pairs"
+
+    idx = str(tmp_path / "lsh_index")
+    p1 = key(incremental_lsh_dedup(b1, idx, threshold=0.5).collect())
+    # dry run (commit=False) must not advance the index
+    from extractor.writer import committed_run_ids
+
+    n_snapshots = len(committed_run_ids(idx))
+    incremental_lsh_dedup(b2, idx, threshold=0.5, commit=False).collect()
+    assert len(committed_run_ids(idx)) == n_snapshots
+    p2 = key(incremental_lsh_dedup(b2, idx, threshold=0.5).collect())
+
+    merged = dict(p1)
+    merged.update(p2)
+    assert merged == one_shot
+    # cross-batch pairs actually exercised the history index
+    cross = [k for k in p2 if (k[0] < 250) != (k[1] < 250)]
+    assert cross, "expected pairs spanning the batch boundary"
