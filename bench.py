@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "benchmark_contamination",
     "url_canonicalize",
     "source_mixture_sample",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -2635,3 +2635,39 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quota",
         F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    # The oracle IS the one-shot SQL: batched dedup against the
+    # committed band index must equal a single lsh_pairs pass over the
+    # whole corpus — the operator's core invariant, driver-checked.
+    f"""
+    WITH {_LSH_CTES}
+    SELECT a, b, round(min(est), 4) AS est_jaccard
+    FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
+    """,
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch dedup (operators.incremental): the
+    corpus arrives as two batches; batch 2 dedups against batch 1's
+    COMMITTED band-signature snapshot (history text never re-read),
+    and the union of per-batch pair sets must equal the one-shot LSH
+    over everything — which is exactly what the oracle computes.  The
+    index lives in a per-run scratch dir (the registry query is
+    self-contained); production points it at a durable table."""
+    import tempfile
+
+    from extractor.operators.incremental import incremental_lsh_dedup
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    # batch 1: first half of the original docs; batch 2: the rest plus
+    # every injected copy (ids +1e6) — cross-batch dups guaranteed
+    b1 = corpus.filter(F.col("doc_id") < 250)
+    b2 = corpus.filter(F.col("doc_id") >= 250)
+    index_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    p1 = incremental_lsh_dedup(b1, index_dir, threshold=0.5)
+    p2 = incremental_lsh_dedup(b2, index_dir, threshold=0.5)
+    # pair sets are disjoint (every p2 pair touches a batch-2 doc), so
+    # the union IS the one-shot result
+    return p1.unionByName(p2)
