@@ -85,13 +85,17 @@ def pagerank_int(
     distinct-edge table and moves weight·contrib instead of repeated
     rows (same integer result: the per-copy contribution is identical,
     so w·(rank div odeg) == the multi-row sum)."""
-    e = (
+    dedup_e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.sum("w").alias("odeg"))
+    # out-degree is STATIC — fold it into the edge table once so each
+    # iteration joins ranks only (one join per round, not two); on a
+    # real table this (src, dst, w, odeg) relation is also what gets
+    # bucketed by src so the per-iteration join co-locates.
+    outdeg = dedup_e.groupBy("src").agg(F.sum("w").alias("odeg"))
+    e = dedup_e.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -103,7 +107,6 @@ def pagerank_int(
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("w * (rank div odeg)").alias("c"),

@@ -263,18 +263,27 @@ def _pdf_ocr_iter(cfg: ExtractConfig):
             # micro-batch: ONE engine call for the whole Arrow batch
             ok_rows = pdf[ok_mask]
             raw_results: dict[int, tuple] = {}
+            # Per-page latency semantics mirror the image branch: the
+            # micro-batched call is one unit of GPU work amortized
+            # equally over its pages; the degraded path restores true
+            # per-page times (reference pdf_processor times each page).
+            page_lat: dict[int, float] = {}
             t0 = time.perf_counter()
             payloads = [bytes(b) for b in ok_rows["raw_page"]]
             try:
                 # One engine call per Arrow batch — the GPU micro-batch.
                 raws = engine.infer_batch(payloads, prompt)
+                share = (time.perf_counter() - t0) / max(len(payloads), 1)
                 pairs = list(zip(ok_rows.index, raws))
+                for idx in ok_rows.index:
+                    page_lat[idx] = share
             except Exception:
                 # A poison page failed the whole batch: degrade to
                 # per-page calls so the error is isolated to its row
                 # (reference pdf_processor.py:228-247 semantics).
                 pairs = []
                 for idx, payload in zip(ok_rows.index, payloads):
+                    t1 = time.perf_counter()
                     try:
                         pairs.append((idx, engine.infer_batch([payload], prompt)[0]))
                     except Exception as exc:
@@ -283,20 +292,19 @@ def _pdf_ocr_iter(cfg: ExtractConfig):
                         # "Failed to process page N: …" prefix is added
                         # by the reassembly warnings (A2, :230).
                         raw_results[idx] = ("", False, str(exc))
+                    page_lat[idx] = time.perf_counter() - t1
             for idx, raw in pairs:
                 text = clean_stdout_output(raw, strip_grounding=strip)
                 text = text.strip() if text else ""  # T10
                 raw_results[idx] = (text, True, None)
-            per_page_lat = (
-                round((time.perf_counter() - t0) / max(len(payloads), 1), 6)
-            )
             for idx in pdf.index:
                 r = pdf.loc[idx]
                 if idx in raw_results:
                     text, ok, err = raw_results[idx]
                     rows.append((r["url"], r["warc_ts"],
                                  int(r["page_number"]), int(r["total_pages"]),
-                                 text, ok, err, per_page_lat))
+                                 text, ok, err,
+                                 round(page_lat.get(idx, 0.0), 6)))
                 else:  # doc-level error row passes through
                     rows.append((r["url"], r["warc_ts"], None, None, None,
                                  False, r["error"], r["latency_s"]))
