@@ -56,6 +56,13 @@ def main() -> int:
     ap.add_argument("--partition-by", default=None,
                     help="comma-separated columns to hive-partition the "
                          "output snapshot by (e.g. doc_type)")
+    ap.add_argument("--writer-backend", default="manifest",
+                    choices=("manifest", "iceberg"),
+                    help="snapshot commit mechanism: the catalog-free "
+                         "manifest emulation (default) or a real Iceberg "
+                         "catalog via writeTo().append()")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="catalog.db.table for --writer-backend iceberg")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -85,6 +92,20 @@ def main() -> int:
         **cfg_kwargs,
     )
 
+    if args.writer_backend == "iceberg":
+        # Fail fast on a misconfigured catalog BEFORE paying for the
+        # extraction — the same RuntimeError write_snapshot would raise
+        # hours later at commit time.
+        from extractor.writer import _iceberg_catalog_names
+
+        if not args.iceberg_table:
+            raise SystemExit("--writer-backend iceberg requires --iceberg-table")
+        if not _iceberg_catalog_names(spark):
+            raise SystemExit(
+                "no Iceberg catalog configured on this session "
+                "(spark.sql.catalog.<name>); aborting before extraction"
+            )
+
     if args.resume:
         pages = resume_filter(pages, args.output)
 
@@ -93,7 +114,15 @@ def main() -> int:
         extracted,
         args.output,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
+        backend=args.writer_backend,
+        iceberg_table=args.iceberg_table,
     )
+    if args.writer_backend == "iceberg":
+        # Iceberg's own metadata carries lineage; the manifest-side
+        # lineage summary below only exists for the emulation.
+        print(f"appended snapshot {run_id} to {args.iceberg_table}")
+        spark.stop()
+        return 0
     summary = (
         spark.read.parquet(os.path.join(args.output, "lineage", run_id))
         .agg(
