@@ -75,6 +75,7 @@ HEADLINE_QUERIES = [
     "url_canonicalize",
     "source_mixture_sample",
     "dedup_incremental_lsh",
+    "dedup_containment",
 ]
 
 

@@ -676,3 +676,48 @@ def ngram_contamination(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment |sh(A) ∩ sh(B)| / |sh(A)| within
+    blocking groups (Broder 1997's containment measure): finds small
+    documents embedded in larger ones — syndicated snippets, quoted
+    articles, boilerplate-wrapped reposts — which symmetric Jaccard
+    scores near 0 when the host document is much larger.
+
+    Returns (a, b, containment) with ``a`` the CONTAINED doc; pairs
+    are ordered, so (a,b) and (b,a) can both appear (mutual
+    containment ≈ exact dup).  Same inverted-index shape as
+    :func:`ngram_jaccard_pairs`: only pairs sharing a shingle are ever
+    materialized, one equi-join shuffle on (block, shingle)."""
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        word_hashes(F.col(text_col)).alias("wh"),  # digest pass, once
+    ).select(
+        *block_cols, "id", shingle_hashes_from(F.col("wh"), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    ex = base.select(
+        *block_cols, "id", "sz", F.explode_outer("sh").alias("h")
+    ).filter(F.col("h").isNotNull())
+    a = ex.select(*block_cols, F.col("id").alias("a"), F.col("sz").alias("sz_a"), "h")
+    b = ex.select(*block_cols, F.col("id").alias("b"), "h")
+    inter = (
+        a.join(b, [*block_cols, "h"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = F.col("n_inter") / F.col("sz_a")
+    return (
+        inter.select("a", "b", c.alias("c"))
+        .filter(F.col("c") >= threshold)
+        .select("a", "b", F.round("c", 4).alias("containment"))
+    )

@@ -2671,3 +2671,55 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair sets are disjoint (every p2 pair touches a batch-2 doc), so
     # the union IS the one-shot result
     return p1.unionByName(p2)
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      -- injected snippets: the first 30 words of every 7th doc — the
+      -- syndicated-excerpt case symmetric Jaccard misses
+      SELECT doc_id + 3000000,
+             array_to_string(list_slice(string_split(text, ' '), 1, 30), ' '),
+             lang
+      FROM documents WHERE doc_id % 7 = 0
+    ), wh AS (
+      SELECT doc_id, lang,
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647)) AS sh
+      FROM wh
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(length(list_intersect(a.sh, b.sh))::DOUBLE / length(a.sh), 4)
+             AS containment
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE length(list_intersect(a.sh, b.sh))::DOUBLE / length(a.sh) >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment (operators.dedup.
+    ngram_containment_pairs): |sh(A)∩sh(B)| / |sh(A)| ≥ 0.8 within
+    lang blocks — injected 30-word snippets of every 7th doc are the
+    expected contained-in-host pairs (their symmetric Jaccard vs the
+    host is far below any dedup threshold)."""
+    from extractor.operators.dedup import ngram_containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    snippets = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("text"),
+        "lang",
+    )
+    corpus = docs.unionAll(snippets)
+    return ngram_containment_pairs(
+        corpus, block_cols=["lang"], threshold=0.8
+    )
