@@ -10,6 +10,8 @@
                     IVF approximate top-k
 * ``webgraph``    — outlink edge extraction, fixed-iteration integer
                     PageRank (bit-identical across partitionings)
+* ``incremental`` — crawl-batch fuzzy dedup against a committed
+                    band-signature index (history never recomputed)
 * ``textstats``   — language-ID, quality scoring, token counting,
                     document fingerprinting
 * ``topk``        — bounded per-group top-k (the window-free
