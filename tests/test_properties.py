@@ -162,3 +162,39 @@ def test_extract_links_matches_boiler_fixture():
         for i in range(n)
     ]
     assert links == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4000))
+def test_extract_links_total_on_arbitrary_bytes(b):
+    """Edge extraction must be total on byte soup (same errors-are-data
+    requirement as the main extractor) and every element well-formed."""
+    from extractor.html_extract import extract_links
+
+    out = extract_links(b)
+    assert isinstance(out, list)
+    for href, anchor in out:
+        assert isinstance(href, str) and isinstance(anchor, str)
+        assert "\n" not in anchor  # whitespace-normalized
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=1, max_value=20000), st.integers(min_value=1, max_value=20000))
+def test_plan_compress_resize_invariants(w, h):
+    """For any dims: either no resize (both sides already fit) or the
+    resized dims fit max_dim with the LARGER side hitting it exactly,
+    aspect preserved up to int truncation (reference arithmetic)."""
+    from extractor.operators.multimodal import MAX_DIMENSION, plan_compress
+
+    _, resize_to = plan_compress("RGB", w, h)
+    if resize_to is None:
+        assert w <= MAX_DIMENSION and h <= MAX_DIMENSION
+    else:
+        ow, oh = resize_to
+        # float truncation can land the larger side on max_dim-1
+        # (reference behavior — see RESIZE_VECTORS (187, 3510) case)
+        assert max(ow, oh) in (MAX_DIMENSION - 1, MAX_DIMENSION)
+        assert ow <= MAX_DIMENSION and oh <= MAX_DIMENSION
+        # aspect: int truncation of the exact scaled value
+        scale = MAX_DIMENSION / w if w > h else MAX_DIMENSION / h
+        assert (ow, oh) == (int(w * scale), int(h * scale))
