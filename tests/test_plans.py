@@ -74,6 +74,8 @@ def test_jvm_only_queries_have_no_python_stage(spark):
         "events_windowed", "sessionize", "events_topk_users",
         "pricing_summary", "revenue_by_nation",
         "ann_topk_cosine", "ann_lsh_bucketed", "dedup_embedding_cosine",
+        "paragraph_dedup", "benchmark_contamination", "url_canonicalize",
+        "source_mixture_sample", "dedup_containment",
     ]:
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
         assert "Python" not in plan, f"{name} has a Python stage:\n{plan[:1500]}"
