@@ -418,3 +418,37 @@ def test_incremental_lsh_dedup_equals_one_shot(spark, tmp_path):
     # cross-batch pairs actually exercised the history index
     cross = [k for k in p2 if (k[0] < 250) != (k[1] < 250)]
     assert cross, "expected pairs spanning the batch boundary"
+
+
+def test_incremental_index_survives_compaction(spark, tmp_path):
+    """Daily appends → many small snapshots; compact_snapshots must
+    fold the band index without changing subsequent batch results
+    (the writer's maintenance job works on non-extraction tables)."""
+    from extractor.operators.dedup import lsh_pairs
+    from extractor.operators.incremental import incremental_lsh_dedup
+    from extractor.writer import committed_run_ids, compact_snapshots
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(copies)
+    b1 = corpus.filter(F.col("doc_id") < 150)
+    b2 = corpus.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 350))
+    b3 = corpus.filter(F.col("doc_id") >= 350)
+
+    def key(rows):
+        return {(r["a"], r["b"]): r["est_jaccard"] for r in rows}
+
+    idx = str(tmp_path / "idx")
+    p1 = key(incremental_lsh_dedup(b1, idx, threshold=0.5).collect())
+    p2 = key(incremental_lsh_dedup(b2, idx, threshold=0.5).collect())
+    assert len(committed_run_ids(idx)) == 2
+    assert compact_snapshots(spark, idx) is not None
+    assert len(committed_run_ids(idx)) == 1  # folded
+    p3 = key(incremental_lsh_dedup(b3, idx, threshold=0.5).collect())
+
+    merged = {**p1, **p2, **p3}
+    assert merged == key(lsh_pairs(corpus, threshold=0.5).collect())
