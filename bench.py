@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "source_mixture_sample",
     "dedup_incremental_lsh",
     "dedup_containment",
+    "ann_recall",
 ]
 
 
