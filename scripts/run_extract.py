@@ -56,6 +56,11 @@ def main() -> int:
     ap.add_argument("--partition-by", default=None,
                     help="comma-separated columns to hive-partition the "
                          "output snapshot by (e.g. doc_type)")
+    ap.add_argument("--compact-after", action="store_true",
+                    help="run snapshot compaction (writer.compact_snapshots) "
+                         "after the write — the periodic maintenance a "
+                         "continuously-appended table needs; no-op with "
+                         "fewer than 2 live snapshots")
     ap.add_argument("--writer-backend", default="manifest",
                     choices=("manifest", "iceberg"),
                     help="snapshot commit mechanism: the catalog-free "
@@ -108,6 +113,12 @@ def main() -> int:
 
     if args.resume:
         pages = resume_filter(pages, args.output)
+        if pages.isEmpty():  # cheap limit-1 probe on the INPUT side
+            # Everything already committed: a zero-row snapshot would
+            # add a manifest + empty files per re-run for nothing.
+            print("resume: no uncommitted input rows; nothing to do")
+            spark.stop()
+            return 0
 
     extracted = run_extraction(spark, pages, cfg)
     run_id = write_snapshot(
@@ -134,6 +145,12 @@ def main() -> int:
     )
     print(f"committed snapshot {run_id}: rows={summary['rows']} "
           f"ok={summary['ok']} err={summary['err']}")
+    if args.compact_after:
+        from extractor.writer import compact_snapshots
+
+        folded = compact_snapshots(spark, args.output)
+        print(f"compacted into {folded}" if folded else "compaction skipped "
+              "(fewer than 2 live snapshots)")
     spark.stop()
     return 0
 
