@@ -77,6 +77,7 @@ HEADLINE_QUERIES = [
     "dedup_incremental_lsh",
     "dedup_containment",
     "ann_recall",
+    "events_funnel",
 ]
 
 

@@ -2896,3 +2896,71 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall_row(lsh6, "lsh_p6", 3))
         .unionByName(recall_row(lsh3, "lsh_p3", 3))
     )
+
+
+@register(
+    "events_funnel",
+    """
+    -- strictly-ordered 3-step funnel (view -> click -> purchase):
+    -- t2 = first click AFTER the user's first view, t3 = first
+    -- purchase AFTER that click; min(ts) is deterministic on both
+    -- sides (timestamps are values, not row picks)
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           (CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END)::INT AS steps
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s2.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel matching (view → click → purchase): the
+    sequential-pattern analytics a behavioral events table exists for
+    — each step's timestamp must STRICTLY follow the previous step's.
+
+    Scale shape: K sequential steps = K-1 self-joins on user_id after
+    a per-user min-aggregate each — every join is an equi-join on the
+    same key, so one hash partitioning on user_id serves the whole
+    chain (Exchange reuse), and each stage's input shrinks to the
+    users who survived the previous step.  No window over the raw
+    event stream."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1).cast("int").alias("steps"),
+        )
+    )
