@@ -473,20 +473,29 @@ def embedding_neardup_pairs_srp(
     threshold: float = 0.95,
     n_planes: int = 6,
     dim: int = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates blocked by SRP-LSH bucket —
-    the DEFAULT scale formulation.
+    """Embedding-cosine near-duplicates blocked by OR-amplified
+    SRP-LSH buckets — the DEFAULT scale formulation.
 
     Label/category blocking is quadratic within each block; with few
     huge categories (the realistic corpus shape) that is the
     scale-killer.  Sign-random-projection buckets (Charikar 2002;
     same construction as similarity.srp_bucket) are ~uniform AND
-    similarity-preserving: a near-duplicate pair flips a plane's sign
-    with probability θ/π ≈ 0.03 at cos ≥ 0.95, so recall stays high
-    while the pair join shrinks by ~2^P.  Raise ``n_planes`` as the
-    corpus grows to keep |bucket| bounded; the bucket is the join AND
-    partition key, so AQE can split any residual hot bucket.
-    Returns (bucket, a, b, cosine)."""
+    similarity-preserving — but a single band is NOT enough at this
+    function's own default threshold: a pair at cos 0.95 flips a
+    plane's sign with probability θ/π = arccos(0.95)/π ≈ 0.101
+    (0.03 corresponds to cos ≈ 0.995), so with P=6 planes both ids
+    land in the same bucket only (1−0.101)^6 ≈ 0.53 of the time —
+    about half the genuine pairs would be silently dropped.  The
+    standard LSH fix is OR-amplification: ``n_bands`` independent
+    plane families, a pair survives if ANY band agrees — recall
+    1−(1−0.53)^B ≈ 0.95 at B=4 — at the cost of B bucket tables
+    (the candidate join grows ~B×, still ~2^P/B below quadratic).
+    Raise ``n_planes`` as the corpus grows to keep |bucket| bounded
+    and ``n_bands`` to restore recall; the (band, bucket) pair is the
+    join AND partition key, so AQE can split any residual hot bucket.
+    Returns (a, b, cosine), deduplicated across bands."""
     from extractor.operators.similarity import srp_bucket
 
     def dot(x, y):
@@ -496,21 +505,37 @@ def embedding_neardup_pairs_srp(
             lambda acc, v: acc + v,
         )
 
+    # All B buckets computed in ONE inline array (B·P plane dots per
+    # row, evaluated once — posexplode of a fixed-size array folds the
+    # InferFiltersFromGenerate size() guard to a constant, so no
+    # re-evaluation; see minhash_signatures' explode_outer note for
+    # the variable-size case this avoids).
+    buckets = F.array(
+        *[srp_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes)
+          for t in range(n_bands)]
+    )
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
-        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
+        "id", "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
     )
-    a = base.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    a = base.select(
+        "band", "bucket",
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "band", "bucket",
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("bucket", "a", "b", cos.alias("cos"))
+        .select("a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .select("bucket", "a", "b", F.round("cos", 6).alias("cosine"))
+        .groupBy("a", "b")  # a pair can agree in several bands
+        .agg(F.round(F.max("cos"), 6).alias("cosine"))
     )
 
 
@@ -522,22 +547,25 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     dim: int = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates scoped to a CALLER-PROVIDED
     category column (only dedup within a label), blocked on the
-    COMPOSITE key ``(label, srp_bucket)``.
+    COMPOSITE key ``(label, band, srp_bucket)``.
 
     Blocking on the label alone is quadratic within each category —
     with few huge categories (the realistic corpus shape) that is a
-    scale-killer.  Compounding the label with the same sign-random-
-    projection bucket :func:`embedding_neardup_pairs_srp` uses keeps
-    the within-category semantics (a pair in different labels can
-    never join) while bounding every block to ~|label|/2^P rows; the
-    composite is the join AND partition key, so AQE can split any
-    residual hot (label, bucket).  Recall: a near-dup pair at the
-    0.95+ thresholds flips a plane sign with probability θ/π per
-    plane (≈0.03 at cos 0.95), same trade as the unscoped SRP variant.
-    """
+    scale-killer.  Compounding the label with the same OR-amplified
+    sign-random-projection buckets :func:`embedding_neardup_pairs_srp`
+    uses keeps the within-category semantics (a pair in different
+    labels can never join) while bounding every block to ~|label|/2^P
+    rows; the composite is the join AND partition key, so AQE can
+    split any residual hot (label, band, bucket).  Recall: a pair at
+    cos 0.95 flips a plane sign with probability θ/π ≈ 0.101 per
+    plane — one P=6 band keeps only ~0.53 of genuine pairs, so
+    ``n_bands`` independent plane families are OR-ed (any band
+    agreeing keeps the pair): recall ≈ 0.95 at the defaults, same
+    trade as the unscoped SRP variant."""
     from extractor.operators.similarity import srp_bucket
 
     def dot(x, y):
@@ -548,29 +576,35 @@ def embedding_neardup_pairs(
         )
 
     # Precompute norms row-side: O(N) instead of O(pairs) sqrt/dot.
+    buckets = F.array(
+        *[srp_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes)
+          for t in range(n_bands)]
+    )
     base = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).withColumn(
-        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
+        "blk", "id", "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
     )
 
     a = base.select(
-        "blk", "bucket",
+        "blk", "band", "bucket",
         F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = base.select(
-        "blk", "bucket",
+        "blk", "band", "bucket",
         F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["blk", "bucket"])
+        a.join(b, ["blk", "band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("blk", "a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .select(F.col("blk").alias("label"), "a", "b", F.round("cos", 6).alias("cosine"))
+        .groupBy("blk", "a", "b")  # a pair can agree in several bands
+        .agg(F.round(F.max("cos"), 6).alias("cosine"))
+        .select(F.col("blk").alias("label"), "a", "b", "cosine")
     )
 
 

@@ -13,10 +13,19 @@ the snapshot writer and, per batch:
      new×history (band join against the committed index — history
      never self-joins, so the per-batch cost is
      O(|new| + |new ⋈ history|), not O(|history|²));
-  3. commits the new band rows as one atomic snapshot, AFTER the
-     pairs are computed — a crashed batch leaves the index unchanged
-     and the batch simply re-runs (the writer's manifest commit is
-     the idempotence point, same as extraction resume).
+  3. commits the new band rows as one atomic snapshot.  With the
+     convenience ``commit=True`` the pairs are eagerly materialized
+     (localCheckpoint) BEFORE the manifest commit, so a crash during
+     pair computation leaves the index unchanged and the batch simply
+     re-runs.  The remaining crash window: after the commit but before
+     the CALLER durably persists the returned pairs, a re-run appends
+     the batch's band rows a second time — pair results stay correct
+     (the groupBy dedup collapses signature-identical duplicates) but
+     the index accretes duplicate rows that inflate future probe
+     joins.  Exactly-once orchestrators close that window by calling
+     with ``commit=False``, persisting the pairs, then calling
+     :func:`commit_band_rows` — the same order extraction resume uses
+     (output snapshot first, then the state advance).
 
 Invariant (pinned by tests/test_operators.py): running batches
 B1, B2, … through :func:`incremental_lsh_dedup` yields exactly the
@@ -87,6 +96,11 @@ def incremental_lsh_dedup(
     with ``a < b`` — id order, regardless of which side is historic.
 
     Batch ids must be globally unique across batches (crawl ids are).
+
+    With ``commit=True`` the pairs are checkpointed before the index
+    commit (module docstring step 3 discusses the crash-window
+    tradeoff vs the ``commit=False`` + :func:`commit_band_rows`
+    two-step).
     """
     spark: SparkSession = new_docs.sparkSession
     new_banded = banded_signatures(
@@ -105,5 +119,18 @@ def incremental_lsh_dedup(
             F.min("est_jaccard").alias("est_jaccard")
         ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
     if commit:
-        write_snapshot(new_banded, index_dir, key_col="id")
+        # Materialize pairs before advancing the index so the commit
+        # really does happen after pair computation (a lazy return
+        # would invert the order the docstring promises).
+        pairs = pairs.localCheckpoint(eager=True)
+        commit_band_rows(new_banded, index_dir)
     return pairs
+
+
+def commit_band_rows(banded: DataFrame, index_dir: str) -> str:
+    """Append a batch's band rows to the index as one atomic snapshot.
+
+    Separate from :func:`incremental_lsh_dedup` so exactly-once
+    callers can persist the pair results FIRST and advance the index
+    second; returns the snapshot run_id."""
+    return write_snapshot(banded, index_dir, key_col="id")

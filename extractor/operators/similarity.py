@@ -42,10 +42,17 @@ def _dot_lit(v: Column, plane: list[float]) -> Column:
     )
 
 
-def srp_bucket(v: Column, n_planes: int, dim: int) -> Column:
-    """2^P-way sign-random-projection bucket id of an embedding."""
+def srp_bucket(v: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """2^P-way sign-random-projection bucket id of an embedding.
+
+    ``plane_offset`` selects a disjoint plane family (indices
+    [offset, offset+P)) so OR-amplified multi-band LSH (each band its
+    own bucket table, a pair survives if ANY band agrees) can draw
+    independent bands from the same deterministic md5 construction;
+    offset 0 reproduces the original single-band bucket exactly."""
     bucket = F.lit(0)
-    for p, plane in enumerate(planes(n_planes, dim)):
+    all_planes = planes(plane_offset + n_planes, dim)[plane_offset:]
+    for p, plane in enumerate(all_planes):
         bucket = bucket + F.when(_dot_lit(v, plane) > 0, F.lit(2 ** p)).otherwise(0)
     return bucket
 

@@ -940,12 +940,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     """
-    WITH pl AS (  -- deterministic hyperplanes: md5(plane:p:d)
-      SELECT p.p,
+    WITH pl AS (  -- 4 OR-bands × 6 deterministic hyperplanes: md5(plane:p:d)
+      SELECT p.p, p.p // 6 AS band, p.p % 6 AS bit,
              list_transform(generate_series(0, 63), d ->
                ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
                    1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
-      FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+      FROM (SELECT unnest(generate_series(0, 23)) AS p) p
     ), corpus AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -955,23 +955,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 25 = 0
     ), normed AS (
       SELECT c.vec_id, c.label, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+             pl.band,
              CAST(sum(CASE WHEN list_dot_product(c.v, pl.w) > 0
-                           THEN 2 ** pl.p ELSE 0 END) AS INT) AS bucket
+                           THEN 2 ** pl.bit ELSE 0 END) AS INT) AS bucket
       FROM corpus c, pl
-      GROUP BY c.vec_id, c.label, c.v
+      GROUP BY c.vec_id, c.label, c.v, pl.band
     )
-    SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+    SELECT DISTINCT a.label AS label, a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
     FROM normed a JOIN normed b
-      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category-scoped embedding near-dup pairs, blocked on the
-    composite (label, srp_bucket) key — within-category semantics with
-    bounded blocks (the label-only block join is quadratic inside a
-    huge category).  Injected perturbed copies are the expected dups —
+    composite (label, band, srp_bucket) key with 4 OR-amplified SRP
+    bands — within-category semantics with bounded blocks (the
+    label-only block join is quadratic inside a huge category) and
+    ~0.95 recall at cos 0.95 (one 6-plane band alone keeps only ~53%;
+    see operators.dedup.embedding_neardup_pairs).
+    Injected perturbed copies are the expected dups —
     natural max same-label cos is 0.47, and a 0.01 single-dim
     perturbation almost never flips a plane sign (both engines derive
     identical buckets either way)."""
@@ -998,12 +1003,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     """
-    WITH pl AS (  -- deterministic hyperplanes: md5(plane:p:d)
-      SELECT p.p,
+    WITH pl AS (  -- 4 OR-bands × 6 deterministic hyperplanes: md5(plane:p:d)
+      SELECT p.p, p.p // 6 AS band, p.p % 6 AS bit,
              list_transform(generate_series(0, 63), d ->
                ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
                    1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
-      FROM (SELECT unnest(generate_series(0, 5)) AS p) p
+      FROM (SELECT unnest(generate_series(0, 23)) AS p) p
     ), corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -1012,25 +1017,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> embedding[i]::DOUBLE + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
       FROM embeddings WHERE vec_id % 25 = 0
     ), base AS (
-      SELECT c.vec_id, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+      SELECT c.vec_id, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm, pl.band,
              CAST(sum(CASE WHEN list_dot_product(c.v, pl.w) > 0
-                           THEN 2 ** pl.p ELSE 0 END) AS INT) AS bucket
+                           THEN 2 ** pl.bit ELSE 0 END) AS INT) AS bucket
       FROM corpus c, pl
-      GROUP BY c.vec_id, c.v
+      GROUP BY c.vec_id, c.v, pl.band
     )
-    SELECT a.bucket AS bucket, a.vec_id AS a, b.vec_id AS b,
+    SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM base a JOIN base b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
     """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs blocked by SRP-LSH bucket — the scale
-    default (see operators.dedup.embedding_neardup_pairs_srp): bucket
-    equi-join replaces the per-category quadratic block join; the same
-    perturbed copies as dedup_embedding_cosine are the expected dups
-    (a 0.01 single-dim perturbation almost never flips a plane sign,
-    and the oracle derives identical buckets either way)."""
+    """Embedding near-dup pairs blocked by 4 OR-amplified SRP-LSH
+    bands — the scale default (see
+    operators.dedup.embedding_neardup_pairs_srp): the (band, bucket)
+    equi-join replaces the per-category quadratic block join, and the
+    OR over bands restores the ~47% recall a single 6-plane band
+    loses at cos 0.95; the same perturbed copies as
+    dedup_embedding_cosine are the expected dups (a 0.01 single-dim
+    perturbation almost never flips a plane sign, and the oracle
+    derives identical buckets either way)."""
     from extractor.operators.dedup import embedding_neardup_pairs_srp
 
     emb = _emb(spark, sf_dir).select(

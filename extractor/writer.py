@@ -58,6 +58,7 @@ def _write_snapshot_iceberg(
     table: str,
     run_id: str,
     partition_by: list[str] | None,
+    key_col: str = "url",
 ) -> str:
     """The real-catalog branch of :func:`write_snapshot`: one
     ``writeTo(table).append()`` — the append IS the snapshot commit,
@@ -81,9 +82,17 @@ def _write_snapshot_iceberg(
             "configured on this session. Use backend='manifest' for "
             "the catalog-free emulation."
         )
+    # Same partition_id/lineage_id derivation as the manifest branch —
+    # key_col threads through so non-url tables (e.g. the incremental
+    # band index, key_col='id') append too, and no extra columns are
+    # added, keeping the two branches' output schemas identical.  The
+    # run_id is not a data column in either branch: the manifest branch
+    # records it in the manifest/lineage files, and here Iceberg's own
+    # snapshot metadata carries the commit identity.
     with_pid = df.withColumn("partition_id", F.spark_partition_id()).withColumn(
-        "lineage_id", F.md5(F.concat(F.col("url"), F.lit(":" + run_id)))
-    ).withColumn("run_id", F.lit(run_id))
+        "lineage_id",
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + run_id))),
+    )
     writer = with_pid.writeTo(table)
     if partition_by:
         writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
@@ -173,7 +182,9 @@ def write_snapshot(
     if backend == "iceberg":
         if not iceberg_table:
             raise ValueError("backend='iceberg' requires iceberg_table")
-        return _write_snapshot_iceberg(df, iceberg_table, run_id, partition_by)
+        return _write_snapshot_iceberg(
+            df, iceberg_table, run_id, partition_by, key_col=key_col
+        )
     spark = df.sparkSession
     data_path = os.path.join(out_dir, "snapshots", run_id)
     lineage_path = os.path.join(out_dir, "lineage", run_id)

@@ -105,6 +105,12 @@ def main() -> int:
 
         if not args.iceberg_table:
             raise SystemExit("--writer-backend iceberg requires --iceberg-table")
+        if args.compact_after:
+            raise SystemExit(
+                "--compact-after applies only to the manifest backend; "
+                "Iceberg compaction is the catalog's rewrite_data_files "
+                "procedure, not this flag"
+            )
         if not _iceberg_catalog_names(spark):
             raise SystemExit(
                 "no Iceberg catalog configured on this session "

@@ -452,3 +452,43 @@ def test_incremental_index_survives_compaction(spark, tmp_path):
 
     merged = {**p1, **p2, **p3}
     assert merged == key(lsh_pairs(corpus, threshold=0.5).collect())
+
+
+def test_srp_multiband_recall_at_cos95(spark):
+    """OR-amplified SRP recall at the function's OWN default threshold
+    (ADVICE r3): a single 6-plane band keeps a cos=0.95 pair with
+    probability (1-arccos(.95)/pi)^6 ~ 0.53 — about half the genuine
+    pairs silently dropped.  Plant 200 pairs at exactly cos 0.95
+    (partner = .95*v + sqrt(1-.95^2)*u, u orthonormal to v; natural
+    cross-pair cosines at dim 64 are ~N(0, 1/64), far below 0.949) and
+    require the 4-band default to recover >=85% while the single band
+    demonstrably loses the mass the amplification exists to recover."""
+    import numpy as np
+
+    from extractor.operators.dedup import embedding_neardup_pairs_srp
+
+    rng = np.random.RandomState(7)
+    n = 200
+    rows = []
+    for i in range(n):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        u = rng.randn(64)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        w = 0.95 * v + np.sqrt(1 - 0.95 ** 2) * u
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 10000, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def recall(n_bands: int) -> float:
+        pairs = embedding_neardup_pairs_srp(
+            emb, threshold=0.949, n_bands=n_bands
+        ).collect()
+        planted = {(r["a"], r["b"]) for r in pairs if r["b"] == r["a"] + 10000}
+        assert len(planted) == len(pairs)  # nothing but planted pairs
+        return len(planted) / n
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= 0.85, f"4-band recall {r4}"
+    assert r4 > r1 + 0.15, f"amplification gain too small: {r1} -> {r4}"
