@@ -71,9 +71,22 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base_filter: Column | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k (query side broadcast)."""
+    """Exact brute-force cosine top-k (query side broadcast).
+
+    ``base_filter`` pins the CANDIDATE side to a sub-corpus: exact
+    scoring costs |Q|·|base|, so an unfiltered base is O(N²/sample)
+    at any fixed query-sampling rate — fine as a one-off ground-truth
+    job, fatal as a recurring measurement at 10^9 vectors.  Recall
+    evaluation (queries.ann_recall) passes the same filter to every
+    approximate path so exact-vs-approx stays apples-to-apples on the
+    pinned sub-corpus; the filter reaches the parquet scan (predicate
+    pushdown), so the candidate scan itself shrinks."""
     base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cand = base if base_filter is None else emb.filter(base_filter).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = base.filter(query_filter).select(
@@ -81,7 +94,7 @@ def cosine_topk(
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"))
+        .crossJoin(cand.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
