@@ -1,0 +1,81 @@
+"""K-step ordered funnel matching over an events table.
+
+Sequential-pattern analytics (the "view → click → purchase" family):
+for each user, find the first occurrence of step 1, then the first
+occurrence of step 2 STRICTLY after it, and so on — one row per user
+who completed at least step 1, with the per-step timestamps and the
+number of steps reached.
+
+Scale shape (the reason this is K-1 joins and not a window): each
+stage is a per-user ``min`` aggregate over the events of ONE type,
+then an equi-join on the user key against the survivors of the
+previous stage.  Every join and every aggregate keys on the same
+column, so one hash partitioning serves the whole chain (Exchange
+reuse), each stage's input shrinks to the users still in the funnel,
+and the raw event stream is never windowed or sorted per user — at
+10^12 events a per-user ordering window is a full shuffle + sort of
+the stream, while this shape moves only (user, ts) pairs after the
+first per-type filter.
+
+Generalizes the registry's events_funnel entry (VERDICT r3 #3);
+K-independence — running a K-step funnel and truncating equals
+running the truncated funnel — is property-tested in
+tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel over ``steps`` event types.
+
+    Returns one row per user with a step-1 event: ``(user_col, t1,
+    …, tK, steps)`` where ``t<i>`` is the timestamp of the first
+    step-i event strictly after ``t<i-1>`` (NULL once the user drops
+    out) and ``steps`` counts completed stages.  ``min(ts)`` makes
+    every stage deterministic — timestamps are values, not row picks.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+    )
+    stages: list[DataFrame] = []
+    for i, ev_type in enumerate(steps, start=1):
+        s = ev.filter(F.col("event_type") == ev_type)
+        if stages:
+            s = s.join(stages[-1].select("user_id", f"t{i - 1}"), "user_id").filter(
+                F.col("ts") > F.col(f"t{i - 1}")
+            )
+        stages.append(s.groupBy("user_id").agg(F.min("ts").alias(f"t{i}")))
+
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.join(s, "user_id", "left")
+
+    # Single cascading CASE, deepest stage first (matches the SQL
+    # oracle's CASE shape).
+    expr: Column | None = None
+    for i in range(len(steps), 1, -1):
+        expr = (
+            F.when(F.col(f"t{i}").isNotNull(), i)
+            if expr is None
+            else expr.when(F.col(f"t{i}").isNotNull(), i)
+        )
+    steps_col = (expr.otherwise(1) if expr is not None else F.lit(1)).cast("int")
+    return out.select(
+        F.col("user_id").alias(user_col),
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+        steps_col.alias("steps"),
+    )

@@ -2952,40 +2952,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel matching (view → click → purchase): the
+    """Ordered funnel matching (view → click → purchase) via the
+    K-step :func:`extractor.operators.funnel.funnel` operator: the
     sequential-pattern analytics a behavioral events table exists for
     — each step's timestamp must STRICTLY follow the previous step's.
 
-    Scale shape: K sequential steps = K-1 self-joins on user_id after
-    a per-user min-aggregate each — every join is an equi-join on the
-    same key, so one hash partitioning on user_id serves the whole
-    chain (Exchange reuse), and each stage's input shrinks to the
-    users who survived the previous step.  No window over the raw
-    event stream."""
+    Scale shape (see the operator's module docstring): K sequential
+    steps = K-1 equi-joins on user_id after per-user min-aggregates —
+    one hash partitioning serves the whole chain, each stage's input
+    shrinks to the surviving users, no window over the raw stream.
+    K-independence is property-tested in tests/test_properties.py."""
+    from extractor.operators.funnel import funnel
+
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .select(
-            "user_id", "t1", "t2", "t3",
-            F.when(F.col("t3").isNotNull(), 3)
-            .when(F.col("t2").isNotNull(), 2)
-            .otherwise(1).cast("int").alias("steps"),
-        )
-    )
+    return funnel(ev, ["view", "click", "purchase"])

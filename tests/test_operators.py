@@ -492,3 +492,58 @@ def test_srp_multiband_recall_at_cos95(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= 0.85, f"4-band recall {r4}"
     assert r4 > r1 + 0.15, f"amplification gain too small: {r1} -> {r4}"
+
+
+def test_funnel_k_independence_and_naive_equivalence(spark):
+    """K-independence (pattern: grouped_topk's B-independence): a
+    K-step funnel truncated to its first k columns must equal the
+    k-step funnel run directly — stage i's result may not depend on
+    the stages after it.  Plus a seeded naive equivalence: the
+    operator matches a per-user driver-side scan."""
+    import random
+
+    from extractor.operators.funnel import funnel
+
+    rng = random.Random(11)
+    types = ["a", "b", "c", "d"]
+    rows = [
+        (f"u{rng.randrange(40)}", rng.choice(types), rng.randrange(1000))
+        for _ in range(2000)
+    ]
+    ev = spark.createDataFrame(rows, "user_id: string, event_type: string, ts: long")
+    steps = ["a", "b", "c", "d"]
+
+    def naive(upto: int):
+        out = {}
+        per_user: dict = {}
+        for u, t, ts in rows:
+            per_user.setdefault(u, []).append((t, ts))
+        for u, evs in per_user.items():
+            tcols, prev = [], None
+            for s in steps[:upto]:
+                cand = [ts for t, ts in evs if t == s and (prev is None or ts > prev)]
+                if not cand or (tcols and tcols[-1] is None):
+                    tcols.append(None)
+                else:
+                    prev = min(cand)
+                    tcols.append(prev)
+            if tcols[0] is None:
+                continue
+            reached = max(i + 1 for i, t in enumerate(tcols) if t is not None)
+            out[u] = (tuple(tcols), reached)
+        return out
+
+    full = {
+        r["user_id"]: (tuple(r[f"t{i}"] for i in range(1, 5)), r["steps"])
+        for r in funnel(ev, steps).collect()
+    }
+    assert full == naive(4)
+    for k in (1, 2, 3):
+        got = {
+            r["user_id"]: (tuple(r[f"t{i}"] for i in range(1, k + 1)), r["steps"])
+            for r in funnel(ev, steps[:k]).collect()
+        }
+        truncated = {
+            u: (ts[:k], min(s, k)) for u, (ts, s) in full.items()
+        }
+        assert got == truncated, f"k={k}"
