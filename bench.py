@@ -78,6 +78,11 @@ HEADLINE_QUERIES = [
     "dedup_containment",
     "ann_recall",
     "events_funnel",
+    # r4 additions (appended; earlier names stay stable for
+    # round-over-round per-query diffs)
+    "pagerank_redistribute",
+    "host_pagerank",
+    "lsh_index_stats",
 ]
 
 

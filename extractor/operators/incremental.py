@@ -134,3 +134,36 @@ def commit_band_rows(banded: DataFrame, index_dir: str) -> str:
     callers can persist the pair results FIRST and advance the index
     second; returns the snapshot run_id."""
     return write_snapshot(banded, index_dir, key_col="id")
+
+
+def index_band_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Bucket-size statistics of the committed band index — the
+    observability an operator team retunes ``bands``/``k`` from
+    BEFORE running the next batch: ``candidate_pairs`` (Σ s·(s−1)/2
+    over band buckets) is exactly the probe-join row count the next
+    batch pays per history bucket it touches, and ``max_bucket``
+    flags the hot band keys that need a stop-shingle cap or more
+    bands.
+
+    Returns one row per ``band_idx``: (band_idx, n_rows, n_buckets,
+    max_bucket, n_singletons, candidate_pairs).  Shape: a
+    column-pruned scan of the index (band_idx, band_key only), one
+    hash aggregate to bucket sizes, then a per-band rollup over
+    |buckets| rows — both aggregates carry map-side partials, the
+    corpus text is never read."""
+    sizes = (
+        read_extracted(spark, index_dir)
+        .select("band_idx", "band_key")
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy("band_idx").agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.count(F.when(F.col("sz") == 1, 1)).cast("long").alias("n_singletons"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("candidate_pairs"),
+    ).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "n_rows", "n_buckets", "max_bucket", "n_singletons", "candidate_pairs",
+    )

@@ -24,8 +24,9 @@ pre-partitioned/bucketed by src so only ranks shuffle), one map-side-
 partial aggregate of contributions by dst, one left join back onto the
 node set.  ``localCheckpoint`` truncates the growing lineage each
 round (same pattern as dedup.connected_components).  Dangling-node
-mass is dropped (PageRank-lite) — documented, standard for link-spam
-scoring where absolute calibration is irrelevant.
+mass is dropped by default (PageRank-lite, standard for link-spam
+scoring) or uniformly redistributed with ``dangling="redistribute"``
+(textbook teleport, integer-exact) — see :func:`pagerank_int`.
 """
 
 from __future__ import annotations
@@ -66,12 +67,41 @@ def html_outlinks(
     )
 
 
+def host_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Collapse page-level link rows to host-level edge rows
+    (src_host, dst_host) — one output row per input edge, so a
+    downstream :func:`pagerank_int` counts multiplicity as weight.
+
+    The host-graph rollup is where CCNet-descendant quality priors
+    actually operate (domain-level rank, not page-level): hosts are
+    ~10^4× fewer than pages, so ranking converges on a graph that
+    fits a fraction of one executor after this map-only projection.
+    Host logic matches queries.url_canonicalize: the substring
+    between ``://`` and the next ``/``, lowercased.  Relative hrefs
+    (no scheme) resolve against the SOURCE page's host — the same-
+    site semantics of a browser resolving ``/path`` links."""
+    def host_of(col: str):
+        no_scheme = F.expr(f"substring({col}, instr({col}, '://') + 3)")
+        return F.lower(F.substring_index(no_scheme, "/", 1))
+
+    src_host = host_of(src_col)
+    return edges.select(
+        src_host.alias("src_host"),
+        F.when(F.col(dst_col).contains("://"), host_of(dst_col))
+        .otherwise(src_host)
+        .alias("dst_host"),
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 3,
     scale: int = PR_SCALE,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Fixed-iteration integer PageRank; returns (node, rank).
 
@@ -84,7 +114,26 @@ def pagerank_int(
     (src, dst, weight) before the loop, so every iteration joins the
     distinct-edge table and moves weight·contrib instead of repeated
     rows (same integer result: the per-copy contribution is identical,
-    so w·(rank div odeg) == the multi-row sum)."""
+    so w·(rank div odeg) == the multi-row sum).
+
+    ``dangling`` closes the gap to textbook PageRank:
+
+    * ``"drop"`` (default): mass of nodes with no out-edges vanishes
+      (PageRank-lite) — fine for link-spam scoring where absolute
+      calibration is irrelevant.
+    * ``"redistribute"``: each iteration sums the previous ranks of
+      the (static) dangling-node set and hands every node an
+      integer-exact equal share ``dm div |nodes|`` alongside its
+      in-edge mass — the textbook uniform teleport of dangling mass,
+      still bit-reproducible.  The per-iteration dangling sum is a
+      one-row aggregate broadcast into the rank update (no driver
+      collect in the loop; |nodes| is the one driver scalar, fetched
+      once before it, same as connected_components' convergence
+      count).  Caveat: the dangling sum needs |dangling|·scale <
+      2^63, so a 10^9-node graph pairs this mode with scale ≤ 10^9
+      (rank resolution trades against sum headroom)."""
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute', got {dangling!r}")
     dedup_e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .groupBy("src", "dst")
@@ -103,6 +152,11 @@ def pagerank_int(
         .localCheckpoint(eager=True)
     )
     base = 15 * scale // 100
+    if dangling == "redistribute":
+        dangling_nodes = nodes.join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
         contribs = (
@@ -113,9 +167,18 @@ def pagerank_int(
             )
         )
         in_mass = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        updated = nodes.join(in_mass, "node", "left")
+        if dangling == "redistribute":
+            share = (
+                ranks.join(dangling_nodes, "node")
+                .agg(F.sum("rank").alias("dm"))
+                .select(F.expr(f"coalesce(dm, 0L) div {n_nodes}").alias("share"))
+            )
+            updated = updated.crossJoin(F.broadcast(share)).withColumn(
+                "s", F.expr("coalesce(s, 0L) + share")
+            )
         ranks = (
-            nodes.join(in_mass, "node", "left")
-            .select(
+            updated.select(
                 "node",
                 (
                     F.lit(base).cast("long")

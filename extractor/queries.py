@@ -2366,6 +2366,143 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iterations=3)
 
 
+# redistribute variant of the unrolled iteration: the share term is the
+# previous iteration's total dangling rank (nodes absent from odeg),
+# integer-divided by |nodes|, added to every node's in-mass before
+# damping — mirrors pagerank_int(dangling="redistribute") exactly.
+_PAGERANK_RD_ITER_SQL = """
+    i{K} AS (
+      SELECT n.node,
+             CAST(150000000000 +
+                  (85 * (coalesce(m.s, 0) + d.share)) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.odeg) AS s
+        FROM edges e
+        JOIN i{PREV} r ON r.node = e.src
+        JOIN odeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+      CROSS JOIN (
+        SELECT coalesce(sum(r.rank), 0) // (SELECT count(*) FROM nodes) AS share
+        FROM i{PREV} r LEFT JOIN odeg o ON o.src = r.node
+        WHERE o.src IS NULL
+      ) d
+    )
+"""
+
+
+@register(
+    "pagerank_redistribute",
+    f"""
+    WITH {_BOILER_EDGES_SQL},
+    edges AS (
+      SELECT b.url AS src, '/x/' || (b.doc_id + f.doff) || '/' || i.i AS dst
+      FROM boiler b, farm f,
+           LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    ),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    i0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+    {_PAGERANK_RD_ITER_SQL.format(K=1, PREV=0)},
+    {_PAGERANK_RD_ITER_SQL.format(K=2, PREV=1)},
+    {_PAGERANK_RD_ITER_SQL.format(K=3, PREV=2)}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook-teleport PageRank (pagerank_int with
+    dangling="redistribute") over the same extracted outlink graph as
+    the `pagerank` entry — on this graph every href target is a
+    dangling node, so the redistribution term carries most of the
+    mass and the two entries' ranks differ materially (the drop
+    variant starves everything at 15%·scale + in-edges only).  The
+    oracle unrolls the same three iterations with the per-iteration
+    dangling-share CTE."""
+    from extractor.operators.webgraph import pagerank_int
+
+    edges = q_html_outlinks(spark, sf_dir).select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    )
+    return pagerank_int(edges, iterations=3, dangling="redistribute")
+
+
+@register(
+    "host_pagerank",
+    f"""
+    -- host-graph rollup: synthetic cross-host page links (3 per doc,
+    -- one relative for every 11th doc resolving to its own host, one
+    -- uppercase-host absolute exercising the lowercase canon), edges
+    -- collapsed to host pairs, then the same unrolled integer
+    -- PageRank (multi-edge rows ARE the weights, as in pagerank_int)
+    WITH hosts AS (
+      SELECT doc_id, 'h' || (doc_id % 7) || '.example-42.test' AS shost
+      FROM documents
+    ),
+    edges AS (
+      SELECT shost AS src,
+             CASE WHEN doc_id % 11 = 0 THEN shost
+                  ELSE 'h' || ((doc_id + 1) % 7) || '.example-42.test' END AS dst
+      FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 2) % 7) || '.example-42.test' FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 3) % 7) || '.example-42.test' FROM hosts
+    ),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    i0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+    {_PAGERANK_ITER_SQL.format(K=1, PREV=0)},
+    {_PAGERANK_ITER_SQL.format(K=2, PREV=1)},
+    {_PAGERANK_ITER_SQL.format(K=3, PREV=2)}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level rank — the CCNet-descendant quality prior the
+    webgraph docstring cites operates on the HOST graph, not pages.
+    Page-level link rows (synthesized across 7 hosts, with relative
+    hrefs resolving to the source host and an uppercase-host variant
+    exercising canonicalization) collapse through
+    operators.webgraph.host_edges (map-only), then pagerank_int runs
+    on a graph ~10^4× smaller than the page graph; multi-edge
+    multiplicity between host pairs is the edge weight."""
+    from extractor.operators.webgraph import host_edges, pagerank_int
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    shost = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-42.test"),
+    )
+    src = F.concat(
+        F.lit("https://"), shost, F.lit("/page/"),
+        F.format_string("%06d", F.col("doc_id")), F.lit(".html"),
+    )
+
+    def abs_href(j: int, upper: bool = False):
+        h = F.concat(
+            F.lit("h"), ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit(".example-42.test"),
+        )
+        return F.concat(F.lit("https://"), F.upper(h) if upper else h, F.lit("/x"))
+
+    links = docs.select(
+        src.alias("src"),
+        F.explode(
+            F.array(
+                # every 11th doc's first link is relative → resolves to
+                # its own host in host_edges
+                F.when(F.col("doc_id") % 11 == 0, F.lit("/local/1"))
+                .otherwise(abs_href(1)),
+                abs_href(2, upper=True),
+                abs_href(3),
+            )
+        ).alias("dst"),
+    )
+    he = host_edges(links, src_col="src", dst_col="dst")
+    return pagerank_int(he, src_col="src_host", dst_col="dst_host", iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-hygiene additions (r3): paragraph-grain dedup, benchmark
 # decontamination, URL canonicalization.
@@ -2680,6 +2817,50 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair sets are disjoint (every p2 pair touches a batch-2 doc), so
     # the union IS the one-shot result
     return p1.unionByName(p2)
+
+
+@register(
+    "lsh_index_stats",
+    # Band rows are a pure per-doc function, so the two-batch committed
+    # index equals the one-shot `banded` CTE over the whole corpus —
+    # the same invariant dedup_incremental_lsh is checked on.
+    f"""
+    WITH {_LSH_CTES},
+    sizes AS (
+      SELECT band_idx, band_key, count(*) AS sz
+      FROM banded GROUP BY band_idx, band_key
+    )
+    SELECT band_idx::INT AS band_idx, sum(sz)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_buckets, max(sz)::BIGINT AS max_bucket,
+           sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+           sum(sz * (sz - 1) // 2)::BIGINT AS candidate_pairs
+    FROM sizes GROUP BY band_idx
+    """,
+)
+def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability over the committed incremental-dedup index
+    (operators.incremental.index_band_stats): per-band bucket counts,
+    hot-bucket max, singleton count and Σ s·(s−1)/2 candidate-pair
+    mass — the numbers an operator team reads to retune bands/k
+    BEFORE the next crawl batch probes the index.  The index is built
+    here from the same two-batch split as dedup_incremental_lsh via
+    the two-step commit API (banded_signatures → commit_band_rows),
+    and the stats never read the corpus text."""
+    import tempfile
+
+    from extractor.operators.dedup import banded_signatures
+    from extractor.operators.incremental import (
+        commit_band_rows,
+        index_band_stats,
+    )
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    b1 = corpus.filter(F.col("doc_id") < 250)
+    b2 = corpus.filter(F.col("doc_id") >= 250)
+    index_dir = tempfile.mkdtemp(prefix="lsh_stats_")
+    commit_band_rows(banded_signatures(b1), index_dir)
+    commit_band_rows(banded_signatures(b2), index_dir)
+    return index_band_stats(spark, index_dir)
 
 
 @register(

@@ -547,3 +547,61 @@ def test_funnel_k_independence_and_naive_equivalence(spark):
             u: (ts[:k], min(s, k)) for u, (ts, s) in full.items()
         }
         assert got == truncated, f"k={k}"
+
+
+def test_pagerank_dangling_modes(spark):
+    """redistribute must conserve total rank mass (modulo integer
+    truncation) where drop leaks it: on a star graph a->b, a->c (b, c
+    dangling) the drop variant's total falls well below n*scale while
+    the redistribute variant stays within integer-floor slack of it;
+    both modes are deterministic and redistribute matches a driver-side
+    replay of the integer recurrence."""
+    from extractor.operators.webgraph import PR_SCALE, pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src: string, dst: string"
+    )
+    drop = {r["node"]: r["rank"] for r in pagerank_int(edges, iterations=3).collect()}
+    rd = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(edges, iterations=3, dangling="redistribute").collect()
+    }
+    n, scale = 3, PR_SCALE
+    assert sum(drop.values()) < 0.8 * n * scale
+    # integer floors lose < 1 unit per div, per node, per iteration
+    assert sum(rd.values()) > n * scale - 3 * (n + 2)
+
+    # driver-side replay of the exact integer recurrence
+    base = 15 * scale // 100
+    ranks = {v: scale for v in "abc"}
+    for _ in range(3):
+        share = (ranks["b"] + ranks["c"]) // n
+        contrib_a = ranks["a"] // 2  # odeg(a) = 2
+        ranks = {
+            "a": base + 85 * share // 100,
+            "b": base + 85 * (contrib_a + share) // 100,
+            "c": base + 85 * (contrib_a + share) // 100,
+        }
+    assert rd == ranks
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank_int(edges, dangling="bogus")
+
+
+def test_host_edges_resolution(spark):
+    """Absolute hrefs keep their own host (lowercased); relative hrefs
+    resolve against the source page's host."""
+    from extractor.operators.webgraph import host_edges
+
+    links = spark.createDataFrame(
+        [
+            ("https://A.test/page/1", "https://B.TEST/x"),
+            ("https://a.test/page/2", "/local/path"),
+            ("http://c.test/", "HTTPS://A.test/y"),
+        ],
+        "src: string, dst: string",
+    )
+    got = {(r["src_host"], r["dst_host"]) for r in host_edges(links).collect()}
+    assert got == {("a.test", "b.test"), ("a.test", "a.test"), ("c.test", "a.test")}
