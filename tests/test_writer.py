@@ -224,3 +224,71 @@ def test_writer_iceberg_catalog_detection(spark):
         assert "testcat" in _iceberg_catalog_names(spark)
     finally:
         spark.conf.unset("spark.sql.catalog.testcat")
+
+
+def _find_iceberg_jar() -> str | None:
+    """Locate an iceberg-spark-runtime jar: $ICEBERG_JAR, then the
+    pyspark jars dir.  This sandbox ships neither and has no network
+    (vendoring was attempted r4: repo1.maven.org unresolvable), so the
+    live-append test below documents itself as skipped; on any host
+    with the jar it runs for real."""
+    env = os.environ.get("ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    import glob
+
+    import pyspark
+
+    hits = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "iceberg-spark-runtime*.jar")
+    )
+    return hits[0] if hits else None
+
+
+def test_iceberg_live_append_roundtrip(tmp_path):
+    """Live writeTo(table).append() through the iceberg writer branch
+    against a hadoop-type catalog, then read the snapshot back.  Needs
+    iceberg-spark-runtime on the session classpath — skipped (with the
+    vendoring attempt documented in _find_iceberg_jar/BASELINE.md)
+    when the jar is absent."""
+    import pytest
+
+    jar = _find_iceberg_jar()
+    if jar is None:
+        pytest.skip(
+            "no iceberg-spark-runtime jar: sandbox has no network to "
+            "vendor one (attempt recorded in BASELINE.md); the branch's "
+            "plan construction + fail-fast are covered by "
+            "test_writer_backend_enum"
+        )
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-live")
+        .config("spark.jars", jar)
+        .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.ice.type", "hadoop")
+        .config("spark.sql.catalog.ice.warehouse", str(tmp_path / "wh"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        df = spark.createDataFrame(
+            [("u1", "t1", True), ("u2", "t2", False)],
+            "url: string, text: string, success: boolean",
+        )
+        run_id = write_snapshot(
+            df, out_dir="", backend="iceberg", iceberg_table="ice.db.pages"
+        )
+        back = spark.table("ice.db.pages")
+        assert back.count() == 2
+        assert {"partition_id", "lineage_id"} <= set(back.columns)
+        assert "run_id" not in back.columns  # schema parity with manifest branch
+        lid = back.filter(F.col("url") == "u1").select("lineage_id").first()[0]
+        import hashlib
+
+        assert lid == hashlib.md5(f"u1:{run_id}".encode()).hexdigest()
+    finally:
+        spark.stop()
