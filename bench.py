@@ -83,6 +83,8 @@ HEADLINE_QUERIES = [
     "pagerank_redistribute",
     "host_pagerank",
     "lsh_index_stats",
+    "gopher_quality",
+    "pack_sequences",
 ]
 
 

@@ -84,3 +84,78 @@ def fingerprint(text: Column) -> Column:
     return F.aggregate(
         hs, F.lit(0).cast("long"), lambda acc, h: (acc * 131 + h) % F.lit(MOD)
     )
+
+
+# The repetition-and-symbol heuristics of Rae et al. 2021 (Gopher,
+# Appendix A1.1), the standard pre-filter a Common-Crawl text corpus
+# runs before dedup.  Thresholds are the published ones.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher quality-rule features + composite keep decision, all
+    integer-scaled (basis points / x100) so the DuckDB oracle matches
+    bit-for-bit regardless of reduction order.
+
+    Rules (Rae et al. 2021 A1.1): word count in [min_words,
+    max_words]; mean word length in [3, 10]; symbol-word ratio
+    ('#' or '...') <= 10%; >=80% of words contain an alphabetic
+    char; <90% of lines bullet-led; <=30% of lines ellipsis-ended;
+    >= ``min_stop_hits`` of the ``stopwords`` list present.  The
+    published stopword rule is ENGLISH-ONLY (the 8 canonical words,
+    the default); a multilingual corpus passes its own per-language
+    profiles or the union — the same adaptation every non-English
+    Gopher descendant makes.  Expression-only (one pass of codegen'd
+    HOFs over the split arrays; no shuffle, no Python)."""
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
+    w = F.split(text, "[ \n]+")
+    n = F.size(w)
+    n_safe = F.greatest(n, F.lit(1))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len_x100 = F.floor((total_len * 100) / n_safe).cast("long")
+    n_symbol = F.size(
+        F.filter(w, lambda t: t.contains("#") | t.contains("..."))
+    )
+    symbol_bp = F.floor((n_symbol * 10000) / n_safe).cast("long")
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]")))
+    alpha_bp = F.floor((n_alpha * 10000) / n_safe).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    bullet_bp = F.floor((n_bullet * 10000) / n_lines).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    ellipsis_bp = F.floor((n_ellipsis * 10000) / n_lines).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in stopwords]))
+    ).cast("long")
+    keep = (
+        n.between(min_words, max_words)
+        & mean_len_x100.between(300, 1000)
+        & (symbol_bp <= 1000)
+        & (alpha_bp >= 8000)
+        & (bullet_bp < 9000)
+        & (ellipsis_bp <= 3000)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len_x100": mean_len_x100,
+        "symbol_ratio_bp": symbol_bp,
+        "alpha_ratio_bp": alpha_bp,
+        "bullet_lines_bp": bullet_bp,
+        "ellipsis_lines_bp": ellipsis_bp,
+        "stopword_hits": stop_hits,
+        "keep": keep,
+    }

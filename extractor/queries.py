@@ -2863,6 +2863,129 @@ def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_band_stats(spark, index_dir)
 
 
+# The corpus is 5-language synthetic text, so the Gopher stopword rule
+# runs with the union of the LID stopword profiles instead of the
+# English-only default (operators.textstats.gopher_rules docstring);
+# one shared literal keeps Spark and the oracle in lockstep.
+from extractor.operators.textstats import STOPWORDS as _LID_STOPWORDS  # noqa: E402
+
+_GOPHER_STOPS = sorted({w for sw in _LID_STOPWORDS.values() for w in sw})
+_GOPHER_STOPS_SQL = "[" + ",".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+
+
+@register(
+    "gopher_quality",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- bullet-spam variant: every word on its own '- ' line
+      SELECT doc_id + 5000000, '- ' || replace(text, ' ', chr(10) || '- ')
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      -- ellipsis/symbol-spam variant: '...' after every word
+      SELECT doc_id + 6000000, replace(text, ' ', '... ') || '...'
+      FROM documents WHERE doc_id % 17 = 0
+    ), feats AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '[ \n]+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM corpus
+    ), m AS (
+      SELECT doc_id, len(w) AS n_words, greatest(len(w), 1) AS n_safe,
+             list_sum(list_transform(w, t -> length(t))) AS total_len,
+             len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))
+               AS n_symbol,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+             greatest(len(lines), 1) AS n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- ')
+                 OR starts_with(l, '* ') OR starts_with(l, '•'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ellipsis,
+             len(list_intersect(w, {_GOPHER_STOPS_SQL})) AS stop_hits
+      FROM feats
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words,
+           (total_len * 100 // n_safe)::BIGINT AS mean_word_len_x100,
+           (n_symbol * 10000 // n_safe)::BIGINT AS symbol_ratio_bp,
+           (n_alpha * 10000 // n_safe)::BIGINT AS alpha_ratio_bp,
+           (n_bullet * 10000 // n_lines)::BIGINT AS bullet_lines_bp,
+           (n_ellipsis * 10000 // n_lines)::BIGINT AS ellipsis_lines_bp,
+           stop_hits::BIGINT AS stopword_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND total_len * 100 // n_safe BETWEEN 300 AND 1000
+            AND n_symbol * 10000 // n_safe <= 1000
+            AND n_alpha * 10000 // n_safe >= 8000
+            AND n_bullet * 10000 // n_lines < 9000
+            AND n_ellipsis * 10000 // n_lines <= 3000
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher pre-filter rules (Rae et al. 2021 A1.1) over the corpus
+    plus injected rule-violating variants (bullet-spam and
+    ellipsis-spam rewrites of every 13th/17th doc) so each flag
+    demonstrably fires; natural docs discriminate on word count /
+    stopwords.  Expression-only map stage — at 100 TB this runs
+    inside the scan's codegen with zero shuffle (see
+    operators.textstats.gopher_rules)."""
+    from extractor.operators.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bullets = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("- "), F.regexp_replace(F.col("text"), " ", "\n- ")
+        ).alias("text"),
+    )
+    ellipses = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"), " ", "... "), F.lit("...")
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(bullets).unionAll(ellipses)
+    r = gopher_rules(F.col("text"), stopwords=_GOPHER_STOPS)
+    return corpus.select("doc_id", *[r[k].alias(k) for k in r])
+
+
+@register(
+    "pack_sequences",
+    f"""
+    -- offset-based contiguous packing into 512-token bins, 8 hash
+    -- shards packed independently (the shard is the parallel unit)
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ({_HEX64_SQL.format(x='doc_id::VARCHAR')} % 8)::INT AS shard
+      FROM documents
+    ), off AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT shard, (start_offset // 512)::BIGINT AS bin_id,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           min(doc_id)::BIGINT AS first_doc,
+           (sum(n_tokens) * 10000 // 512)::BIGINT AS fill_bp
+    FROM off GROUP BY shard, start_offset // 512
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (operators.packing.pack_bins):
+    documents binned into 512-token training contexts, hash-sharded
+    ×8 so every shard packs in parallel (the window sum is PARTITIONED
+    BY SHARD — no global ordering, no single reducer; n_shards tracks
+    cluster parallelism at scale).  Per-bin fill statistics expose the
+    boundary-straddle overshoot the offset-based scheme trades for
+    scalability."""
+    from extractor.operators.packing import pack_bins
+
+    return pack_bins(
+        _docs(spark, sf_dir).select("doc_id", "text"), budget=512, n_shards=8
+    )
+
+
 @register(
     "dedup_containment",
     f"""

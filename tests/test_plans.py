@@ -75,7 +75,8 @@ def test_jvm_only_queries_have_no_python_stage(spark):
         "pricing_summary", "revenue_by_nation",
         "ann_topk_cosine", "ann_lsh_bucketed", "dedup_embedding_cosine",
         "paragraph_dedup", "benchmark_contamination", "url_canonicalize",
-        "source_mixture_sample", "dedup_containment",
+        "source_mixture_sample", "dedup_containment", "gopher_quality",
+        "pack_sequences",
     ]:
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
         assert "Python" not in plan, f"{name} has a Python stage:\n{plan[:1500]}"
@@ -247,3 +248,13 @@ def test_ann_recall_scans_only_pinned_subcorpus(spark):
     # and the pinned predicate itself survives optimization (the
     # modulo is not parquet-pushable, so it lives in the Filter node)
     assert "% 2)" in optimized_of(REGISTRY["ann_recall"].spark(spark, SF_SMALL))
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """Sequence packing's running-offset window must be PARTITIONED BY
+    the hash shard — a global (unpartitioned) ordering window funnels
+    the corpus through one reducer."""
+    plan = plan_of(REGISTRY["pack_sequences"].spark(spark, SF_SMALL))
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines, plan[:2000]
+    assert any("shard" in ln for ln in win_lines), "\n".join(win_lines)
