@@ -102,11 +102,28 @@ def incremental_lsh_dedup(
     tradeoff vs the ``commit=False`` + :func:`commit_band_rows`
     two-step).
     """
-    spark: SparkSession = new_docs.sparkSession
     new_banded = banded_signatures(
         new_docs, id_col=id_col, text_col=text_col, k=k, bands=bands
     ).localCheckpoint(eager=True)  # one signature pass: pairs + commit reuse it
+    pairs = incremental_pairs(new_banded, index_dir, k=k, threshold=threshold)
+    if commit:
+        # Materialize pairs before advancing the index so the commit
+        # really does happen after pair computation (a lazy return
+        # would invert the order the docstring promises).
+        pairs = pairs.localCheckpoint(eager=True)
+        commit_band_rows(new_banded, index_dir)
+    return pairs
 
+
+def incremental_pairs(
+    new_banded: DataFrame, index_dir: str, k: int = 16, threshold: float = 0.5
+) -> DataFrame:
+    """The probe stage alone: near-dup pairs of precomputed band rows
+    (``banded_signatures`` output) against themselves and the
+    committed index — no commit.  Callers that need the band rows for
+    a later :func:`commit_band_rows` (the exactly-once two-step, e.g.
+    the streaming bridge) compute them once and pass them here."""
+    spark: SparkSession = new_banded.sparkSession
     # self-join emits each unordered pair twice ((la,rb) and (rb,la));
     # both normalize to the same (a,b) and the groupBy dedups them.
     pairs = _pair_estimates(new_banded, new_banded, k, threshold)
@@ -118,12 +135,6 @@ def incremental_lsh_dedup(
         pairs = pairs.unionByName(cross).groupBy("a", "b").agg(
             F.min("est_jaccard").alias("est_jaccard")
         ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
-    if commit:
-        # Materialize pairs before advancing the index so the commit
-        # really does happen after pair computation (a lazy return
-        # would invert the order the docstring promises).
-        pairs = pairs.localCheckpoint(eager=True)
-        commit_band_rows(new_banded, index_dir)
     return pairs
 
 

@@ -139,6 +139,75 @@ def streaming_outlinks(
     return html_outlinks(valid_html)
 
 
+def streaming_quality_gate(
+    pages_stream: DataFrame,
+    cfg: ExtractConfig = ExtractConfig(),
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Inline Gopher quality gate at ingest: extract the html stream,
+    score each document with the same expression-only
+    :func:`extractor.operators.textstats.gopher_rules` the batch
+    filter uses, and tag keep/drop — the shape a crawl pipeline wants
+    so junk never reaches the (expensive) dedup and index stages.
+    Stateless map, so the plan is identical on stream and batch (one
+    implementation; pinned by tests/test_streaming.py)."""
+    from extractor.operators.textstats import gopher_rules
+
+    extracted = streaming_extract_pages(pages_stream, cfg)
+    html_ok = extracted.filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    r = gopher_rules(F.col("text"), stopwords=stopwords)
+    return html_ok.select(
+        "url", "warc_ts", *[r[k].alias(k) for k in r]
+    )
+
+
+def streaming_incremental_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """foreachBatch bridge from a document stream to the committed
+    incremental-dedup index (operators.incremental): every micro-batch
+    computes band signatures ONCE, probes new×new and new×history,
+    snapshot-commits the PAIRS first and only then advances the index
+    (``commit_band_rows``) — the exactly-once order, so a crash
+    between the two commits re-runs the batch against an unchanged
+    index and overwrites nothing.  Returns the handler for
+    ``stream.writeStream.foreachBatch(...)``; the accumulated pair
+    snapshots read back with ``writer.read_extracted(pairs_dir)`` and
+    equal the one-shot ``lsh_pairs`` over everything ingested
+    (pinned by tests/test_streaming.py).
+
+    This is the lambda split completed: the streaming leg keeps the
+    per-crawl cost O(batch), and the index the batches build is the
+    same table the batch engine probes."""
+    from extractor.operators.dedup import banded_signatures
+    from extractor.operators.incremental import (
+        commit_band_rows,
+        incremental_pairs,
+    )
+    from extractor.writer import write_snapshot
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        banded = banded_signatures(
+            batch_df, id_col=id_col, text_col=text_col, k=k, bands=bands
+        ).localCheckpoint(eager=True)
+        pairs = incremental_pairs(banded, index_dir, k=k, threshold=threshold)
+        write_snapshot(pairs, pairs_dir, key_col="a")
+        commit_band_rows(banded, index_dir)
+
+    return handle
+
+
 def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h window per event_type with late-data watermark —
     identical expressions to the batch ``events_windowed`` oracle

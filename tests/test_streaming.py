@@ -319,3 +319,91 @@ def test_streaming_outlinks_equals_batch(spark, tmp_path):
     }
     assert srows == brows
     assert len(brows) > 100  # boiler fixtures contribute 22 edges each
+
+
+def test_streaming_quality_gate_equals_batch(spark, tmp_path):
+    """The inline quality gate must emit exactly the batch pipeline's
+    html rows scored with the same gopher_rules expressions (one
+    implementation, stream==batch)."""
+    from extractor.operators.textstats import gopher_rules
+    from extractor.pipeline import run_extraction
+    from extractor.streaming.stream import read_pages_stream, streaming_quality_gate
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    name = _run_stream(streaming_quality_gate(stream, CFG))
+    srows = {
+        tuple(r) for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    batch = run_extraction(spark, spark.read.parquet(pages_dir), CFG).filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    r = gopher_rules(F.col("text"))
+    brows = {
+        tuple(row)
+        for row in batch.select(
+            "url", "warc_ts", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    assert srows == brows
+    assert len(brows) > 50
+    assert any(row[-1] is not None for row in brows)  # keep flag present
+
+
+def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
+    """The foreachBatch dedup bridge: micro-batches probed against the
+    committed index must accumulate exactly the one-shot lsh_pairs set
+    over everything ingested, with cross-micro-batch pairs present —
+    and both state tables (pairs + index) are snapshot-committed."""
+    from extractor.operators.dedup import lsh_pairs
+    from extractor.streaming.stream import streaming_incremental_dedup
+    from extractor.writer import committed_run_ids, read_extracted
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(copies)
+    src = str(tmp_path / "docs_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1; the
+    # range split puts the injected copies in the second batch so
+    # cross-batch pairs must come from the history index
+    corpus.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    corpus.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_incremental_dedup(stream, index_dir, pairs_dir, threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in read_extracted(spark, pairs_dir).select(
+            "a", "b", "est_jaccard"
+        ).collect()
+    }
+    want = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert got == want and want
+    assert any((a < 250) != (b < 250) for a, b in got), "no cross-batch pairs"
+    assert len(committed_run_ids(index_dir)) == 2  # one snapshot per batch
+    assert len(committed_run_ids(pairs_dir)) >= 1
