@@ -85,6 +85,8 @@ HEADLINE_QUERIES = [
     "lsh_index_stats",
     "gopher_quality",
     "pack_sequences",
+    "unigram_surprisal",
+    "frontier_score",
 ]
 
 

@@ -159,3 +159,50 @@ def gopher_rules(
         "stopword_hits": stop_hits,
         "keep": keep,
     }
+
+
+def unigram_surprisal(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Integer-exact unigram fluency scoring — the engine shape of
+    CCNet's LM-perplexity quality filter (Wenzek et al. 2020 §4.2)
+    without an external language model: per-token surprisal is the
+    inverse unigram probability ``N_total div count(token)`` (rare
+    tokens are surprising, floor division keeps every compared value
+    an integer), per-document score is the floored mean.  Fluent text
+    built from common tokens scores low; rare-token gibberish scores
+    high — the same monotone ordering a real LM filter thresholds on,
+    and a production deployment swaps the broadcast count table for
+    real LM logprobs without touching the plan.
+
+    Scale shape: one explode → token-count aggregate (map-side
+    partials, the only corpus-wide shuffle), the corpus total folded
+    in as a one-row broadcast, then an equi-join of the exploded
+    tokens against the count table and a per-doc sum — counts move
+    (token, long) pairs, never text.  Returns (doc_id, n_words,
+    surprisal_sum, mean_surprisal)."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_of(F.col(text_col))).alias("t"),
+    )
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.expr("n div c")).cast("long").alias("surprisal_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "surprisal_sum",
+            F.expr("surprisal_sum div n_words").cast("long").alias("mean_surprisal"),
+        )
+    )

@@ -95,6 +95,50 @@ def host_edges(
     )
 
 
+def frontier_scores(
+    urls: DataFrame, host_ranks: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-frontier prioritization: score each candidate URL by its
+    host's rank discounted by path depth — ``rank div (1 + depth)``,
+    integer-exact.  The standard frontier heuristic (domain authority
+    prior × shallow-first), consuming :func:`host_edges` →
+    :func:`pagerank_int` output.
+
+    Scale shape: the host-rank table is hosts-sized (~10^4× smaller
+    than the frontier) → broadcast equi-join on host; depth and host
+    extraction are map-only expressions, so scoring a 10^10-url
+    frontier is one broadcast-join pass.  Unranked hosts score 0
+    (rank coalesced), so brand-new domains sink, not crash."""
+    no_scheme = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3)"
+    )
+    host = F.lower(F.substring_index(no_scheme, "/", 1))
+    path = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3 + "
+        f"length(substring_index(substring({url_col}, "
+        f"instr({url_col}, '://') + 3), '/', 1)))"
+    )
+    depth = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    with_host = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        depth.cast("int").alias("depth"),
+    )
+    ranks = host_ranks.select(F.col("node").alias("host"), "rank")
+    return (
+        with_host.join(F.broadcast(ranks), "host", "left")
+        .select(
+            "url",
+            "host",
+            "depth",
+            F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("host_rank"),
+            F.expr("coalesce(rank, 0L) div (1 + depth)")
+            .cast("long")
+            .alias("frontier_score"),
+        )
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     src_col: str = "src",

@@ -2427,15 +2427,13 @@ def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iterations=3, dangling="redistribute")
 
 
-@register(
-    "host_pagerank",
-    f"""
-    -- host-graph rollup: synthetic cross-host page links (3 per doc,
-    -- one relative for every 11th doc resolving to its own host, one
-    -- uppercase-host absolute exercising the lowercase canon), edges
-    -- collapsed to host pairs, then the same unrolled integer
-    -- PageRank (multi-edge rows ARE the weights, as in pagerank_int)
-    WITH hosts AS (
+# Host-graph fixture shared by host_pagerank and frontier_score:
+# synthetic cross-host page links (3 per doc, one relative for every
+# 11th doc resolving to its own host, one uppercase-host absolute
+# exercising the lowercase canon), collapsed to host pairs, then the
+# same unrolled integer PageRank (multi-edge rows ARE the weights).
+_HOST_GRAPH_CTES = f"""
+    hosts AS (
       SELECT doc_id, 'h' || (doc_id % 7) || '.example-42.test' AS shost
       FROM documents
     ),
@@ -2455,6 +2453,13 @@ def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PAGERANK_ITER_SQL.format(K=1, PREV=0)},
     {_PAGERANK_ITER_SQL.format(K=2, PREV=1)},
     {_PAGERANK_ITER_SQL.format(K=3, PREV=2)}
+"""
+
+
+@register(
+    "host_pagerank",
+    f"""
+    WITH {_HOST_GRAPH_CTES}
     SELECT node, rank FROM i3
     """,
 )
@@ -2501,6 +2506,57 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     he = host_edges(links, src_col="src", dst_col="dst")
     return pagerank_int(he, src_col="src_host", dst_col="dst_host", iterations=3)
+
+
+@register(
+    "frontier_score",
+    f"""
+    WITH {_HOST_GRAPH_CTES},
+    urls AS (
+      SELECT 'https://h' || (doc_id % 7) || '.example-42.test' ||
+             CASE WHEN doc_id % 3 = 0 THEN '/page/'
+                  WHEN doc_id % 3 = 1 THEN '/a/b/' ELSE '/' END ||
+             printf('%06d', doc_id) || '.html' AS url,
+             'h' || (doc_id % 7) || '.example-42.test' AS host,
+             CASE WHEN doc_id % 3 = 0 THEN 2
+                  WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END AS depth
+      FROM documents
+    )
+    SELECT u.url, u.host, u.depth::INT AS depth,
+           coalesce(r.rank, 0)::BIGINT AS host_rank,
+           (coalesce(r.rank, 0) // (1 + u.depth))::BIGINT AS frontier_score
+    FROM urls u LEFT JOIN i3 r ON r.node = u.host
+    """,
+)
+def q_frontier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization (operators.webgraph.
+    frontier_scores): candidate URLs scored by their host's PageRank
+    discounted by path depth — the domain-authority-prior ×
+    shallow-first heuristic a crawl scheduler ranks its queue with,
+    composed from the host_pagerank graph (broadcast host-rank join +
+    map-only host/depth extraction; a 10^10-url frontier scores in
+    one pass).  URL paths vary in depth (1/2/3 by doc_id % 3) so the
+    discount is exercised; the oracle re-derives depth per case."""
+    from extractor.operators.webgraph import frontier_scores
+
+    ranks = q_host_pagerank(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    shost = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-42.test"),
+    )
+    seg = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/page/"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/a/b/"))
+        .otherwise(F.lit("/"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), shost, seg,
+            F.format_string("%06d", F.col("doc_id")), F.lit(".html"),
+        ).alias("url")
+    )
+    return frontier_scores(urls, ranks)
 
 
 # ---------------------------------------------------------------------------
@@ -2984,6 +3040,41 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(
         _docs(spark, sf_dir).select("doc_id", "text"), budget=512, n_shards=8
     )
+
+
+@register(
+    "unigram_surprisal",
+    """
+    -- CCNet-style LM-quality proxy, integer-exact: per-token
+    -- surprisal = N_total // count(token), per-doc floored mean
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS n FROM cnt
+    ), per_doc AS (
+      SELECT toks.doc_id, count(*) AS n_words,
+             sum(tot.n // cnt.c) AS surprisal_sum
+      FROM toks JOIN cnt ON cnt.t = toks.t, tot
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words,
+           surprisal_sum::BIGINT AS surprisal_sum,
+           (surprisal_sum // n_words)::BIGINT AS mean_surprisal
+    FROM per_doc
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram fluency scoring (operators.textstats.unigram_surprisal)
+    — the CCNet perplexity-filter engine shape with an integer-exact
+    inverse-frequency surrogate for LM logprobs: one corpus-wide
+    token-count shuffle, a one-row broadcast total, an equi-join of
+    exploded tokens to counts, per-doc sum.  Rare-vocabulary documents
+    surface with high mean_surprisal; threshold = the quality cut."""
+    from extractor.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 @register(

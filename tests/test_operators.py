@@ -605,3 +605,44 @@ def test_host_edges_resolution(spark):
     )
     got = {(r["src_host"], r["dst_host"]) for r in host_edges(links).collect()}
     assert got == {("a.test", "b.test"), ("a.test", "a.test"), ("c.test", "a.test")}
+
+
+def test_unigram_surprisal_naive_equivalence(spark):
+    """Seeded naive equivalence: the distributed inverse-frequency
+    scoring equals a driver-side replay, and common-token text scores
+    below rare-token text (the monotone property the quality cut
+    thresholds on)."""
+    import random
+
+    from extractor.operators.textstats import unigram_surprisal
+
+    rng = random.Random(3)
+    common = ["the", "of", "and", "data", "spark"]
+    docs = []
+    for i in range(40):
+        if i % 4 == 0:  # rare-vocabulary docs
+            words = [f"tok{i}_{j}" for j in range(20)]
+        else:
+            words = [common[rng.randrange(len(common))] for _ in range(20)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    cnt: dict = {}
+    for _, t in docs:
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    n_total = sum(cnt.values())
+    want = {}
+    for i, t in docs:
+        ws = t.split(" ")
+        s = sum(n_total // cnt[w] for w in ws)
+        want[i] = (len(ws), s, s // len(ws))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["surprisal_sum"], r["mean_surprisal"])
+        for r in unigram_surprisal(df).collect()
+    }
+    assert got == want
+    rare = [v[2] for k, v in got.items() if k % 4 == 0]
+    fluent = [v[2] for k, v in got.items() if k % 4 != 0]
+    assert min(rare) > max(fluent)
