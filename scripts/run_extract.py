@@ -68,6 +68,11 @@ def main() -> int:
                          "catalog via writeTo().append()")
     ap.add_argument("--iceberg-table", default=None,
                     help="catalog.db.table for --writer-backend iceberg")
+    ap.add_argument("--gopher-filter", action="store_true",
+                    help="drop successfully-extracted html docs that fail "
+                         "the Gopher quality rules (textstats.gopher_rules) "
+                         "before the write; quarantine/error rows and "
+                         "pdf/image docs pass through untouched")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -127,6 +132,16 @@ def main() -> int:
             return 0
 
     extracted = run_extraction(spark, pages, cfg)
+    if args.gopher_filter:
+        # Inline quality gate (expression-only, same scan pass): only
+        # successful html rows are judged — error rows stay, they are
+        # the quarantine record.
+        from extractor.operators.textstats import gopher_rules
+
+        keep = gopher_rules(F.col("text"))["keep"]
+        extracted = extracted.filter(
+            (F.col("doc_type") != "html") | (~F.col("success")) | keep
+        )
     run_id = write_snapshot(
         extracted,
         args.output,
