@@ -1,0 +1,95 @@
+"""Crawl-lifecycle operators: cross-crawl deltas and latest-wins
+snapshot resolution.
+
+A web corpus is not one table but a sequence of crawls of the same URL
+space; before any dedup or quality work the pipeline must answer "what
+changed since the previous crawl?" and "which capture of this URL is
+current?".  (The reference service processes one upload at a time and
+has no corpus memory — extractor's batch analog of re-submitting a
+document is re-crawling a URL, so these operators define what re-
+ingestion MEANS at corpus grain.)
+
+Scale shape: both operators are one equi-shuffle on the URL key.
+``crawl_delta`` is a single full-outer join of two crawl partitions
+(hash-partitioned on url, AQE-splittable); content comparison moves
+md5 hex digests, never page bytes.  ``latest_snapshot`` is one
+``max_by`` aggregate — no window over the multi-crawl union, so a
+1000-crawl history with 10^10 captures resolves in one shuffle whose
+reduce-side state is one running maximum per URL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify every URL across two crawls: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, different content
+    md5), ``unchanged`` (both, same md5).  Returns
+    (url, status, old_md5, new_md5).
+
+    One full-outer equi-join on the URL key; the md5 is computed
+    map-side before the shuffle so only (url, 32-hex) rows move.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("old_md5")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("new_md5")
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )
+
+
+def latest_snapshot(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Latest-wins resolution over a multi-crawl union of captures:
+    one row per URL carrying the payload of its most recent capture
+    plus ``n_captures`` (how many crawls saw this URL) and
+    ``first_ts``/``last_ts`` (its observation span).
+
+    ``max(struct(ts, payload…))`` keeps the aggregate a single
+    shuffle with constant per-key reduce state — the window-function
+    formulation (row_number over url order by ts desc) would buffer
+    every capture of hot URLs on one reducer — and stays deterministic
+    on ts ties because struct comparison falls through to the payload
+    fields (``max_by`` ties would be arbitrary).
+    """
+    payload_cols = payload_cols or [
+        c for c in captures.columns if c not in (url_col, ts_col)
+    ]
+    pay = F.struct(F.col(ts_col), *[F.col(c) for c in payload_cols])
+    agg = (
+        captures.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.max(pay).alias("latest"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    return agg.select(
+        "url",
+        *[F.col(f"latest.{c}").alias(c) for c in payload_cols],
+        "n_captures",
+        "first_ts",
+        "last_ts",
+    )
