@@ -1,0 +1,126 @@
+"""Search-relevance operators over the extracted web corpus: TF-IDF
+keyterm extraction and inbound anchor-text profiles.
+
+These are the two classic "what is this page about" signals a web
+pipeline derives once the text and link graph exist — TF-IDF from the
+page's own words, anchor terms from how OTHER pages label it (the
+latter is famously higher-precision for ranking and equally useful as
+a training-data topic prior).
+
+Scale shape: both are explode → count aggregates with map-side
+partials, then :func:`extractor.operators.topk.grouped_topk` for the
+per-key cut — bounded two-level top-k, no per-group windows, so a hot
+page with 10^7 inbound anchors costs one bucketed partial-aggregate,
+never a single-reducer sort.  TF-IDF's document-frequency table is
+vocab-sized and joined on the token equi-key (NOT broadcast: a web
+vocab at 100 TB is out of driver range); corpus text never shuffles —
+after the first explode only (token, count) pairs move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from extractor.operators.dedup import words_of
+from extractor.operators.topk import grouped_topk_exploded
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by integer-exact TF-IDF:
+    ``score = tf * (n_docs div df)`` — term frequency weighted by the
+    floored inverse document frequency (monotone in the textbook
+    tf·log(N/df); floor-division keeps every compared value an exact
+    long so Spark and any oracle agree bit-for-bit).  Ties rank
+    alphabetically.  Returns (doc_id, rank, token, score).
+
+    Plan: explode → (doc, token) counts → token-level distinct-doc
+    counts (both map-side partial) → one equi-join on token → bounded
+    two-level top-k per doc.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_of(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))  # one row
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.expr("n_docs div df")).cast("long").alias("score"),
+        )
+    )
+    ranked = grouped_topk_exploded(
+        scored,
+        ["doc_id"],
+        F.struct((-F.col("score")).alias("neg"), F.col("token")),
+        k,
+    )
+    return ranked.select(
+        "doc_id",
+        "rank",
+        F.col("value.token").alias("token"),
+        (-F.col("value.neg")).cast("long").alias("score"),
+    )
+
+
+def anchor_term_topk(
+    outlinks: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Inbound anchor-text profile per target host: the top-k most
+    frequent anchor terms other pages use when linking there —
+    (dst_host, rank, term, n).  Terms are lowercased whitespace
+    tokens; empty anchors and terms below ``min_count`` are dropped
+    (singleton anchor noise dominates raw web anchors).
+
+    Input is :func:`extractor.operators.webgraph.html_outlinks` rows
+    (url, seq, href, anchor_text); hrefs resolve to a destination
+    host exactly as :func:`host_edges` does (relative → source host).
+    Plan: map-only host resolution + term explode, one (host, term)
+    count aggregate, bounded top-k per host.
+    """
+    def host_of(col: str):
+        no_scheme = F.expr(f"substring({col}, instr({col}, '://') + 3)")
+        return F.lower(F.substring_index(no_scheme, "/", 1))
+
+    src_host = host_of("url")
+    dst_host = (
+        F.when(F.col("href").contains("://"), host_of("href"))
+        .otherwise(src_host)
+    )
+    terms = (
+        outlinks.select(
+            dst_host.alias("dst_host"),
+            F.explode(words_of(F.lower(F.col("anchor_text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).filter(F.col("n") >= min_count)
+    ranked = grouped_topk_exploded(
+        counts,
+        ["dst_host"],
+        F.struct((-F.col("n")).alias("neg"), F.col("term")),
+        k,
+    )
+    return ranked.select(
+        "dst_host",
+        "rank",
+        F.col("value.term").alias("term"),
+        (-F.col("value.neg")).cast("long").alias("n"),
+    )
