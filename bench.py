@@ -87,6 +87,12 @@ HEADLINE_QUERIES = [
     "pack_sequences",
     "unigram_surprisal",
     "frontier_score",
+    "crawl_delta",
+    "crawl_latest",
+    "tfidf_topk",
+    "anchor_topk",
+    "seq_len_histogram",
+    "dedup_keep_best",
 ]
 
 

@@ -755,3 +755,45 @@ def ngram_containment_pairs(
         .filter(F.col("c") >= threshold)
         .select("a", "b", F.round("c", 4).alias("containment"))
     )
+
+
+def cluster_keep_best(
+    cc: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster: keep
+    the member with the highest ``score`` (ties → smallest doc id) —
+    RefinedWeb/Gopher pipelines keep the LONGEST capture of a
+    near-dup cluster rather than an arbitrary one, because truncated
+    or boilerplate-heavy variants are usually the shorter ones.
+    Returns (cluster_id, keep_doc_id, keep_score, n_members).
+
+    ``cc`` is :func:`connected_components` output (doc_id,
+    cluster_id); ``docs`` supplies the score column (default: text
+    length).  Scale shape: one equi-join of the edge-sized cluster
+    table against the corpus on doc_id (scores move as (id, long)
+    pairs, text never shuffles), then one ``max(struct(score,
+    -doc_id))`` aggregate per cluster — constant reduce state, no
+    per-cluster window, deterministic on score ties via the struct
+    fallthrough.
+    """
+    score = score if score is not None else F.length(F.col("text"))
+    m = cc.join(
+        docs.select(F.col(id_col).alias("doc_id"), score.cast("long").alias("score")),
+        "doc_id",
+    )
+    best = F.max(
+        F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("best")
+    return (
+        m.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("keep_doc_id"),
+            F.col("best.score").cast("long").alias("keep_score"),
+            "n_members",
+        )
+    )

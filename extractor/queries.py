@@ -3361,3 +3361,338 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
     return funnel(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Round-4 crawl-lifecycle & relevance tier: cross-crawl deltas,
+# latest-wins snapshot resolution, TF-IDF keyterms, inbound
+# anchor-text profiles, sequence-length histograms.
+
+# Capture-url fixture shared by the crawl-lifecycle entries: documents
+# spread across 7 hosts, zero-padded path ids.
+_CRAWL_URL_SQL = (
+    "'https://h' || (doc_id % 7) || '.example-42.test/d/' || "
+    "printf('%06d', doc_id)"
+)
+
+
+def _crawl_url(doc_id_col: str = "doc_id", offset: int = 0):
+    base = F.col(doc_id_col) + offset if offset else F.col(doc_id_col)
+    return F.concat(
+        F.lit("https://h"), (F.col(doc_id_col) % 7).cast("string"),
+        F.lit(".example-42.test/d/"), F.format_string("%06d", base),
+    )
+
+
+@register(
+    "crawl_delta",
+    f"""
+    -- two crawls of the same url space: every 5th url dropped
+    -- (removed), every 7th re-captured with updated content
+    -- (changed), every 11th doc also seeds a brand-new url (added)
+    WITH old AS (
+      SELECT {_CRAWL_URL_SQL} AS url, md5(text) AS old_md5 FROM documents
+    ), new AS (
+      SELECT {_CRAWL_URL_SQL} AS url,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                      ELSE text END) AS new_md5
+      FROM documents WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT 'https://h' || (doc_id % 7) || '.example-42.test/d/' ||
+             printf('%06d', doc_id + 1000000) AS url,
+             md5(text) AS new_md5
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(old.url, new.url) AS url,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 = new_md5 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_md5, new_md5
+    FROM old FULL OUTER JOIN new ON old.url = new.url
+    """,
+)
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl diff (operators.crawl.crawl_delta): classify every
+    URL across two crawls as added / removed / changed / unchanged —
+    the first question a recurring crawl pipeline answers before any
+    downstream work re-runs.  One full-outer equi-join on the url
+    key; content comparison ships md5 digests computed map-side, so
+    page bytes never shuffle.  Fixture: the second crawl drops every
+    5th url, mutates every 7th document's text, and adds a fresh url
+    for every 11th."""
+    from extractor.operators.crawl import crawl_delta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.select(_crawl_url().alias("url"), "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        _crawl_url().alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            _crawl_url(offset=1_000_000).alias("url"), "text"
+        )
+    )
+    return crawl_delta(old, new)
+
+
+@register(
+    "crawl_latest",
+    f"""
+    -- three crawls at ts 100/200/300 with shrinking coverage;
+    -- latest-wins per url plus capture-span stats
+    WITH caps AS (
+      SELECT {_CRAWL_URL_SQL} AS url, 100 AS crawl_ts, text FROM documents
+      UNION ALL
+      SELECT {_CRAWL_URL_SQL} AS url, 200 AS crawl_ts, text || ' v2'
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT {_CRAWL_URL_SQL} AS url, 300 AS crawl_ts, text || ' v3'
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT url, arg_max(text, crawl_ts) AS text,
+           count(*)::BIGINT AS n_captures,
+           min(crawl_ts)::INT AS first_ts, max(crawl_ts)::INT AS last_ts
+    FROM caps GROUP BY url
+    """,
+)
+def q_crawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot resolution (operators.crawl.
+    latest_snapshot): one row per URL carrying its most recent
+    capture's payload plus capture-count and observation span — how a
+    multi-crawl history collapses to the "current web" view every
+    other operator consumes.  One max(struct(ts, payload)) aggregate:
+    constant reduce state per url, deterministic on ties, no window
+    over the capture history."""
+    from extractor.operators.crawl import latest_snapshot
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def crawl(ts: int, mod: int, suffix: str):
+        d = docs.filter(F.col("doc_id") % mod == 0) if mod > 1 else docs
+        text = (
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        )
+        return d.select(
+            _crawl_url().alias("url"),
+            F.lit(ts).alias("crawl_ts"),
+            text.alias("text"),
+        )
+
+    caps = (
+        crawl(100, 1, "")
+        .unionByName(crawl(200, 2, " v2"))
+        .unionByName(crawl(300, 4, " v3"))
+    )
+    return latest_snapshot(caps, ts_col="crawl_ts")
+
+
+@register(
+    "tfidf_topk",
+    """
+    -- integer-exact TF-IDF: score = tf * (n_docs // df), top 3 terms
+    -- per document, ties alphabetical
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, token
+    ), dft AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+    ), nd AS (
+      SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             (tf.tf * (nd.n_docs // dft.df))::BIGINT AS score
+      FROM tf JOIN dft ON dft.token = tf.token, nd
+    )
+    SELECT doc_id, rank, token, score FROM (
+      SELECT doc_id, token, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token ASC
+             )::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyterm extraction (operators.relevance.
+    tfidf_topk): top-3 terms by integer-exact TF-IDF — tf weighted by
+    the floored inverse document frequency ``n_docs div df`` (monotone
+    in the textbook tf·log(N/df), bit-reproducible in both engines).
+    The df table is joined on the token equi-key, NOT broadcast (a
+    web-scale vocabulary exceeds driver range); the per-doc cut is the
+    bounded two-level grouped_topk, no per-group window."""
+    from extractor.operators.relevance import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
+@register(
+    "anchor_topk",
+    """
+    -- inbound anchor-term profile per target host over a synthetic
+    -- cross-host link fixture (topic anchor to a derived host +
+    -- relative 'home link' anchor resolving to the source host)
+    WITH links AS (
+      SELECT 'h' || ((doc_id * 3 + 1) % 7) || '.example-42.test' AS dst_host,
+             lower('Topic ' || (doc_id % 13) || ' News') AS anchor
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 7) || '.example-42.test' AS dst_host,
+             'home link' AS anchor
+      FROM documents
+    ), terms AS (
+      SELECT dst_host, unnest(string_split(anchor, ' ')) AS term FROM links
+    ), counts AS (
+      SELECT dst_host, term, count(*)::BIGINT AS n
+      FROM terms WHERE term <> ''
+      GROUP BY dst_host, term HAVING count(*) >= 2
+    )
+    SELECT dst_host, rank, term, n FROM (
+      SELECT dst_host, term, n,
+             row_number() OVER (
+               PARTITION BY dst_host ORDER BY n DESC, term ASC
+             )::INT AS rank
+      FROM counts
+    ) WHERE rank <= 5
+    """,
+)
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text profiles (operators.relevance.
+    anchor_term_topk): the top-5 terms other pages use when linking
+    to each host — the classic high-precision "what is this page
+    about" ranking signal, equally useful as a topic prior for
+    training-data curation.  Map-only host resolution (relative hrefs
+    → source host, as host_edges), term explode, one (host, term)
+    count aggregate with a min-count noise floor, bounded top-k."""
+    from extractor.operators.relevance import anchor_term_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    src = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-42.test/p/"), F.col("doc_id").cast("string"),
+    )
+    topic_href = F.concat(
+        F.lit("https://h"), ((F.col("doc_id") * 3 + 1) % 7).cast("string"),
+        F.lit(".example-42.test/t"),
+    )
+    topic_anchor = F.concat(
+        F.lit("Topic "), (F.col("doc_id") % 13).cast("string"), F.lit(" News")
+    )
+    outlinks = docs.select(
+        src.alias("url"),
+        F.explode(
+            F.array(
+                F.struct(
+                    topic_href.alias("href"), topic_anchor.alias("anchor_text")
+                ),
+                F.struct(
+                    F.concat(F.lit("/local/"), F.col("doc_id").cast("string"))
+                    .alias("href"),
+                    F.lit("home link").alias("anchor_text"),
+                ),
+            )
+        ).alias("l"),
+    ).select("url", "l.href", "l.anchor_text")
+    return anchor_term_topk(outlinks, k=5, min_count=2)
+
+
+# Power-of-2 sequence-length buckets, identical CASE text in both
+# engines (no float log2 — boundary values stay exact).
+_SEQ_LEN_BUCKET_SQL = "CASE " + " ".join(
+    f"WHEN n_tokens < {2 ** (i + 1)} THEN {2 ** i}" for i in range(13)
+) + " ELSE 8192 END"
+
+
+@register(
+    "seq_len_histogram",
+    f"""
+    -- per-language sequence-length histogram in power-of-2 buckets:
+    -- the shape packing/curriculum planning reads before choosing a
+    -- context budget
+    WITH lens AS (
+      SELECT lang, len(string_split(text, ' '))::INT AS n_tokens
+      FROM documents
+    )
+    SELECT lang, ({_SEQ_LEN_BUCKET_SQL})::INT AS bucket_lo,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens_sum
+    FROM lens GROUP BY lang, bucket_lo
+    """,
+)
+def q_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution per language in power-of-2
+    buckets — what a packing/curriculum planner inspects before
+    fixing a context budget (pairs with pack_sequences: fill ratio at
+    budget B follows directly from this histogram).  Expression-only
+    map + one grouped aggregate; the bucket boundaries are an integer
+    CASE chain, so Spark and the oracle agree exactly (float log2
+    would disagree at the boundaries)."""
+    lens = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return (
+        lens.select("lang", F.expr(_SEQ_LEN_BUCKET_SQL).cast("int").alias("bucket_lo"),
+                    "n_tokens")
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_sum"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    cand AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING min(est) >= 0.5
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM cand
+      UNION
+      SELECT b AS src, a AS dst FROM cand
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ), cc AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ), m AS (
+      SELECT cc.cluster_id, cc.doc_id, length(c.text)::BIGINT AS score
+      FROM cc JOIN corpus c ON c.doc_id = cc.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, score AS keep_score, n_members
+    FROM (
+      SELECT cluster_id, doc_id, score,
+             count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM m
+    ) t WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators.dedup.
+    cluster_keep_best): LSH candidate pairs → connected components →
+    keep each cluster's LONGEST member (ties → smallest id), the
+    RefinedWeb keep rule — min-id canonicals (corpus_select_fuzzy)
+    can keep a truncated capture and discard the full one.  The
+    cluster table is edge-sized; scores join on doc_id as (id, long)
+    pairs so corpus text never shuffles; per-cluster selection is one
+    max(struct) aggregate, no window.  Oracle: recursive-CTE closure
+    + a window formulation of the same argmax."""
+    from extractor.operators.dedup import (
+        cluster_keep_best,
+        connected_components,
+        lsh_pairs,
+    )
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    edges = lsh_pairs(corpus.select("doc_id", "text"), k=16, bands=4, threshold=0.5)
+    cc = connected_components(edges)
+    return cluster_keep_best(cc, corpus.select("doc_id", "text"))

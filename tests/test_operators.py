@@ -646,3 +646,128 @@ def test_unigram_surprisal_naive_equivalence(spark):
     rare = [v[2] for k, v in got.items() if k % 4 == 0]
     fluent = [v[2] for k, v in got.items() if k % 4 != 0]
     assert min(rare) > max(fluent)
+
+
+def test_crawl_delta_classification(spark):
+    """Each of the four statuses appears and carries the right md5
+    pairing on a hand-built two-crawl fixture."""
+    from extractor.operators.crawl import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "alpha"), ("u2", "beta"), ("u3", "gamma")],
+        "url: string, text: string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "alpha"), ("u2", "beta CHANGED"), ("u4", "delta")],
+        "url: string, text: string",
+    )
+    got = {r["url"]: r for r in crawl_delta(old, new).collect()}
+    assert {u: r["status"] for u, r in got.items()} == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
+    }
+    assert got["u3"]["new_md5"] is None and got["u3"]["old_md5"] is not None
+    assert got["u4"]["old_md5"] is None and got["u4"]["new_md5"] is not None
+    assert got["u1"]["old_md5"] == got["u1"]["new_md5"]
+    assert got["u2"]["old_md5"] != got["u2"]["new_md5"]
+
+
+def test_latest_snapshot_determinism_and_span(spark):
+    """Latest-wins picks the max ts; a deliberate ts TIE resolves by
+    the struct comparison's payload fallthrough (max payload), not
+    arbitrarily — plus capture-count and span stats."""
+    from extractor.operators.crawl import latest_snapshot
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", 100, "v1"), ("u1", 300, "v3"), ("u1", 200, "v2"),
+            ("u2", 100, "only"),
+            ("u3", 100, "aaa"), ("u3", 100, "zzz"),  # tie on ts
+        ],
+        "url: string, crawl_ts: int, text: string",
+    )
+    got = {r["url"]: r for r in latest_snapshot(caps, ts_col="crawl_ts").collect()}
+    assert got["u1"]["text"] == "v3"
+    assert (got["u1"]["n_captures"], got["u1"]["first_ts"], got["u1"]["last_ts"]) == (3, 100, 300)
+    assert got["u2"]["text"] == "only" and got["u2"]["n_captures"] == 1
+    assert got["u3"]["text"] == "zzz"  # deterministic tie-break
+
+
+def test_tfidf_topk_naive_equivalence(spark):
+    """Seeded naive equivalence: distributed integer TF-IDF ==
+    driver-side replay including the (score desc, token asc) ranking."""
+    import random
+
+    from extractor.operators.relevance import tfidf_topk
+
+    rng = random.Random(11)
+    vocab = ["the", "of", "spark", "web", "crawl", "rare1", "rare2", "x9"]
+    docs = [
+        (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(15)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    tf: dict = {}
+    for i, t in docs:
+        for w in t.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq: dict = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n_docs = len(docs)
+    want = {}
+    for i, _ in docs:
+        scored = sorted(
+            ((-(c * (n_docs // dfreq[w])), w) for (d, w), c in tf.items() if d == i),
+        )[:3]
+        want[i] = [(r + 1, w, -neg) for r, (neg, w) in enumerate(scored)]
+
+    got: dict = {}
+    for r in tfidf_topk(df, k=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
+
+
+def test_anchor_term_topk_resolution_and_floor(spark):
+    """Relative hrefs resolve to the source host, absolute to their
+    own; terms below min_count drop; ranking is (n desc, term asc)."""
+    from extractor.operators.relevance import anchor_term_topk
+
+    rows = [
+        ("https://a.test/p1", "https://B.test/x", "Great Site"),
+        ("https://a.test/p2", "https://b.test/y", "great stuff"),
+        ("https://a.test/p3", "/local", "home page"),
+        ("https://a.test/p4", "/other", "home page"),
+        ("https://c.test/p5", "https://b.test/z", "one-off"),
+    ]
+    df = spark.createDataFrame(rows, "url: string, href: string, anchor_text: string")
+    got = {}
+    for r in anchor_term_topk(df, k=5, min_count=2).collect():
+        got.setdefault(r["dst_host"], []).append((r["rank"], r["term"], r["n"]))
+    assert got == {
+        "b.test": [(1, "great", 2)],          # 'site'/'stuff'/'one-off' drop (n=1)
+        "a.test": [(1, "home", 2), (2, "page", 2)],  # tie → alphabetical
+    }
+
+
+def test_cluster_keep_best_longest_wins(spark):
+    """Per-cluster canonical = longest member; score tie → smallest
+    doc_id; n_members counts the whole cluster."""
+    from extractor.operators.dedup import cluster_keep_best
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id: long, cluster_id: long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short"), (2, "the longest member here"), (3, "mid text"),
+            (10, "same"), (11, "tied"),  # equal length → keep doc 10
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["cluster_id"]: r for r in cluster_keep_best(cc, docs).collect()}
+    assert got[1]["keep_doc_id"] == 2 and got[1]["n_members"] == 3
+    assert got[1]["keep_score"] == len("the longest member here")
+    assert got[10]["keep_doc_id"] == 10 and got[10]["n_members"] == 2

@@ -258,3 +258,33 @@ def test_pack_sequences_window_is_shard_partitioned(spark):
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert win_lines, plan[:2000]
     assert any("shard" in ln for ln in win_lines), "\n".join(win_lines)
+
+
+def test_r4_crawl_relevance_plan_shapes(spark):
+    """Round-4 crawl/relevance additions keep their claimed shapes:
+    everything stays JVM-side (no Python stage), the crawl operators
+    and histogram carry no window, frontier scoring broadcasts the
+    host-rank side, TF-IDF joins the df table on the token equi-key
+    WITHOUT broadcasting it (web vocab exceeds driver range) while
+    the one-row n_docs total IS broadcast, and the per-key cuts use
+    the bounded two-level top-k (no per-group window)."""
+    for name in [
+        "crawl_delta", "crawl_latest", "seq_len_histogram",
+        "tfidf_topk", "anchor_topk", "unigram_surprisal",
+        "frontier_score", "dedup_keep_best",
+    ]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:1500]}"
+    for name in ["crawl_delta", "crawl_latest", "seq_len_histogram",
+                 "tfidf_topk", "anchor_topk", "dedup_keep_best"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
+    plan = plan_of(REGISTRY["frontier_score"].spark(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    plan = plan_of(REGISTRY["tfidf_topk"].spark(spark, SF_SMALL))
+    # token-key df join must be a shuffle hash/sort-merge join, not a
+    # broadcast of the vocabulary; count the broadcast joins — exactly
+    # the one-row n_docs total.
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert "partial_count" in plan or "partial_" in plan, plan[:2000]
