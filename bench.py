@@ -93,6 +93,8 @@ HEADLINE_QUERIES = [
     "anchor_topk",
     "seq_len_histogram",
     "dedup_keep_best",
+    "crawl_moves",
+    "embedding_clusters",
 ]
 
 

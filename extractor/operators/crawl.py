@@ -93,3 +93,27 @@ def latest_snapshot(
         "first_ts",
         "last_ts",
     )
+
+
+def detect_moves(delta: DataFrame) -> DataFrame:
+    """Content moves across two crawls: pair every ``removed`` URL
+    with every ``added`` URL carrying byte-identical content (equal
+    content md5) — the redirect/site-restructure signal that lets a
+    pipeline preserve a document's history (and its dedup/index
+    state) instead of treating the move as a delete plus a fresh
+    document.  Input is :func:`crawl_delta` output; returns
+    (old_url, new_url, md5).
+
+    One equi-join on the 32-hex digest between two already-small
+    slices of the delta (removed × added) — at web scale both sides
+    are crawl-churn-sized, not corpus-sized, and a shared digest
+    between unrelated sites simply surfaces as a many-to-many row
+    (real: mirrored boilerplate), so no dedup pass is hidden here.
+    """
+    removed = delta.filter(F.col("status") == "removed").select(
+        F.col("url").alias("old_url"), F.col("old_md5").alias("md5")
+    )
+    added = delta.filter(F.col("status") == "added").select(
+        F.col("url").alias("new_url"), F.col("new_md5").alias("md5")
+    )
+    return removed.join(added, "md5").select("old_url", "new_url", "md5")

@@ -1000,10 +1000,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_lsh",
-    """
-    WITH pl AS (  -- 4 OR-bands × 6 deterministic hyperplanes: md5(plane:p:d)
+# Embedding SRP-LSH oracle CTEs shared by dedup_embedding_lsh and
+# embedding_clusters: 4 OR-bands × 6 deterministic hyperplanes
+# (md5(plane:p:d)), perturbed-copy fixture, thresholded distinct
+# pairs in `epairs`.
+_EMB_LSH_CTES = """pl AS (
       SELECT p.p, p.p // 6 AS band, p.p % 6 AS bit,
              list_transform(generate_series(0, 63), d ->
                ((('0x' || substr(md5('plane:' || p.p::VARCHAR || ':' || d::VARCHAR),
@@ -1022,12 +1023,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 2 ** pl.bit ELSE 0 END) AS INT) AS bucket
       FROM corpus c, pl
       GROUP BY c.vec_id, c.v, pl.band
-    )
-    SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-    FROM base a JOIN base b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    ), epairs AS (
+      SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM base a JOIN base b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    )"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH {_EMB_LSH_CTES}
+    SELECT a, b, cosine FROM epairs
     """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,13 +3393,13 @@ def _crawl_url(doc_id_col: str = "doc_id", offset: int = 0):
     )
 
 
-@register(
-    "crawl_delta",
-    f"""
-    -- two crawls of the same url space: every 5th url dropped
-    -- (removed), every 7th re-captured with updated content
-    -- (changed), every 11th doc also seeds a brand-new url (added)
-    WITH old AS (
+# Two-crawl fixture shared by crawl_delta and crawl_moves: every 5th
+# url dropped (removed), every 7th re-captured with updated content
+# (changed), every 11th doc also seeds a brand-new url (added) — so
+# every doc_id % 55 == 0 is a content MOVE (old url gone, same bytes
+# under a fresh url).
+_CRAWL_DELTA_CTES = f"""
+    old AS (
       SELECT {_CRAWL_URL_SQL} AS url, md5(text) AS old_md5 FROM documents
     ), new AS (
       SELECT {_CRAWL_URL_SQL} AS url,
@@ -3402,14 +3411,23 @@ def _crawl_url(doc_id_col: str = "doc_id", offset: int = 0):
              printf('%06d', doc_id + 1000000) AS url,
              md5(text) AS new_md5
       FROM documents WHERE doc_id % 11 = 0
+    ), delta AS (
+      SELECT coalesce(old.url, new.url) AS url,
+             CASE WHEN old_md5 IS NULL THEN 'added'
+                  WHEN new_md5 IS NULL THEN 'removed'
+                  WHEN old_md5 = new_md5 THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             old_md5, new_md5
+      FROM old FULL OUTER JOIN new ON old.url = new.url
     )
-    SELECT coalesce(old.url, new.url) AS url,
-           CASE WHEN old_md5 IS NULL THEN 'added'
-                WHEN new_md5 IS NULL THEN 'removed'
-                WHEN old_md5 = new_md5 THEN 'unchanged'
-                ELSE 'changed' END AS status,
-           old_md5, new_md5
-    FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
+@register(
+    "crawl_delta",
+    f"""
+    WITH {_CRAWL_DELTA_CTES}
+    SELECT url, status, old_md5, new_md5 FROM delta
     """,
 )
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3696,3 +3714,94 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_pairs(corpus.select("doc_id", "text"), k=16, bands=4, threshold=0.5)
     cc = connected_components(edges)
     return cluster_keep_best(cc, corpus.select("doc_id", "text"))
+
+
+@register(
+    "crawl_moves",
+    f"""
+    WITH {_CRAWL_DELTA_CTES}
+    SELECT r.url AS old_url, a.url AS new_url, r.old_md5 AS md5
+    FROM delta r JOIN delta a
+      ON a.new_md5 = r.old_md5
+     AND r.status = 'removed' AND a.status = 'added'
+    """,
+)
+def q_crawl_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-move detection (operators.crawl.detect_moves): removed
+    URLs paired with added URLs carrying byte-identical content — the
+    redirect/site-restructure signal that lets the pipeline carry a
+    document's dedup/index state across a URL change instead of
+    re-learning it.  One digest equi-join between two crawl-churn-
+    sized delta slices; fixture: every doc_id % 55 == 0 document is a
+    move by construction (url removed by the %5 rule, its exact bytes
+    re-added under a fresh url by the %11 rule)."""
+    from extractor.operators.crawl import crawl_delta, detect_moves
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.select(_crawl_url().alias("url"), "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        _crawl_url().alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            _crawl_url(offset=1_000_000).alias("url"), "text"
+        )
+    )
+    return detect_moves(crawl_delta(old, new))
+
+
+@register(
+    "embedding_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_LSH_CTES},
+    sym AS (
+      SELECT a AS src, b AS dst FROM epairs
+      UNION
+      SELECT b AS src, a AS dst FROM epairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: SRP-banded near-dup pairs
+    (the dedup_embedding_lsh formulation, same perturbed-copy
+    fixture) resolved to connected components — semantic dedup's
+    cluster step, reusing the text tier's min-label propagation on an
+    edge list that is candidate-pair-sized, not corpus-sized.  The
+    canonical flag (vec_id == cluster_id) is what a semantic-dedup
+    pass keeps; oracle: recursive-CTE transitive closure over the
+    shared pair CTEs."""
+    from extractor.operators.dedup import (
+        connected_components,
+        embedding_neardup_pairs_srp,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at(F.col("v"), i)
+            + F.when(i == 1, 0.01).otherwise(0.0),
+        ).alias("v"),
+    )
+    corpus = emb.unionAll(perturbed)
+    pairs = embedding_neardup_pairs_srp(
+        corpus, id_col="vec_id", vec_col="v", threshold=0.99, n_planes=6, dim=64
+    )
+    cc = connected_components(pairs.select("a", "b"))
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

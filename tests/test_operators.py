@@ -771,3 +771,22 @@ def test_cluster_keep_best_longest_wins(spark):
     assert got[1]["keep_doc_id"] == 2 and got[1]["n_members"] == 3
     assert got[1]["keep_score"] == len("the longest member here")
     assert got[10]["keep_doc_id"] == 10 and got[10]["n_members"] == 2
+
+
+def test_detect_moves_pairs_removed_with_added(spark):
+    """Moves = removed×added on equal md5; changed/unchanged urls and
+    non-matching digests stay out; many-to-many digests all surface."""
+    from extractor.operators.crawl import crawl_delta, detect_moves
+
+    old = spark.createDataFrame(
+        [("u1", "moved body"), ("u2", "kept"), ("u3", "gone forever"),
+         ("u5", "moved body")],
+        "url: string, text: string",
+    )
+    new = spark.createDataFrame(
+        [("u2", "kept"), ("u4", "moved body"), ("u6", "brand new")],
+        "url: string, text: string",
+    )
+    got = {(r["old_url"], r["new_url"]) for r in
+           detect_moves(crawl_delta(old, new)).collect()}
+    assert got == {("u1", "u4"), ("u5", "u4")}
