@@ -790,3 +790,30 @@ def test_detect_moves_pairs_removed_with_added(spark):
     got = {(r["old_url"], r["new_url"]) for r in
            detect_moves(crawl_delta(old, new)).collect()}
     assert got == {("u1", "u4"), ("u5", "u4")}
+
+
+def test_crawl_delta_self_is_all_unchanged(spark):
+    """delta(C, C) must classify every url unchanged — the identity
+    property any diff operator owes its caller."""
+    from extractor.operators.crawl import crawl_delta
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    out = crawl_delta(docs, docs)
+    assert out.filter(F.col("status") != "unchanged").count() == 0
+    assert out.count() == docs.count()
+
+
+def test_tfidf_topk_k_truncation_independence(spark):
+    """tfidf(k=2) == the rank<=2 prefix of tfidf(k=3) — the same
+    truncation-independence contract grouped_topk pins for buckets."""
+    from extractor.operators.relevance import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    k2 = {tuple(r) for r in tfidf_topk(docs, k=2).collect()}
+    k3 = {tuple(r) for r in tfidf_topk(docs, k=3).filter(F.col("rank") <= 2).collect()}
+    assert k2 == k3 and k2
