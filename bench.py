@@ -95,6 +95,7 @@ HEADLINE_QUERIES = [
     "dedup_keep_best",
     "crawl_moves",
     "embedding_clusters",
+    "corpus_report",
 ]
 
 

@@ -3807,3 +3807,63 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "corpus_report",
+    f"""
+    -- corpus report card: docs and tokens by language x exact-dup
+    -- status x quality verdict (same quality expressions as
+    -- corpus_select) -- the composition dashboard an operator reads
+    -- before shipping a crawl
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, lang, md5(text) AS h, length(w) AS n_tokens,
+             (length(list_distinct(w)) * 10000 // length(w)) // 4 +
+             least(list_sum(list_transform(w, x -> length(x))) * 100
+                   // length(w), 1000) // 2 AS quality
+      FROM toks
+    ), dupes AS (
+      SELECT h, count(*) AS c FROM feat GROUP BY h
+    )
+    SELECT f.lang, (d.c > 1) AS is_dup,
+           (f.quality >= 1000 AND f.n_tokens >= 10) AS keep,
+           count(*)::BIGINT AS n_docs, sum(f.n_tokens)::BIGINT AS n_tokens_sum
+    FROM feat f JOIN dupes d ON d.h = f.h
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: (lang × exact-dup status × quality
+    verdict) → doc and token counts — the pre-ship dashboard stitched
+    from the tier's own primitives (quality_score expressions, the
+    dedup_exact hash).  Features are map-only codegen; the dup flag
+    is one shuffle on the 32-hex digest with map-side partials; the
+    final rollup groups ~|lang|×4 cells.  At 100 TB this is the
+    query that decides whether a crawl batch enters the mixture."""
+    from extractor.operators.textstats import quality_score
+
+    feats = quality_score(F.col("text"))
+    feat = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality"].alias("quality"),
+    )
+    dupes = feat.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        feat.join(dupes, "h")
+        .select(
+            "lang",
+            (F.col("c") > 1).alias("is_dup"),
+            ((F.col("quality") >= 1000) & (F.col("n_tokens") >= 10)).alias("keep"),
+            "n_tokens",
+        )
+        .groupBy("lang", "is_dup", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_sum"),
+        )
+    )
