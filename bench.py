@@ -96,6 +96,7 @@ HEADLINE_QUERIES = [
     "crawl_moves",
     "embedding_clusters",
     "corpus_report",
+    "wet_roundtrip",
 ]
 
 

@@ -3867,3 +3867,54 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sources — crawl-archive ingestion (WET)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wet_roundtrip",
+    """
+    SELECT 'https://crawl.test/doc/' || doc_id::VARCHAR AS url,
+           '2025-06-01T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z'
+             AS warc_date,
+           md5(text) AS text_md5,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET segment export + re-ingest (sources.wet): documents →
+    ``to_wet_records`` (one codegen'd concat per row) → Spark text
+    writer (4 part files, no collect) → ``read_wet`` (block-splittable
+    ``lineSep`` scan + expression-only header parse).  The oracle
+    derives (url, date, md5, length) straight from ``documents``, so
+    a green row proves the FILE round-trip is lossless — any framing
+    bug (trailer strip, header regex, warcinfo skip) breaks the hash.
+    At 100 TB both halves scale like the scan: formatting is map-only
+    and the read splits segments at block boundaries."""
+    import tempfile
+
+    from extractor.sources.wet import read_wet, to_wet_records
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("2025-06-01T00:00:"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("warc_date"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="wet_rt_") + "/segments"
+    to_wet_records(docs.repartition(4)).write.mode("overwrite").text(out)
+    return read_wet(spark, out).select(
+        "url",
+        "warc_date",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -1,0 +1,88 @@
+"""WET crawl-archive reader tests: round-trip, record filtering,
+multi-file reads, and the splittable-scan plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extractor.sources.wet import read_wet, to_wet_records, wet_file
+
+
+RECORDS = [
+    ("https://a.example/one", "2025-06-01T00:00:00Z", "hello world"),
+    # internal newlines survive; only the framing trailer is stripped
+    ("https://a.example/two", "2025-06-01T00:00:01Z", "line one\nline two"),
+    # unicode body: Content-Length is octet-based, parse is char-based
+    ("https://b.example/drei", "2025-06-02T09:30:00Z", "straße — ümlaut"),
+    ("https://b.example/vier", "2025-06-02T09:30:01Z", "x"),
+]
+
+
+def test_wet_file_roundtrip(spark, tmp_path):
+    """Hand-built WET files (warcinfo preamble + CRLF framing, the
+    real segment layout) parse back to exactly the source records."""
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg-00000.warc.wet").write_text(
+        wet_file(RECORDS[:2], "seg-00000"), encoding="utf-8"
+    )
+    (d / "seg-00001.warc.wet").write_text(
+        wet_file(RECORDS[2:], "seg-00001"), encoding="utf-8"
+    )
+    got = sorted(
+        (r.url, r.warc_date, r.text) for r in read_wet(spark, str(d)).collect()
+    )
+    assert got == sorted(RECORDS)
+
+
+def test_wet_skips_non_conversion_and_missing_uri(spark, tmp_path):
+    """The warcinfo preamble and URI-less records are dropped, not
+    surfaced as empty rows."""
+    content = wet_file(RECORDS[:1], "seg") + (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Date: 2025-06-03T00:00:00Z\r\n"
+        "\r\n"
+        "no uri here\r\n\r\n"
+    )
+    p = tmp_path / "one.warc.wet"
+    p.write_text(content, encoding="utf-8")
+    rows = read_wet(spark, str(p)).collect()
+    assert [(r.url, r.text) for r in rows] == [(RECORDS[0][0], RECORDS[0][2])]
+
+
+def test_wet_spark_writer_roundtrip(spark, tmp_path):
+    """The distributed half: to_wet_records → write.text (several
+    part files, no collect) → read_wet recovers every row byte-exact.
+    This is the shape a 100 TB export/ingest uses."""
+    src = spark.createDataFrame(RECORDS, "url string, warc_date string, text string")
+    out = str(tmp_path / "wetout")
+    to_wet_records(src.repartition(3)).write.text(out)
+    got = sorted(
+        (r.url, r.warc_date, r.text) for r in read_wet(spark, out).collect()
+    )
+    assert got == sorted(RECORDS)
+
+
+def test_wet_scan_is_splittable_text_scan(spark, tmp_path):
+    """Plan shape: the reader must be a FileScan text relation (block-
+    splittable LineRecordReader), NOT a binaryFile or Python source —
+    that distinction is what makes a 1 GB segment many-task."""
+    p = tmp_path / "seg.warc.wet"
+    p.write_text(wet_file(RECORDS[:1], "seg"), encoding="utf-8")
+    plan = read_wet(spark, str(p))._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wet_trailing_newline_framing_caveat(spark, tmp_path):
+    """Documented trade: a body ending in newlines loses exactly the
+    trailing run (framing is indistinguishable); everything before
+    the trailing run is intact."""
+    p = tmp_path / "seg.warc.wet"
+    p.write_text(
+        wet_file([("https://t/x", "2025-06-01T00:00:00Z", "tail\n\n")], "seg"),
+        encoding="utf-8",
+    )
+    rows = read_wet(spark, str(p)).collect()
+    assert [(r.url, r.text) for r in rows] == [("https://t/x", "tail")]
