@@ -97,6 +97,7 @@ HEADLINE_QUERIES = [
     "embedding_clusters",
     "corpus_report",
     "wet_roundtrip",
+    "quality_buckets",
 ]
 
 

@@ -206,3 +206,54 @@ def unigram_surprisal(
             F.expr("surprisal_sum div n_words").cast("long").alias("mean_surprisal"),
         )
     )
+
+
+def quality_buckets(
+    scored,
+    lang_col: str = "lang",
+    score_col: str = "mean_surprisal",
+):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    language, rank documents by quality score (low surprisal = fluent
+    = head) and cut the corpus into terciles.  Downstream mixtures
+    sample head-heavy; the tail is where boilerplate and gibberish
+    concentrate.
+
+    Scale shape — the ranking never touches the corpus: terciles are
+    derived from a (lang, score) HISTOGRAM (integer scores, so the
+    histogram is |lang| x |distinct scores| — thousands of rows at
+    100 TB, not billions).  The only window runs over that aggregated
+    histogram, the threshold table is |lang| rows and broadcasts back,
+    bucket assignment is one CASE expression.  Tie policy: equal
+    scores land in the same bucket (cumulative-count boundary),
+    deterministic where ntile's row-split on ties is not.
+
+    Integer-exact boundaries: score s is head iff cum(s)*3 >= n (i.e.
+    the cumulative count through s reaches a third of the language's
+    docs), middle iff cum(s)*3 >= 2n fails the head test — no float
+    percentile, no ceil."""
+    from pyspark.sql import Window, functions as F
+
+    hist = scored.groupBy(lang_col, score_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(lang_col).orderBy(score_col)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy(lang_col).agg(F.sum("c").alias("n"))
+    thr = (
+        cum.join(n, lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n"), F.col(score_col))
+            ).alias("t_head"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col(score_col))
+            ).alias("t_mid"),
+        )
+    )
+    return scored.join(F.broadcast(thr), lang_col).select(
+        *scored.columns,
+        F.when(F.col(score_col) <= F.col("t_head"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -3918,3 +3918,69 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "quality_buckets",
+    """
+    -- CCNet §4.3 head/middle/tail: per-language surprisal terciles
+    -- over the integer surprisal scores, tie-stable (equal scores →
+    -- same bucket), boundaries via cum*3 >= n (no float percentile)
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS n FROM cnt
+    ), per_doc AS (
+      SELECT toks.doc_id, count(*) AS n_words,
+             sum(tot.n // cnt.c) AS surprisal_sum
+      FROM toks JOIN cnt ON cnt.t = toks.t, tot
+      GROUP BY toks.doc_id
+    ), scored AS (
+      SELECT p.doc_id, d.lang,
+             (p.surprisal_sum // p.n_words)::BIGINT AS mean_surprisal
+      FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    ), hist AS (
+      SELECT lang, mean_surprisal AS s, count(*)::BIGINT AS c
+      FROM scored GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, s,
+             (sum(c) OVER (PARTITION BY lang ORDER BY s))::BIGINT AS cum
+      FROM hist
+    ), n AS (
+      SELECT lang, count(*)::BIGINT AS n FROM scored GROUP BY lang
+    ), thr AS (
+      SELECT cum.lang,
+             min(CASE WHEN cum * 3 >= n.n THEN s END) AS t_head,
+             min(CASE WHEN cum * 3 >= 2 * n.n THEN s END) AS t_mid
+      FROM cum JOIN n ON n.lang = cum.lang
+      GROUP BY cum.lang
+    )
+    SELECT sc.doc_id, sc.lang, sc.mean_surprisal,
+           CASE WHEN sc.mean_surprisal <= t.t_head THEN 'head'
+                WHEN sc.mean_surprisal <= t.t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored sc JOIN thr t ON t.lang = sc.lang
+    """,
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality terciles (operators.textstats.
+    quality_buckets over unigram_surprisal): the head/middle/tail
+    label every LM-data mixture reads before sampling.  The corpus is
+    scored once (the surprisal shuffle), then bucket boundaries come
+    from a (lang, score) histogram — the one window runs over that
+    aggregated table, thresholds broadcast back as |lang| rows, and
+    assignment is a CASE expression.  Tie-stable where ntile is not,
+    so engine and oracle agree row-for-row."""
+    from extractor.operators.textstats import quality_buckets, unigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        unigram_surprisal(docs.select("doc_id", "text"))
+        .select("doc_id", "mean_surprisal")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return quality_buckets(
+        scored.select("doc_id", "lang", "mean_surprisal")
+    ).select("doc_id", "lang", "mean_surprisal", "bucket")

@@ -817,3 +817,30 @@ def test_tfidf_topk_k_truncation_independence(spark):
     k2 = {tuple(r) for r in tfidf_topk(docs, k=2).collect()}
     k3 = {tuple(r) for r in tfidf_topk(docs, k=3).filter(F.col("rank") <= 2).collect()}
     assert k2 == k3 and k2
+
+
+def test_quality_buckets_terciles_and_ties(spark):
+    """CCNet head/middle/tail: distinct scores split into clean
+    terciles per language; tied scores all land in ONE bucket (the
+    cumulative boundary), and a single-mass language is all head."""
+    from extractor.operators.textstats import quality_buckets
+
+    rows = [
+        # lang 'a': scores 1..6 → head {1,2}, middle {3,4}, tail {5,6}
+        *[(i, "a", s) for i, s in enumerate([1, 2, 3, 4, 5, 6])],
+        # lang 'b': one mass point → everything head
+        *[(10 + i, "b", 7) for i in range(5)],
+        # lang 'c': tie straddling the first boundary: {1,1,1,9} —
+        # cum(1)*3 = 9 >= 4 so 1 is head AND >= 8 = 2n so also t_mid;
+        # 9 lands in tail
+        (20, "c", 1), (21, "c", 1), (22, "c", 1), (23, "c", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, mean_surprisal long")
+    got = {
+        r.doc_id: r.bucket for r in quality_buckets(df).collect()
+    }
+    assert [got[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert all(got[10 + i] == "head" for i in range(5))
+    assert [got[i] for i in (20, 21, 22, 23)] == ["head", "head", "head", "tail"]

@@ -293,3 +293,15 @@ def test_r4_crawl_relevance_plan_shapes(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:3000]
     assert "partial_count" in plan or "partial_" in plan, plan[:2000]
+
+
+def test_quality_buckets_window_over_histogram_only(spark):
+    """The tercile window must run over the (lang, score) HISTOGRAM,
+    never the corpus: every Window in the plan partitions by lang,
+    sits above an Aggregate, and the threshold join back to the
+    scored corpus is broadcast."""
+    plan = plan_of(REGISTRY["quality_buckets"].spark(spark, SF_SMALL))
+    assert "Python" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("lang" in ln for ln in win_lines), "\n".join(win_lines)
+    assert "BroadcastHashJoin" in plan
