@@ -25,7 +25,11 @@ the snapshot writer and, per batch:
      joins.  Exactly-once orchestrators close that window by calling
      with ``commit=False``, persisting the pairs, then calling
      :func:`commit_band_rows` — the same order extraction resume uses
-     (output snapshot first, then the state advance).
+     (output snapshot first, then the state advance).  At-least-once
+     callers instead repair after the fact: :func:`compact_index`
+     dedupes on (id, band_idx) while folding snapshots, which exactly
+     removes re-appended rows (band rows for an id are identical
+     across re-runs).
 
 Invariant (pinned by tests/test_operators.py): running batches
 B1, B2, … through :func:`incremental_lsh_dedup` yields exactly the
@@ -177,4 +181,28 @@ def index_band_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     ).select(
         F.col("band_idx").cast("int").alias("band_idx"),
         "n_rows", "n_buckets", "max_bucket", "n_singletons", "candidate_pairs",
+    )
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, target_partitions: int | None = None
+) -> str | None:
+    """Fold the index's accumulated per-batch snapshots into one AND
+    repair at-least-once duplicate rows: band rows sharing
+    (id, band_idx) are identical by construction (same text → same
+    signature → same band_key), so deduping on that key during the
+    rewrite is lossless — it exactly undoes the re-append a crashed
+    ``commit=True`` re-run performs (module docstring step 3) and
+    deflates the probe joins the duplicates were inflating.
+
+    Run periodically, like any table-maintenance job; the manifest
+    rename stays the single atomic commit point.  Returns the new
+    run_id or None with < 2 live snapshots."""
+    from extractor.writer import compact_snapshots
+
+    return compact_snapshots(
+        spark,
+        index_dir,
+        target_partitions=target_partitions,
+        dedupe_on=["id", "band_idx"],
     )

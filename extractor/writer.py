@@ -306,6 +306,7 @@ def compact_snapshots(
     out_dir: str,
     target_partitions: int | None = None,
     partition_by: list[str] | None = None,
+    dedupe_on: list[str] | None = None,
 ) -> str | None:
     """Rewrite all live snapshots into one (Iceberg
     ``rewrite_data_files`` analog) — the periodic maintenance job a
@@ -319,6 +320,16 @@ def compact_snapshots(
     Replaced snapshots stay on disk and remain reachable via
     ``read_extracted(..., as_of=<old run>)``.  Returns the new run_id,
     or None if there is nothing to compact (< 2 live snapshots).
+
+    ``dedupe_on``: drop rows duplicated on these key columns while
+    rewriting (one shuffle on the keys).  This is the repair path for
+    at-least-once appenders — a crash between a snapshot commit and
+    the caller persisting its results means the re-run appends the
+    same rows again (e.g. the incremental LSH band index, whose rows
+    are fully identical per (id, band_idx)); compaction with
+    ``dedupe_on`` restores exactly-once table contents.  Only safe
+    when rows sharing the keys are interchangeable — the kept row is
+    arbitrary among them.
     """
     live = _committed_manifests(out_dir)
     if len(live) < 2:
@@ -328,6 +339,8 @@ def compact_snapshots(
     lineage_path = os.path.join(out_dir, "lineage", run_id)
 
     df = spark.read.parquet(*[m["data"] for m in live])
+    if dedupe_on:
+        df = df.dropDuplicates(dedupe_on)
     if target_partitions:
         df = df.repartition(target_partitions)
     writer = df.write.mode("errorifexists")

@@ -844,3 +844,43 @@ def test_quality_buckets_terciles_and_ties(spark):
     ]
     assert all(got[10 + i] == "head" for i in range(5))
     assert [got[i] for i in (20, 21, 22, 23)] == ["head", "head", "head", "tail"]
+
+
+def test_compact_index_repairs_double_commit(spark, tmp_path):
+    """At-least-once repair: committing the SAME batch twice (the
+    crash-rerun shape) doubles the index's band rows; compact_index
+    dedupes on (id, band_idx) during the fold, restoring exactly the
+    single-commit contents — and probe results are identical before
+    and after (duplicates only inflated join work, never pairs)."""
+    from extractor.operators.dedup import banded_signatures
+    from extractor.operators.incremental import (
+        commit_band_rows,
+        compact_index,
+        incremental_lsh_dedup,
+    )
+    from extractor.writer import read_extracted
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") < 200)
+    probe = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "idx")
+    banded = banded_signatures(b1)
+    commit_band_rows(banded, idx)
+    single = read_extracted(spark, idx).count()
+    commit_band_rows(banded, idx)  # the crash re-run
+    assert read_extracted(spark, idx).count() == 2 * single
+
+    def key(rows):
+        return {(r["a"], r["b"]): r["est_jaccard"] for r in rows}
+
+    before = key(incremental_lsh_dedup(probe, idx, threshold=0.5, commit=False).collect())
+    assert before, "probe fixture must hit the index"
+
+    assert compact_index(spark, idx) is not None
+    assert read_extracted(spark, idx).count() == single
+    after = key(incremental_lsh_dedup(probe, idx, threshold=0.5, commit=False).collect())
+    assert after == before
