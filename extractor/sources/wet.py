@@ -51,6 +51,15 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     trade Hadoop's own LineRecordReader makes for text.
     """
     raw = spark.read.option("lineSep", WET_SEP).text(path)
+    return parse_wet_records(raw)
+
+
+def parse_wet_records(raw: DataFrame) -> DataFrame:
+    """The expression-only parse stage: ``value: string`` record
+    chunks (one per ``WARC/1.0``-separated record) → (url, warc_date,
+    text).  Pure column expressions, so the SAME transform serves the
+    batch reader and :func:`read_wet_stream` — stream/batch
+    unification by construction."""
     rec = raw.filter(F.length(F.trim(F.col("value"))) > 0)
     hdr = F.substring_index(F.col("value"), _HDR_END, 1)
     body = F.expr(
@@ -71,6 +80,20 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         .filter((F.col("warc_type") == "conversion") & (F.col("url") != ""))
         .drop("warc_type")
     )
+
+
+def read_wet_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """Streaming twin of :func:`read_wet`: a crawl drop-directory of
+    WET segments consumed as they land (file-source stream, same
+    ``lineSep`` record split, same :func:`parse_wet_records`
+    expressions).  Checkpointed file tracking gives exactly-once
+    segment processing; downstream stateless stages run unchanged."""
+    raw = (
+        spark.readStream.option("lineSep", WET_SEP)
+        .option("maxFilesPerTrigger", max_files)
+        .text(path)
+    )
+    return parse_wet_records(raw)
 
 
 def to_wet_records(

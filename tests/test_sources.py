@@ -86,3 +86,46 @@ def test_wet_trailing_newline_framing_caveat(spark, tmp_path):
     )
     rows = read_wet(spark, str(p)).collect()
     assert [(r.url, r.text) for r in rows] == [("https://t/x", "tail")]
+
+
+def test_wet_stream_equals_batch(spark, tmp_path):
+    """Streaming WET ingest (drop-directory of segments) must emit
+    exactly the batch reader's rows — one parse implementation
+    (parse_wet_records), stream==batch by construction."""
+    from extractor.sources.wet import read_wet_stream
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(3):
+        (d / f"seg-{i:05d}.warc.wet").write_text(
+            wet_file(
+                [
+                    (
+                        f"https://s{i}.example/p{j}",
+                        f"2025-06-0{i + 1}T00:00:0{j}Z",
+                        f"body {i} {j} words here",
+                    )
+                    for j in range(4)
+                ],
+                f"seg-{i:05d}",
+            ),
+            encoding="utf-8",
+        )
+
+    stream = read_wet_stream(spark, str(d), max_files=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wet_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r.url, r.warc_date, r.text)
+        for r in spark.sql("select * from wet_stream_t").collect()
+    }
+    brows = {
+        (r.url, r.warc_date, r.text) for r in read_wet(spark, str(d)).collect()
+    }
+    assert srows == brows and len(brows) == 12
