@@ -98,6 +98,7 @@ HEADLINE_QUERIES = [
     "corpus_report",
     "wet_roundtrip",
     "quality_buckets",
+    "dedup_lsh_recall",
 ]
 
 

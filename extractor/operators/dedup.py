@@ -140,23 +140,16 @@ def minhash_signatures(
     )
 
 
-def banded_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 16,
-    bands: int = 4,
-) -> DataFrame:
-    """(id, sig, band_idx, band_key) rows — the LSH index grain.
+def bands_from_sig(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Band an existing (id, sig) signature table.
 
-    One row per (doc, band); ``band_key`` is the md5 of that band's
-    signature slice.  This is both :func:`lsh_pairs`' candidate stage
-    and the PERSISTED table of the incremental dedup index
-    (operators.incremental): the index stores exactly these rows, so
-    a new crawl batch can join against committed history without
-    recomputing historic signatures."""
+    Split out of :func:`banded_signatures` so ONE signature pass can
+    serve several band configurations — the signature is the expensive
+    leg (a full corpus-text scan + K min-aggregates); banding is a
+    cheap explode over the already-computed array.  The recall
+    measurement (queries.q_dedup_lsh_recall) sweeps ``bands`` over a
+    single checkpointed signature table this way."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k)
     return sig.select(
         "id",
         "sig",
@@ -177,21 +170,30 @@ def banded_signatures(
     )
 
 
-def lsh_pairs(
+def banded_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs with signature-estimated Jaccard.
+    """(id, sig, band_idx, band_key) rows — the LSH index grain.
 
-    shingle → K minhashes → ``bands`` bands of K/bands rows → band-key
-    self-join → estimate = matching-component fraction ≥ threshold.
-    Returns (a, b, est_jaccard) with a < b, deduplicated.
-    """
-    banded = banded_signatures(df, id_col=id_col, text_col=text_col, k=k, bands=bands)
+    One row per (doc, band); ``band_key`` is the md5 of that band's
+    signature slice.  This is both :func:`lsh_pairs`' candidate stage
+    and the PERSISTED table of the incremental dedup index
+    (operators.incremental): the index stores exactly these rows, so
+    a new crawl batch can join against committed history without
+    recomputing historic signatures."""
+    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k)
+    return bands_from_sig(sig, k=k, bands=bands)
+
+
+def pairs_from_bands(banded: DataFrame, k: int = 16, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from a banded-signature table: band-key
+    self-join → signature-estimated Jaccard ≥ threshold.  Split from
+    :func:`lsh_pairs` (same reason as :func:`bands_from_sig`) so a
+    band sweep re-joins without re-hashing the corpus."""
     left = banded.select(
         F.col("band_idx"), F.col("band_key"),
         F.col("id").alias("a"), F.col("sig").alias("sig_a"),
@@ -214,6 +216,24 @@ def lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
     )
     return pairs.select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with signature-estimated Jaccard.
+
+    shingle → K minhashes → ``bands`` bands of K/bands rows → band-key
+    self-join → estimate = matching-component fraction ≥ threshold.
+    Returns (a, b, est_jaccard) with a < b, deduplicated.
+    """
+    banded = banded_signatures(df, id_col=id_col, text_col=text_col, k=k, bands=bands)
+    return pairs_from_bands(banded, k=k, threshold=threshold)
 
 
 def ngram_jaccard_pairs(

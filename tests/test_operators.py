@@ -884,3 +884,49 @@ def test_compact_index_repairs_double_commit(spark, tmp_path):
     assert read_extracted(spark, idx).count() == single
     after = key(incremental_lsh_dedup(probe, idx, threshold=0.5, commit=False).collect())
     assert after == before
+
+
+def test_band_sweep_nesting(spark):
+    """Structural candidate-set nesting across the band sweep
+    (q_dedup_lsh_recall's dial): with nested band splits of one
+    16-hash signature, a 2x8 band match means both its 4x4 halves
+    match, and a 4x4 match means both its 8x2 halves match — so
+    cand(b=2) <= cand(b=4) <= cand(b=8) as SETS, always.  This pins
+    that the sweep measures the banding dial, not three unrelated
+    hash functions."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import bands_from_sig, minhash_signatures, pairs_from_bands
+
+    docs = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # plant near-dups so candidate sets are non-trivial
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+        )
+    )
+    sig = minhash_signatures(corpus, id_col="doc_id", text_col="text", k=16)
+    sig = sig.localCheckpoint(eager=True)
+    sets = {
+        b: {
+            (r["a"], r["b"])
+            for r in pairs_from_bands(
+                bands_from_sig(sig, k=16, bands=b), k=16, threshold=0.0
+            ).collect()
+        }
+        for b in (2, 4, 8)
+    }
+    assert sets[2], "sweep degenerate: no candidates at b=2"
+    assert sets[2] <= sets[4] <= sets[8]
+    # and lsh_pairs == the composed split (refactor is behavior-preserving)
+    from extractor.operators.dedup import lsh_pairs
+
+    direct = {
+        (r["a"], r["b"])
+        for r in lsh_pairs(corpus, k=16, bands=4, threshold=0.0).collect()
+    }
+    assert direct == sets[4]
