@@ -99,6 +99,9 @@ HEADLINE_QUERIES = [
     "wet_roundtrip",
     "quality_buckets",
     "dedup_lsh_recall",
+    "host_cap_sample",
+    "training_shards",
+    "dup_span_stats",
 ]
 
 

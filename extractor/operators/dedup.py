@@ -86,6 +86,85 @@ def shingle_hashes_from(wh: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(0), upper), shingle))
 
 
+def shingle_hashes_all(wh: Column, n: int = 3) -> Column:
+    """Non-distinct variant of :func:`shingle_hashes_from` — one hash
+    per gram OCCURRENCE, in document order.  Set semantics (Jaccard,
+    MinHash) want the distinct form; occurrence semantics (duplicated-
+    span coverage, repetition measurement) need every position."""
+    assert n == 3, "rolling combiner is specialized to trigrams"
+    upper = F.greatest(F.size(wh) - n, F.lit(0))
+
+    def shingle(i):
+        h1 = F.element_at(wh, i + 1)
+        h2 = F.coalesce(F.try_element_at(wh, i + 2), F.lit(0).cast("long"))
+        h3 = F.coalesce(F.try_element_at(wh, i + 3), F.lit(0).cast("long"))
+        return (h1 * _SH_A + h2 * _SH_B + h3) % MERSENNE31
+
+    return F.transform(F.sequence(F.lit(0), upper), shingle)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the ExactSubstr
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), at word-trigram grain: what fraction of
+    a document's gram occurrences also appear in ≥ ``min_docs``−1
+    OTHER documents.  High coverage flags boilerplate (headers,
+    license blocks, navigation chrome) that survives document-level
+    dedup because the HOST documents differ.
+
+    Scale shape: one digest pass per doc (word_hashes), grams exploded
+    to (id, h) rows — corpus text never shuffles, only (long, long)
+    pairs move.  The duplicated-hash set comes from a distinct
+    (id, h) projection aggregated per h with map-side partials
+    (internal repetitions within one doc do NOT make a gram
+    "duplicated" — df counts documents); per-doc totals and dup
+    counts are two grouped aggregates over the same checkpointed gram
+    table, joined id-to-id.  At 10^12 docs the (h → df) aggregate is
+    the classic hot-key surface: a boilerplate gram's row count is
+    its df, bounded by the distinct projection — no df² blowup,
+    because the join back to grams is an equi-join on h, not a
+    self-join.  Lee et al. use 50-token windows over BPE tokens; the
+    grain here is the corpus's existing trigram shingle so the whole
+    dedup tier shares one hash family (the window length is a recall
+    knob, not a correctness one)."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"), word_hashes(F.col(text_col)).alias("wh")
+        )
+        .select("id", F.explode_outer(shingle_hashes_all(F.col("wh"))).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .localCheckpoint(eager=True)  # referenced by totals + dup join
+    )
+    dup = (
+        grams.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dupc = grams.join(dup, "h").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        totals.join(dupc, "id", "left")
+        .select(
+            "id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.expr(
+                "coalesce(n_dup, 0) * 10000 div n_grams"
+            ).cast("long").alias("dup_coverage_x10000"),
+        )
+    )
+
+
 def _perm(j: Column, h: Column) -> Column:
     """Universal-hash permutation j of a 31-bit value: (a_j·h + b_j)
     mod (2^31−1).  a_j,b_j are deterministic odd/mixed constants; the

@@ -76,3 +76,27 @@ def pack_bins(
         F.min("doc_id").cast("long").alias("first_doc"),
         F.floor((F.sum("n_tokens") * 10000) / budget).cast("long").alias("fill_bp"),
     )
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment: the "global shuffle"
+    of a training-data export, without a global sort.
+
+    Every document gets ``shard = hex64(id) % n_shards`` and an
+    ``okey`` order key (the same 60-bit hash) — together a
+    reproducible pseudo-random permutation of the corpus: shard
+    membership and within-shard order depend only on document ids,
+    never on partitioning, cluster size, or execution order.  The
+    writer side is ``df.repartition(n_shards, "shard")
+    .sortWithinPartitions("okey", id_col)`` — each shard file is then
+    byte-stable across runs, which is what makes a 10^12-doc export
+    resumable and diffable.  Map-only: one md5 per id, no shuffle
+    until the writer's own repartition."""
+    okey = hex64(F.col(id_col).cast("string"))
+    return df.select(
+        "*",
+        okey.alias("okey"),
+        (okey % n_shards).cast("long").alias("shard"),
+    )

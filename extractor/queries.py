@@ -4137,3 +4137,204 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(row(cands[8].select("a", "b"), "cand_b8"))
     op = cands[4].filter(F.col("est_jaccard") >= 0.5).select("a", "b")
     return out.unionByName(row(op, "op_b4_t50"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 training-export tier: per-host caps, deterministic shards,
+# duplicated-substring coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "host_cap_sample",
+    """
+    -- RefinedWeb-style per-source cap: keep the 5 highest-quality
+    -- docs per source, ties broken by doc_id (deterministic)
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             ((length(list_distinct(w)) * 10000 // length(w)) // 4 +
+              least(list_sum(list_transform(w, x -> length(x))) * 100
+                    // length(w), 1000) // 2)::BIGINT AS quality
+      FROM t
+    )
+    SELECT source, rank, doc_id, quality FROM (
+      SELECT source, doc_id, quality,
+             row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             )::INT AS rank
+      FROM feat
+    ) WHERE rank <= 5
+    """,
+)
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host contribution cap (RefinedWeb §3.1 / C4's per-domain
+    limits): keep at most K documents per source host, the K BEST by
+    the corpus's own quality score — the anti-SEO-farm guard that
+    stops one mega-host from dominating a training mixture.  The
+    `source` column is the host grain of this corpus (the WET tier's
+    url host at web scale).
+
+    Scale shape: quality features are map-only expressions; the
+    per-host cut is the bounded two-level grouped_topk — per-host
+    rows first reduce inside 32 hash buckets, then once per host, so
+    a 10^8-page host costs two partial aggregates, never a window
+    over its full row set.  Ordering struct(-quality, doc_id) makes
+    ties deterministic (the oracle's ORDER BY quality DESC, doc_id)."""
+    from extractor.operators.textstats import quality_score
+    from extractor.operators.topk import grouped_topk_exploded
+
+    docs = _docs(spark, sf_dir)
+    feats = quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source", feats["quality"].cast("long").alias("quality")
+    )
+    ranked = grouped_topk_exploded(
+        scored,
+        ["source"],
+        F.struct((-F.col("quality")).alias("negq"), F.col("doc_id").alias("doc_id")),
+        k=5,
+    )
+    return ranked.select(
+        "source",
+        "rank",
+        F.col("value.doc_id").alias("doc_id"),
+        (-F.col("value.negq")).cast("long").alias("quality"),
+    )
+
+
+@register(
+    "training_shards",
+    """
+    -- deterministic hash-shard export: shard + order depend only on
+    -- doc ids; order_md5 pins the within-shard order byte-for-byte
+    WITH d AS (
+      SELECT doc_id,
+             length(string_split(text, ' '))::BIGINT AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS okey
+      FROM documents
+    )
+    SELECT (okey % 8)::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY okey, doc_id))
+             AS order_md5
+    FROM d GROUP BY okey % 8
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export plan (operators.packing.
+    assign_shards): the "global shuffle" every training run needs,
+    with NO global sort — shard membership and within-shard order are
+    pure functions of the document id (a 60-bit md5 prefix), so the
+    export is reproducible across runs, partitionings, and cluster
+    sizes, and each shard writes independently via repartition(shard)
+    + sortWithinPartitions.
+
+    The registry row is the shard MANIFEST: doc/token counts plus an
+    order_md5 digest of the shard's exact document order — the
+    determinism claim made oracle-checkable (any drift in hashing,
+    sharding, or ordering breaks the digest).  The md5-of-all-ids
+    aggregate is the verification artifact, not the export path: a
+    real export streams rows to shard files; per-shard manifests
+    aggregate (count, sum, digest) with map-side partials."""
+    from extractor.operators.packing import assign_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sharded = assign_shards(docs, n_shards=8).select(
+        "doc_id",
+        "okey",
+        "shard",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("okey"), F.col("doc_id")))
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(ordered, lambda s: s["doc_id"].cast("string"))
+            )
+        ).alias("order_md5"),
+    ).select("shard", "n_docs", "n_tokens", "order_md5")
+
+
+@register(
+    "dup_span_stats",
+    """
+    -- Lee et al. 2022 ExactSubstr signal at trigram grain: fraction
+    -- of each doc's gram occurrences shared with >= 1 other doc;
+    -- every 7th doc gets a boilerplate tail so the signal is planted
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' all rights reserved contact the site administrator for license terms'
+                  ELSE text END AS text
+      FROM documents
+    ), wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS wh
+      FROM corpus
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647)) AS h
+      FROM wh
+    ), dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+      GROUP BY h HAVING count(*) >= 2
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), dc AS (
+      SELECT g.doc_id, count(*) AS n_dup
+      FROM g JOIN dup ON dup.h = g.h GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_grams::BIGINT AS n_grams,
+           coalesce(dc.n_dup, 0)::BIGINT AS n_dup_grams,
+           (coalesce(dc.n_dup, 0) * 10000 // t.n_grams)::BIGINT
+             AS dup_coverage_x10000
+    FROM tot t LEFT JOIN dc ON dc.doc_id = t.doc_id
+    """,
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage per document (operators.dedup.
+    duplicated_span_stats) — the ExactSubstr measurement of Lee et
+    al. 2022: document-level dedup keeps two different pages that
+    share a license block or navigation chrome; this operator measures
+    how much of each document is such cross-document repeated text,
+    the signal a span-removal pass (or a boilerplate-strip audit)
+    acts on.
+
+    A deterministic boilerplate tail is planted on every 7th document
+    (both engines), so ~14% of docs carry a known duplicated span on
+    top of whatever the synthetic corpus shares organically.  Scale
+    analysis in the operator docstring: only (long, long) gram pairs
+    shuffle, the df aggregate is bounded by the distinct projection,
+    and the dup join is h-equi, never a self-join."""
+    from extractor.operators.dedup import duplicated_span_stats
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " all rights reserved contact the site administrator for license terms"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicated_span_stats(corpus).select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_dup_grams",
+        "dup_coverage_x10000",
+    )

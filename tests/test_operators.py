@@ -930,3 +930,49 @@ def test_band_sweep_nesting(spark):
         for r in lsh_pairs(corpus, k=16, bands=4, threshold=0.0).collect()
     }
     assert direct == sets[4]
+
+
+def test_assign_shards_partition_independent(spark):
+    """Shard membership and within-shard order are pure functions of
+    the id — identical under any input partitioning (the determinism
+    a resumable 10^12-doc export rests on)."""
+    from extractor.operators.packing import assign_shards
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id")
+
+    def snapshot(df):
+        rows = assign_shards(df, n_shards=4).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append((r["okey"], r["doc_id"]))
+        return {s: sorted(v) for s, v in by_shard.items()}
+
+    a = snapshot(docs.repartition(1))
+    b = snapshot(docs.repartition(13, "doc_id"))
+    assert a == b
+    assert set(a) <= set(range(4))
+    assert sum(len(v) for v in a.values()) == docs.count()
+
+
+def test_duplicated_span_stats_planted_boilerplate(spark):
+    """Docs sharing a planted tail show nonzero duplicated-gram
+    coverage; a doc made of unique words shows zero; and internal
+    repetition within ONE doc does not count as duplicated."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import duplicated_span_stats
+
+    rows = [
+        (1, "alpha beta gamma delta shared tail marker words here"),
+        (2, "epsilon zeta eta theta shared tail marker words here"),
+        (3, "unique only words that no other document carries ever"),
+        (4, "loop loop loop loop loop loop loop loop loop loop"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in duplicated_span_stats(df).collect()}
+    assert out[1]["n_dup_grams"] > 0 and out[2]["n_dup_grams"] > 0
+    assert out[3]["n_dup_grams"] == 0
+    # doc 4 repeats internally but shares nothing across docs
+    assert out[4]["n_dup_grams"] == 0
+    for r in out.values():
+        assert 0 <= r["dup_coverage_x10000"] <= 10000
