@@ -102,6 +102,7 @@ HEADLINE_QUERIES = [
     "host_cap_sample",
     "training_shards",
     "dup_span_stats",
+    "e2e_wet_corpus",
 ]
 
 

@@ -4338,3 +4338,134 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_grams",
         "dup_coverage_x10000",
     )
+
+
+def _gopher_keep_ctes(src: str) -> str:
+    """feats/measures CTE pair + ``kept`` view over table ``src``
+    (columns: url, text) — the oracle mirror of gopher_rules' keep
+    decision, same expressions as the gopher_quality oracle but keyed
+    by url for the e2e chain."""
+    return f"""e_feats AS (
+      SELECT url, text,
+             regexp_split_to_array(text, '[ \n]+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM {src}
+    ), e_m AS (
+      SELECT url, text, len(w) AS n_words, greatest(len(w), 1) AS n_safe,
+             list_sum(list_transform(w, t -> length(t))) AS total_len,
+             len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))
+               AS n_symbol,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+             greatest(len(lines), 1) AS n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- ')
+                 OR starts_with(l, '* ') OR starts_with(l, '•'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ellipsis,
+             len(list_intersect(w, {_GOPHER_STOPS_SQL})) AS stop_hits
+      FROM e_feats
+    ), kept AS (
+      SELECT url, text FROM e_m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND total_len * 100 // n_safe BETWEEN 300 AND 1000
+        AND n_symbol * 10000 // n_safe <= 1000
+        AND n_alpha * 10000 // n_safe >= 8000
+        AND n_bullet * 10000 // n_lines < 9000
+        AND n_ellipsis * 10000 // n_lines <= 3000
+        AND stop_hits >= 2
+    )"""
+
+
+@register(
+    "e2e_wet_corpus",
+    f"""
+    -- end-to-end: WET-exported crawl (with a mirror-host duplicate
+    -- for every 20th doc) -> gopher keep -> content dedup (min url
+    -- canonical) -> deterministic shard manifest.  The oracle derives
+    -- from `documents` directly: wet_roundtrip proves the file
+    -- round-trip is byte-lossless, so the chains agree iff every
+    -- downstream stage matches.
+    WITH corpus AS (
+      SELECT 'https://crawl.test/doc/' || doc_id::VARCHAR AS url, text
+      FROM documents
+      UNION ALL
+      SELECT 'https://mirror.test/doc/' || doc_id::VARCHAR AS url, text
+      FROM documents WHERE doc_id % 20 = 0
+    ), {_gopher_keep_ctes('corpus')},
+    canon AS (
+      SELECT min(url) AS url, min(length(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM kept GROUP BY md5(text)
+    ), sharded AS (
+      SELECT url, n_tokens,
+             ('0x' || substr(md5(url), 1, 15))::BIGINT AS okey
+      FROM canon
+    )
+    SELECT (okey % 8)::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(string_agg(url, ',' ORDER BY okey, url)) AS order_md5
+    FROM sharded GROUP BY okey % 8
+    """,
+)
+def q_e2e_wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-to-corpus chain, every stage the engine's own
+    operator: WET segment EXPORT (sources.wet.to_wet_records, 4 part
+    files on disk) → block-splittable RE-INGEST (read_wet) → Gopher
+    quality gate (textstats.gopher_rules) → exact content dedup
+    (min-url canonical per text md5 — the mirror-host duplicate
+    planted on every 20th doc collapses here) → deterministic shard
+    manifest (packing.assign_shards + order_md5 digest).  This is the
+    "switch your crawl pipeline to this repo" demonstration: one
+    registry row per output shard, and the DuckDB oracle re-derives
+    the whole chain from `documents`, so a regression ANYWHERE — WET
+    framing, quality predicate, dedup canonical rule, shard hash,
+    order — flips the row.
+
+    Scale: export/ingest scale like the text scan (map-only framing,
+    block-splittable read); the gate is expression-only; dedup is one
+    md5 shuffle; the manifest is one grouped aggregate.  No stage
+    holds state on the driver."""
+    import tempfile
+
+    from extractor.operators.packing import assign_shards
+    from extractor.operators.textstats import gopher_rules
+    from extractor.sources.wet import read_wet, to_wet_records
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    date = F.concat(
+        F.lit("2025-06-01T00:00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    crawl = docs.select(
+        F.concat(F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        date.alias("warc_date"),
+        "text",
+    )
+    mirror = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.concat(F.lit("https://mirror.test/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        date.alias("warc_date"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="wet_e2e_") + "/segments"
+    to_wet_records(crawl.unionByName(mirror).repartition(4)).write.mode(
+        "overwrite"
+    ).text(out)
+
+    pages = read_wet(spark, out)
+    keep = gopher_rules(F.col("text"), stopwords=_GOPHER_STOPS)["keep"]
+    kept = pages.filter(keep).select(
+        "url", "text", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    canon = kept.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("url").alias("url"), F.min("n_tokens").alias("n_tokens")
+    )
+    sharded = assign_shards(canon.select("url", "n_tokens"), n_shards=8, id_col="url")
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("okey"), F.col("url"))))
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform(ordered, lambda s: s["url"]))
+        ).alias("order_md5"),
+    ).select("shard", "n_docs", "n_tokens", "order_md5")
