@@ -103,6 +103,7 @@ HEADLINE_QUERIES = [
     "training_shards",
     "dup_span_stats",
     "e2e_wet_corpus",
+    "dedup_simhash_hamming",
 ]
 
 

@@ -565,6 +565,89 @@ def simhash32_df(
     return agg.select("id", simhash.alias("simhash"), "n_distinct_tokens")
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance (Manku, Jain &
+    Das Sarma, WWW 2007 — the production web-crawl dedup design).
+
+    The r3 `dedup_simhash` entry only FINGERPRINTS; exact-signature
+    equality misses the whole point of SimHash, which is that
+    near-identical documents land within a few BITS of each other.
+    This operator finds all pairs with ``hamming(sig_a, sig_b) <=
+    max_hamming`` without a quadratic scan, via the pigeonhole
+    blocking of the paper: split the 32-bit signature into
+    ``n_chunks`` equal chunks — any pair within hamming distance
+    ``max_hamming < n_chunks`` must agree EXACTLY on at least one
+    whole chunk (at most ``max_hamming`` chunks contain a differing
+    bit), so the candidate set is an equi-join on
+    ``(chunk_idx, chunk_value)`` and the exact ``bit_count(a XOR b)``
+    verification touches blocked candidates only.
+
+    Scale: signatures are one map-side pass (simhash32_df); the only
+    shuffle ships (id, simhash, chunk) rows — n_chunks × N rows of
+    ~24 bytes, never text.  Each chunk is 32/n_chunks bits, so a
+    chunk value has 2^(32/n_chunks) possible buckets (256 at the
+    default) — at web scale raise the signature width / n_chunks
+    together to keep |bucket| ≈ N/2^chunk_bits bounded, exactly the
+    table-count/precision dial of Manku §3.  The blocking is exact,
+    not approximate: recall at the stated radius is 1.0 by
+    construction (unlike MinHash bands), which is why SimHash is the
+    standard choice when the dedup SLA is "no missed pair within k
+    bits".
+
+    Returns (a, b, hamming), a < b, deduplicated across chunks.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks}); raise n_chunks"
+        )
+    if 32 % n_chunks:
+        raise ValueError(f"n_chunks must divide 32 (got {n_chunks})")
+    chunk_bits = 32 // n_chunks
+    sigs = simhash32_df(df, id_col=id_col, text_col=text_col).select("id", "simhash")
+    # chunk c = (simhash div 2^(bits·c)) mod 2^bits — shiftright+mod in
+    # Spark, // + % in the oracle; identical on the non-negative sums
+    # simhash32 produces.
+    ch = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("simhash"), chunk_bits * c)
+                        % F.lit(1 << chunk_bits)
+                    ).cast("long")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    x, y = ch.alias("x"), ch.alias("y")
+    cand = (
+        x.join(y, on=["chunk_idx", "chunk_val"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()  # a pair may collide on several chunks; count once
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs_srp(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -938,6 +938,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> {_HEX64_SQL.format(x='t')}) AS hs
+      FROM corpus
+    ), sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), b ->
+               CASE WHEN list_sum(list_transform(hs,
+                      h -> 2 * ((h // (2 ** b)::BIGINT) % 2) - 1)) > 0
+                    THEN (2 ** b)::BIGINT ELSE 0 END)) AS BIGINT) AS simhash
+      FROM hs
+    ), ch AS (
+      SELECT doc_id, simhash, c.c AS chunk_idx,
+             (simhash // (2 ** (8 * c.c))::BIGINT) % 256 AS chunk_val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.simhash AS sa, y.simhash AS sb
+      FROM ch x JOIN ch y
+        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within hamming radius 3 (Manku/WWW'07
+    pigeonhole blocking) — the fingerprint tier's missing second half:
+    `dedup_simhash` computes signatures, this finds the neighbors.
+    The injected tail-edit copies land a few bits from their originals
+    and surface here; exact-equality grouping would miss them all."""
+    from extractor.operators.dedup import simhash_hamming_pairs
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    return simhash_hamming_pairs(
+        corpus, id_col="doc_id", text_col="text", max_hamming=3, n_chunks=4
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH pl AS (  -- 4 OR-bands × 6 deterministic hyperplanes: md5(plane:p:d)

@@ -191,6 +191,46 @@ def test_simhash_df_close_for_near_dups(spark):
     assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
 
 
+def test_simhash_hamming_pairs_pigeonhole_complete(spark):
+    """Blocked pairs == naive all-pairs at the same radius (the Manku
+    pigeonhole guarantee is EXACT, not approximate), and a clearly
+    unrelated doc never pairs."""
+    from extractor.operators.dedup import simhash32_df, simhash_hamming_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    rows = [(1, base), (2, base + " psi"), (3, base + " omega extra"),
+            (4, "completely different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_hamming_pairs(df, max_hamming=3).collect()}
+
+    sigs = {r["id"]: r["simhash"] for r in simhash32_df(df).collect()}
+    ids = sorted(sigs)
+    naive = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == naive, "pigeonhole blocking must lose no pair within radius"
+    assert all(4 not in p for p in got), "unrelated doc must not pair"
+
+
+def test_simhash_hamming_pairs_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from extractor.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_hamming=4, n_chunks=4)
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(df, n_chunks=5)
+
+
 def test_fingerprint_is_order_sensitive(spark):
     from extractor.operators.textstats import fingerprint
 
