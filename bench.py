@@ -104,6 +104,7 @@ HEADLINE_QUERIES = [
     "dup_span_stats",
     "e2e_wet_corpus",
     "dedup_simhash_hamming",
+    "warc_roundtrip",
 ]
 
 

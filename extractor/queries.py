@@ -3966,6 +3966,61 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_roundtrip",
+    """
+    SELECT 'https://crawl.test/page/' || doc_id::VARCHAR AS url,
+           '2025-06-02T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z'
+             AS warc_date,
+           CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 7 = 0 THEN 'application/pdf'
+                ELSE 'text/html' END AS content_type,
+           md5(text) AS html_md5,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-WARC segment export + re-ingest (sources.warc): documents →
+    ``to_warc_records`` (WARC headers + captured HTTP response, one
+    codegen'd concat per row) → text writer (4 part files) →
+    ``read_warc`` (block-splittable ``lineSep`` scan, expression-only
+    WARC+HTTP header parse).  The oracle re-derives every column —
+    status line, Content-Type, payload md5 — straight from
+    ``documents``, so a green row proves the raw-archive round-trip
+    is lossless through BOTH header layers.  Non-200 captures are
+    kept as rows (status is data, drop policy is the caller's)."""
+    import tempfile
+
+    from extractor.sources.warc import read_warc, to_warc_records
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://crawl.test/page/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("2025-06-02T00:00:"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("warc_date"),
+        F.when(F.col("doc_id") % 13 == 0, 404).otherwise(200).alias("http_status"),
+        F.when(F.col("doc_id") % 7 == 0, "application/pdf")
+        .otherwise("text/html")
+        .alias("content_type"),
+        F.col("text").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_rt_") + "/segments"
+    to_warc_records(docs.repartition(4)).write.mode("overwrite").text(out)
+    return read_warc(spark, out).select(
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.md5(F.col("html")).alias("html_md5"),
+        F.length("html").cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "quality_buckets",
     """
     -- CCNet §4.3 head/middle/tail: per-language surprisal terciles

@@ -1,0 +1,174 @@
+"""Raw WARC crawl-archive ingestion (response records).
+
+WET files (sources.wet) carry pre-extracted text; the PRIMARY crawl
+artifact is the raw WARC: each ``response`` record is a WARC header
+block, a blank line, the captured HTTP response (status line +
+headers), another blank line, then the payload bytes — the HTML the
+extraction pipeline actually wants.  (The reference service receives
+one uploaded document per request, `routes/ocr.py`; this is the batch
+analog — a crawl segment in, an extraction-ready pages table out.)
+
+Scale shape — identical to the WET reader, and for the same reason:
+
+* ``spark.read.text(lineSep="WARC/1.0")`` rides Hadoop's
+  block-splittable LineRecordReader, so a 1 GB segment reads as many
+  parallel tasks.  ``binaryFile`` + a Python WARC library would pin
+  one segment per task and ship every byte through Python — wrong at
+  100 TB; not used.
+* WARC/HTTP header fields and the payload are pure column
+  expressions (``substring_index`` / ``regexp_extract``) — the parse
+  runs at scan speed inside whole-stage codegen, no Python anywhere.
+
+Framing caveats (both inherent to separator-based splitting and
+documented trade-offs, not bugs):
+
+* A payload containing the literal line ``WARC/1.0`` would split the
+  record.  Spec-exact framing needs ``Content-Length`` byte counting,
+  which no splittable text reader can honor; crawl payloads that
+  embed WARC version lines are vanishingly rare, and a corrupted
+  record surfaces as a URI-less fragment that the type filter drops.
+* Trailing CR/LF of a payload is indistinguishable from the record
+  trailer, so all trailing ``\\r``/``\\n`` are stripped (same trade
+  as sources.wet; md5-pinned by the round-trip oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WARC_SEP = "WARC/1.0"
+_HDR_END = "\r\n\r\n"
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read raw WARC segments under ``path`` into
+    (url, warc_date, http_status, content_type, html) rows —
+    ``response`` records only (``warcinfo`` / ``request`` /
+    ``metadata`` records and URI-less fragments are dropped).
+
+    ``html`` is the raw HTTP payload string — feed it to the
+    extraction pipeline's route/extract stages unchanged.  Non-2xx
+    captures are KEPT (status is a column, policy belongs to the
+    caller); real crawls replay 404/301 bodies for diffing."""
+    raw = spark.read.option("lineSep", WARC_SEP).text(path)
+    return parse_warc_records(raw)
+
+
+def parse_warc_records(raw: DataFrame) -> DataFrame:
+    """Expression-only parse: ``value: string`` chunks (one per
+    ``WARC/1.0``-separated record) → typed response rows.  Shared by
+    :func:`read_warc` and :func:`read_warc_stream` — stream/batch
+    unification by construction.
+
+    Layout per record: WARC headers ``\\r\\n\\r\\n`` HTTP status line +
+    headers ``\\r\\n\\r\\n`` payload.  The first two blank-line splits
+    are positional (``substring_index`` twice); everything after the
+    second is payload."""
+    rec = raw.filter(F.length(F.trim(F.col("value"))) > 0)
+    warc_hdr = F.substring_index(F.col("value"), _HDR_END, 1)
+    http_hdr = F.expr(
+        "substring(substring_index(value, '\\r\\n\\r\\n', 2),"
+        " length(substring_index(value, '\\r\\n\\r\\n', 1)) + 5)"
+    )
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\\r\\n\\r\\n', 2)) + 5)"
+    )
+    body = F.regexp_replace(body, r"[\r\n]+$", "")  # framing caveat
+    url = F.regexp_extract(warc_hdr, r"WARC-Target-URI:\s*(\S+)", 1)
+    ts = F.regexp_extract(warc_hdr, r"WARC-Date:\s*(\S+)", 1)
+    rtype = F.regexp_extract(warc_hdr, r"WARC-Type:\s*(\S+)", 1)
+    status = F.regexp_extract(http_hdr, r"HTTP/[0-9.]+\s+(\d{3})", 1)
+    ctype = F.regexp_extract(http_hdr, r"Content-Type:\s*([^\r\n;]+)", 1)
+    return (
+        rec.select(
+            rtype.alias("warc_type"),
+            url.alias("url"),
+            ts.alias("warc_date"),
+            F.nullif(status, F.lit("")).cast("int").alias("http_status"),
+            F.trim(ctype).alias("content_type"),
+            body.alias("html"),
+        )
+        .filter((F.col("warc_type") == "response") & (F.col("url") != ""))
+        .drop("warc_type")
+    )
+
+
+def read_warc_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """Streaming twin of :func:`read_warc` (drop-directory file
+    source, exactly-once via checkpointed file tracking) — the crawl
+    fetcher appends segments, the extraction stream consumes them."""
+    raw = (
+        spark.readStream.option("lineSep", WARC_SEP)
+        .option("maxFilesPerTrigger", max_files)
+        .text(path)
+    )
+    return parse_warc_records(raw)
+
+
+def to_warc_records(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str = "http_status",
+    ctype_col: str = "content_type",
+    body_col: str = "html",
+) -> DataFrame:
+    """Format response rows as raw WARC ``response`` records — one
+    ``value: string`` column for ``df.write.text``; one codegen'd
+    concat per row, no Python, no collect (the distributed writer
+    half of the round-trip, mirroring sources.wet.to_wet_records)."""
+    body = F.col(body_col)
+    return df.select(
+        F.concat(
+            F.lit(f"{WARC_SEP}\r\n" "WARC-Type: response\r\n" "WARC-Target-URI: "),
+            F.col(url_col),
+            F.lit("\r\nWARC-Date: "),
+            F.col(date_col).cast("string"),
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit(_HDR_END),
+            F.lit("HTTP/1.1 "),
+            F.col(status_col).cast("string"),
+            F.lit(" \r\nContent-Type: "),
+            F.col(ctype_col),
+            F.lit(_HDR_END),
+            body,
+            F.lit("\r\n\r\n"),
+        ).alias("value")
+    )
+
+
+def warc_file(records: list[tuple[str, str, int, str, str]], segment: str) -> str:
+    """Deterministic raw-WARC file content for tests: a ``warcinfo``
+    preamble plus a ``request``/``response`` record PAIR per
+    (url, date, status, content_type, body) — real crawls interleave
+    record types; the parser must keep only responses."""
+    parts = [
+        f"{WARC_SEP}\r\n"
+        f"WARC-Type: warcinfo\r\n"
+        f"WARC-Filename: {segment}\r\n"
+        f"\r\n"
+        f"software: extractor-testgen\r\n\r\n"
+    ]
+    for url, date, status, ctype, body in records:
+        parts.append(
+            f"{WARC_SEP}\r\n"
+            f"WARC-Type: request\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"\r\n"
+            f"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+        )
+        parts.append(
+            f"{WARC_SEP}\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(body.encode('utf-8'))}\r\n"
+            f"\r\n"
+            f"HTTP/1.1 {status} \r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"\r\n"
+            f"{body}\r\n\r\n"
+        )
+    return "".join(parts)

@@ -129,3 +129,136 @@ def test_wet_stream_equals_batch(spark, tmp_path):
         (r.url, r.warc_date, r.text) for r in read_wet(spark, str(d)).collect()
     }
     assert srows == brows and len(brows) == 12
+
+
+# ---------------------------------------------------------------------------
+# Raw WARC (response records, two header layers)
+# ---------------------------------------------------------------------------
+
+from extractor.sources.warc import read_warc, to_warc_records, warc_file  # noqa: E402
+
+
+WARC_RECORDS = [
+    ("https://a.example/one", "2025-06-01T00:00:00Z", 200, "text/html",
+     "<html><body>hello</body></html>"),
+    ("https://a.example/gone", "2025-06-01T00:00:01Z", 404, "text/html",
+     "<html>not found</html>"),
+    # charset parameter must be trimmed off content_type
+    ("https://b.example/drei", "2025-06-02T09:30:00Z", 200, "text/html",
+     "<p>straße — ümlaut</p>\nline two"),
+    ("https://b.example/pdf", "2025-06-02T09:30:01Z", 200, "application/pdf",
+     "%PDF-1.4 fake"),
+]
+
+
+def test_warc_file_roundtrip_and_request_skip(spark, tmp_path):
+    """Hand-built raw segments (warcinfo preamble + request/response
+    PAIRS, the real interleaving) parse back to exactly the response
+    records — request records never surface."""
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg-00000.warc").write_text(
+        warc_file(WARC_RECORDS[:2], "seg-00000"), encoding="utf-8"
+    )
+    (d / "seg-00001.warc").write_text(
+        warc_file(WARC_RECORDS[2:], "seg-00001"), encoding="utf-8"
+    )
+    got = sorted(
+        (r.url, r.warc_date, r.http_status, r.content_type, r.html)
+        for r in read_warc(spark, str(d)).collect()
+    )
+    assert got == sorted(WARC_RECORDS)
+
+
+def test_warc_content_type_param_stripped(spark, tmp_path):
+    """`Content-Type: text/html; charset=UTF-8` yields content_type
+    'text/html' — the parameter is presentation, not type."""
+    content = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://c.example/q\r\n"
+        "WARC-Date: 2025-06-03T00:00:00Z\r\n"
+        "\r\n"
+        "HTTP/1.1 301 Moved Permanently\r\n"
+        "Content-Type: text/html; charset=UTF-8\r\n"
+        "Location: https://c.example/r\r\n"
+        "\r\n"
+        "<a>moved</a>\r\n\r\n"
+    )
+    p = tmp_path / "one.warc"
+    p.write_text(content, encoding="utf-8")
+    rows = read_warc(spark, str(p)).collect()
+    assert [(r.http_status, r.content_type, r.html) for r in rows] == [
+        (301, "text/html", "<a>moved</a>")
+    ]
+
+
+def test_warc_spark_writer_roundtrip(spark, tmp_path):
+    """Distributed half: to_warc_records → write.text (3 part files,
+    no collect) → read_warc recovers every response row byte-exact."""
+    src = spark.createDataFrame(
+        WARC_RECORDS,
+        "url string, warc_date string, http_status int, content_type string,"
+        " html string",
+    )
+    out = str(tmp_path / "warcout")
+    to_warc_records(src.repartition(3)).write.text(out)
+    got = sorted(
+        (r.url, r.warc_date, r.http_status, r.content_type, r.html)
+        for r in read_warc(spark, out).collect()
+    )
+    assert got == sorted(WARC_RECORDS)
+
+
+def test_warc_scan_is_splittable_text_scan(spark, tmp_path):
+    """Same plan bar as WET: FileScan text (block-splittable), no
+    Python eval anywhere in the parse."""
+    p = tmp_path / "seg.warc"
+    p.write_text(warc_file(WARC_RECORDS[:1], "seg"), encoding="utf-8")
+    plan = read_warc(spark, str(p))._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_stream_equals_batch(spark, tmp_path):
+    """Streaming raw-WARC ingest emits exactly the batch rows — one
+    parse implementation (parse_warc_records)."""
+    from extractor.sources.warc import read_warc_stream
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(2):
+        (d / f"seg-{i:05d}.warc").write_text(
+            warc_file(
+                [
+                    (
+                        f"https://s{i}.example/p{j}",
+                        f"2025-06-0{i + 1}T00:00:0{j}Z",
+                        200 if j % 2 == 0 else 503,
+                        "text/html",
+                        f"<html>body {i} {j}</html>",
+                    )
+                    for j in range(3)
+                ],
+                f"seg-{i:05d}",
+            ),
+            encoding="utf-8",
+        )
+
+    stream = read_warc_stream(spark, str(d), max_files=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r.url, r.http_status, r.html)
+        for r in spark.sql("select * from warc_stream_t").collect()
+    }
+    brows = {
+        (r.url, r.http_status, r.html) for r in read_warc(spark, str(d)).collect()
+    }
+    assert srows == brows and len(brows) == 6
