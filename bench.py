@@ -105,6 +105,7 @@ HEADLINE_QUERIES = [
     "e2e_wet_corpus",
     "dedup_simhash_hamming",
     "warc_roundtrip",
+    "e2e_warc_extract",
 ]
 
 

@@ -4021,6 +4021,107 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_warc_extract",
+    """
+    -- Every html-routed url (incl. the empty/oversize quarantine
+    -- classes — their payloads are UTF-8-safe) must extract
+    -- IDENTICALLY from a raw-WARC archive round-trip and from the
+    -- direct pages table: success flips only by class, agreement is
+    -- unconditional.  Binary payload classes (pdf/image/exe) cannot
+    -- ride a text-framed archive and are out of scope by routing.
+    WITH cls AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 97 = 0 THEN 'reject_oversize'
+             ELSE (['html_simple','html_simple','html_simple','html_simple',
+                    'html_simple','html_simple','image_png','image_jpg',
+                    'html_boiler','html_boiler','html_boiler','html_boiler',
+                    'pdf_small','pdf_small','pdf_small','pdf_large',
+                    'html_grounded','html_grounded','reject_empty',
+                    'reject_ext'])[(doc_id % 20) + 1]
+        END AS cls
+      FROM documents
+    ), htmlset AS (
+      SELECT doc_id, cls,
+        'https://example-42.test/' || cls || '/' || printf('%06d', doc_id)
+          || '.html' AS url
+      FROM cls
+      WHERE cls LIKE 'html%' OR cls IN ('reject_empty', 'reject_oversize')
+    )
+    SELECT url,
+           (cls LIKE 'html%') AS success,
+           true AS warc_agrees
+    FROM htmlset
+    """,
+)
+def q_e2e_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl-archive → extraction, end-to-end (the north-star
+    input shape): html-routed pages are exported as raw WARC
+    ``response`` records (sources.warc), re-ingested through the
+    block-splittable reader, and pushed through the SAME
+    ``run_extraction`` as the direct parquet path; the query emits,
+    per url, the direct path's ``success`` and ``warc_agrees`` =
+    (success AND extracted-text md5 AND error all equal across the
+    two ingest paths).  A green row proves a user can point this
+    engine at raw crawl segments instead of a pages table and get
+    byte-identical markdown — any WARC framing or header-parse bug
+    flips ``warc_agrees``.  Both legs are one extraction run over the
+    html subset; the WARC leg adds a map-only format + splittable
+    re-scan, so the chain scales exactly like the flagship."""
+    import tempfile
+
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import route, run_extraction
+    from extractor.sources.warc import read_warc, to_warc_records
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    pages = pages_df(spark, sf_dir)
+    html_pages = route(pages).filter(F.col("doc_type") == "html").drop("doc_type")
+
+    direct = run_extraction(spark, html_pages, cfg).select(
+        "url",
+        "success",
+        F.md5(F.col("text")).alias("text_md5"),
+        "error",
+    )
+
+    out = tempfile.mkdtemp(prefix="warc_e2e_") + "/segments"
+    to_warc_records(
+        html_pages.repartition(4).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+            F.lit(200).alias("http_status"),
+            F.lit("text/html").alias("content_type"),
+            F.col("html").cast("string").alias("html"),
+        )
+    ).write.mode("overwrite").text(out)
+
+    reingested = read_warc(spark, out).select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.encode(F.col("html"), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    via_warc = run_extraction(spark, reingested, cfg).select(
+        "url",
+        F.col("success").alias("w_success"),
+        F.md5(F.col("text")).alias("w_text_md5"),
+        F.col("error").alias("w_error"),
+    )
+
+    return direct.join(via_warc, "url").select(
+        "url",
+        "success",
+        (
+            (F.col("success") == F.col("w_success"))
+            & F.col("text_md5").eqNullSafe(F.col("w_text_md5"))
+            & F.col("error").eqNullSafe(F.col("w_error"))
+        ).alias("warc_agrees"),
+    )
+
+
+@register(
     "quality_buckets",
     """
     -- CCNet §4.3 head/middle/tail: per-language surprisal terciles
