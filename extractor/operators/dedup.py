@@ -630,21 +630,21 @@ def simhash_hamming_pairs(
         ).alias("chunk_idx", "chunk_val"),
     )
     x, y = ch.alias("x"), ch.alias("y")
-    cand = (
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long")
+    # verify INSIDE the join stage, before the cross-chunk dedup: the
+    # distinct's shuffle then carries only surviving pairs, not every
+    # blocked candidate (hot buckets produce far more candidates than
+    # matches).
+    return (
         x.join(y, on=["chunk_idx", "chunk_val"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            ham.alias("hamming"),
         )
-        .distinct()  # a pair may collide on several chunks; count once
-    )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        cand.select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide on several chunks; count once
     )
 
 
