@@ -302,16 +302,18 @@ class _LinkCollector(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, bool]] = []
         self.skip_depth = 0
         self._href: str | None = None
+        self._nofollow = False
         self._parts: list[str] = []
 
     def _finish(self) -> None:
         if self._href is not None:
             text = _WS_RE.sub(" ", "".join(self._parts)).strip()
-            self.links.append((self._href, text))
+            self.links.append((self._href, text, self._nofollow))
             self._href = None
+            self._nofollow = False
             self._parts = []
 
     def handle_starttag(self, tag, attrs):
@@ -322,9 +324,12 @@ class _LinkCollector(HTMLParser):
             return
         if tag == "a":
             self._finish()  # malformed html: new <a> closes the open one
-            href = dict(attrs).get("href")
+            ad = dict(attrs)
+            href = ad.get("href")
             if href:
                 self._href = href
+                # rel is a space-separated token list per the HTML spec
+                self._nofollow = "nofollow" in (ad.get("rel") or "").lower().split()
                 self._parts = []
 
     def handle_endtag(self, tag):
@@ -342,10 +347,13 @@ class _LinkCollector(HTMLParser):
         self._parts.append(data)
 
 
-def extract_links(html: bytes | str) -> list[tuple[str, str]]:
-    """(href, anchor_text) pairs in document order — the edge list a
-    web-graph build consumes.  Deterministic, pure; shared by the Spark
-    operator (operators.webgraph.html_outlinks) and the SQL oracle's
+def extract_links_rel(html: bytes | str) -> list[tuple[str, str, bool]]:
+    """(href, anchor_text, nofollow) triples in document order — the
+    edge list a web-graph build consumes, with the ``rel="nofollow"``
+    token surfaced so rank propagation can exclude edges the linking
+    page explicitly disavows (the attribute's defined purpose).
+    Deterministic, pure; shared by the Spark operator
+    (operators.webgraph.html_outlinks) and the SQL oracle's
     expectations."""
     if html is None:
         return []
@@ -359,6 +367,12 @@ def extract_links(html: bytes | str) -> list[tuple[str, str]]:
         pass
     parser._finish()
     return parser.links
+
+
+def extract_links(html: bytes | str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs in document order — the original
+    2-tuple surface, kept for callers that don't care about rel."""
+    return [(h, t) for h, t, _ in extract_links_rel(html)]
 
 
 def html_to_markdown(html: bytes | str) -> str:

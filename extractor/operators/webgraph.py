@@ -43,27 +43,32 @@ PR_SCALE = 10**12
 def html_outlinks(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """Outlink edge rows (url, seq, href, anchor_text), seq = 0-based
-    document order.  Anchors without href are skipped; anchor text is
-    whitespace-normalized (html_extract._LinkCollector)."""
+    """Outlink edge rows (url, seq, href, anchor_text, nofollow),
+    seq = 0-based document order.  Anchors without href are skipped;
+    anchor text is whitespace-normalized; ``nofollow`` surfaces the
+    ``rel="nofollow"`` token so rank propagation can drop edges the
+    linking page disavows (filter downstream — the edge itself is
+    still real crawl-frontier signal, so extraction keeps it)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from extractor.html_extract import extract_links
+        from extractor.html_extract import extract_links_rel
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 url = getattr(r, url_col)
-                for seq, (href, anchor) in enumerate(
-                    extract_links(getattr(r, html_col))
+                for seq, (href, anchor, nofollow) in enumerate(
+                    extract_links_rel(getattr(r, html_col))
                 ):
-                    rows.append((url, seq, href, anchor))
+                    rows.append((url, seq, href, anchor, nofollow))
             yield pd.DataFrame(
-                rows, columns=["url", "seq", "href", "anchor_text"]
+                rows, columns=["url", "seq", "href", "anchor_text", "nofollow"]
             )
 
     return pages.select(F.col(url_col), F.col(html_col)).mapInPandas(
-        fn, schema="url string, seq int, href string, anchor_text string"
+        fn,
+        schema="url string, seq int, href string, anchor_text string,"
+        " nofollow boolean",
     )
 
 

@@ -2346,7 +2346,8 @@ _BOILER_EDGES_SQL = f"""
     WITH {_BOILER_EDGES_SQL}
     SELECT b.url, (f.start + i.i)::INT AS seq,
            '/x/' || (b.doc_id + f.doff) || '/' || i.i AS href,
-           'link word ' || i.i AS anchor_text
+           'link word ' || i.i AS anchor_text,
+           false AS nofollow
     FROM boiler b, farm f,
          LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
     """,

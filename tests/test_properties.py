@@ -198,3 +198,51 @@ def test_plan_compress_resize_invariants(w, h):
         # aspect: int truncation of the exact scaled value
         scale = MAX_DIMENSION / w if w > h else MAX_DIMENSION / h
         assert (ow, oh) == (int(w * scale), int(h * scale))
+
+
+def test_extract_links_rel_nofollow():
+    """rel is a space-separated token list: the nofollow token flags
+    the edge wherever it appears, case-insensitively; other rel values
+    don't."""
+    from extractor.html_extract import extract_links, extract_links_rel
+
+    html = (
+        b'<a href="/a" rel="nofollow">paid</a>'
+        b'<a href="/b" rel="ugc NOFOLLOW">comment</a>'
+        b'<a href="/c" rel="noopener">fine</a>'
+        b'<a href="/d">plain</a>'
+    )
+    assert extract_links_rel(html) == [
+        ("/a", "paid", True),
+        ("/b", "comment", True),
+        ("/c", "fine", False),
+        ("/d", "plain", False),
+    ]
+    # the 2-tuple surface is unchanged
+    assert extract_links(html) == [
+        ("/a", "paid"), ("/b", "comment"), ("/c", "fine"), ("/d", "plain"),
+    ]
+
+
+def test_html_outlinks_nofollow_column_filters_rank_edges(spark):
+    """The Spark operator surfaces nofollow as a column; a rank build
+    that drops disavowed edges is a one-filter change."""
+    from extractor.operators.webgraph import html_outlinks
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.test/p1",
+                b'<a href="/x" rel="nofollow">spam</a><a href="/y">good</a>',
+            )
+        ],
+        "url string, html binary",
+    )
+    edges = html_outlinks(pages)
+    assert {(r.href, r.nofollow) for r in edges.collect()} == {
+        ("/x", True),
+        ("/y", False),
+    }
+    from pyspark.sql import functions as F
+
+    assert [r.href for r in edges.filter(~F.col("nofollow")).collect()] == ["/y"]
