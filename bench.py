@@ -106,6 +106,7 @@ HEADLINE_QUERIES = [
     "dedup_simhash_hamming",
     "warc_roundtrip",
     "e2e_warc_extract",
+    "robots_filter",
 ]
 
 

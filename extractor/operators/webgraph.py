@@ -144,6 +144,50 @@ def frontier_scores(
     )
 
 
+def robots_frontier_filter(
+    frontier: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop frontier URLs a host's robots rules disallow — the
+    politeness gate between frontier scoring and the fetcher.
+
+    ``rules`` is (host, path_prefix) Disallow rows, one per directive.
+    A URL is dropped when ANY rule for its host is a prefix of its
+    path.  Simplification (documented, not hidden): prefix Disallow
+    only — no wildcards, no Allow-overrides-longer-match precedence;
+    that covers the overwhelming share of real robots directives, and
+    a full matcher slots in by replacing the ``startswith`` residual.
+
+    Scale shape: rules are |hosts|-sized — millions of rows on a real
+    crawl, so NOT assumed broadcast-safe.  The anti-join's equi key is
+    ``host`` (both sides hash-partition on it); the prefix test rides
+    as the join residual, so Spark never builds a cross product.  A
+    mega-host with thousands of directives is a value-skew case AQE's
+    skew-join split handles; the frontier payload crosses the shuffle
+    once.  Returns (url, host) kept rows."""
+    no_scheme = F.expr(f"substring({url_col}, instr({url_col}, '://') + 3)")
+    host = F.lower(F.substring_index(no_scheme, "/", 1))
+    path = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3 + "
+        f"length(substring_index(substring({url_col}, "
+        f"instr({url_col}, '://') + 3), '/', 1)))"
+    )
+    cand = frontier.select(
+        F.col(url_col).alias("url"), host.alias("host"), path.alias("path")
+    )
+    dis = rules.select(
+        F.lower(F.col("host")).alias("r_host"), F.col("path_prefix")
+    )
+    return (
+        cand.join(
+            dis,
+            (F.col("host") == F.col("r_host"))
+            & F.col("path").startswith(F.col("path_prefix")),
+            "left_anti",
+        )
+        .select("url", "host")
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     src_col: str = "src",

@@ -2614,6 +2614,72 @@ def q_frontier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_scores(urls, ranks)
 
 
+@register(
+    "robots_filter",
+    """
+    -- same candidate-url fixture as frontier_score; disallow rules:
+    -- even hosts block /a/b/, odd hosts block /page/, host 5 has no
+    -- rules at all (nothing dropped there)
+    WITH urls AS (
+      SELECT 'https://h' || (doc_id % 7) || '.example-42.test' ||
+             CASE WHEN doc_id % 3 = 0 THEN '/page/'
+                  WHEN doc_id % 3 = 1 THEN '/a/b/' ELSE '/' END ||
+             printf('%06d', doc_id) || '.html' AS url,
+             'h' || (doc_id % 7) || '.example-42.test' AS host,
+             CASE WHEN doc_id % 3 = 0 THEN '/page/'
+                  WHEN doc_id % 3 = 1 THEN '/a/b/' ELSE '/' END ||
+             printf('%06d', doc_id) || '.html' AS path
+      FROM documents
+    ), rules AS (
+      SELECT 'h' || k.k || '.example-42.test' AS host,
+             CASE WHEN k.k % 2 = 0 THEN '/a/b/' ELSE '/page/' END
+               AS path_prefix
+      FROM (SELECT unnest(generate_series(0, 6)) AS k) k
+      WHERE k.k <> 5
+    )
+    SELECT u.url, u.host FROM urls u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rules r
+      WHERE r.host = u.host AND starts_with(u.path, r.path_prefix)
+    )
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Disallow gate over the crawl frontier
+    (operators.webgraph.robots_frontier_filter): host-equi anti-join
+    with the prefix test as the join residual — rules are hosts-sized
+    and never assumed broadcastable.  The fixture plants per-host
+    prefix rules over the frontier_score url set (a rule-less host
+    keeps everything; depth-1 urls never match either prefix), so the
+    oracle's NOT EXISTS re-derives exactly which urls survive."""
+    from extractor.operators.webgraph import robots_frontier_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    shost = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-42.test"),
+    )
+    seg = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/page/"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/a/b/"))
+        .otherwise(F.lit("/"))
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), shost, seg,
+            F.format_string("%06d", F.col("doc_id")), F.lit(".html"),
+        ).alias("url")
+    )
+    ks = spark.range(7).withColumnRenamed("id", "k").filter(F.col("k") != 5)
+    rules = ks.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"),
+                 F.lit(".example-42.test")).alias("host"),
+        F.when(F.col("k") % 2 == 0, "/a/b/").otherwise("/page/")
+        .alias("path_prefix"),
+    )
+    return robots_frontier_filter(frontier, rules)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-hygiene additions (r3): paragraph-grain dedup, benchmark
 # decontamination, URL canonicalization.

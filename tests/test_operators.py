@@ -1016,3 +1016,24 @@ def test_duplicated_span_stats_planted_boilerplate(spark):
     assert out[4]["n_dup_grams"] == 0
     for r in out.values():
         assert 0 <= r["dup_coverage_x10000"] <= 10000
+
+
+def test_robots_frontier_filter_semantics(spark):
+    from extractor.operators.webgraph import robots_frontier_filter
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://A.test/private/x.html",),   # host case-folds, matches
+            ("https://a.test/public/y.html",),    # same host, prefix misses
+            ("https://b.test/private/z.html",),   # rule-less host: kept
+            ("https://a.test/private",),          # prefix of the prefix: kept
+        ],
+        ["url"],
+    )
+    rules = spark.createDataFrame([("a.test", "/private/")], ["host", "path_prefix"])
+    kept = {r.url for r in robots_frontier_filter(frontier, rules).collect()}
+    assert kept == {
+        "https://a.test/public/y.html",
+        "https://b.test/private/z.html",
+        "https://a.test/private",
+    }
