@@ -121,6 +121,23 @@ def streaming_extract_pages(
     )
 
 
+def warc_pages_stream(warc_stream: DataFrame) -> DataFrame:
+    """Adapt a raw-WARC response stream (sources.warc.read_warc_stream)
+    to the pages-table schema, so `streaming_extract_pages` runs on
+    crawl segments as they land — fetcher drops `*.warc` files, the
+    stream emits markdown rows.  Map-only column adaptation; the
+    extraction stages are the SAME functions as batch, so raw-archive
+    streaming inherits every batch guarantee (the e2e_warc_extract
+    registry entry driver-checks the batch half of this chain)."""
+    return warc_stream.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.encode(F.col("html"), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def streaming_outlinks(
     pages_stream: DataFrame, cfg: ExtractConfig = ExtractConfig()
 ) -> DataFrame:

@@ -407,3 +407,42 @@ def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
     assert any((a < 250) != (b < 250) for a, b in got), "no cross-batch pairs"
     assert len(committed_run_ids(index_dir)) == 2  # one snapshot per batch
     assert len(committed_run_ids(pairs_dir)) >= 1
+
+
+def test_streaming_warc_extract_equals_batch(spark, tmp_path):
+    """Raw crawl segments dropped in a directory stream straight to
+    markdown: read_warc_stream → warc_pages_stream adapter →
+    streaming_extract_pages must emit exactly the rows the same chain
+    produces on a batch read (one implementation end to end)."""
+    from extractor.pipeline import route
+    from extractor.sources.warc import read_warc, read_warc_stream, to_warc_records
+    from extractor.streaming.stream import (
+        streaming_extract_pages,
+        warc_pages_stream,
+    )
+
+    html_pages = (
+        route(pages_df(spark, SF_TINY))
+        .filter(F.col("doc_type") == "html")
+        .drop("doc_type")
+    )
+    drop_dir = str(tmp_path / "segments")
+    to_warc_records(
+        html_pages.repartition(3).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+            F.lit(200).alias("http_status"),
+            F.lit("text/html").alias("content_type"),
+            F.col("html").cast("string").alias("html"),
+        )
+    ).write.text(drop_dir)
+
+    key = lambda r: (r["url"], r["success"], r["error"], r["text"])  # noqa: E731
+    stream = read_warc_stream(spark, drop_dir, max_files=1)
+    name = _run_stream(streaming_extract_pages(warc_pages_stream(stream), CFG))
+    srows = {key(r) for r in spark.sql(f"select * from {name}").collect()}
+
+    batch_pages = warc_pages_stream(read_warc(spark, drop_dir))
+    brows = {key(r) for r in streaming_extract_pages(batch_pages, CFG).collect()}
+    assert srows == brows
+    assert len(brows) > 50 and any(r[1] for r in brows)
