@@ -93,6 +93,25 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     )
 
 
+def warc_to_pages(responses: DataFrame) -> DataFrame:
+    """Adapt :func:`read_warc` rows to the extraction pipeline's
+    pages-table contract ``(url, warc_ts timestamp, html binary,
+    text, lang)`` — the shape ``run_extraction`` and the parquet
+    ingest path share, so a raw crawl segment and a curated Iceberg
+    table flow through identical stages.
+
+    ``try_to_timestamp``: crawl archives carry malformed WARC-Date
+    values; a NULL ``warc_ts`` must not kill a 100-TB job.  The
+    default parser accepts both Z-suffixed and bare ISO-8601."""
+    return responses.select(
+        "url",
+        F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.encode(F.col("html"), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def read_warc_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
     """Streaming twin of :func:`read_warc` (drop-directory file
     source, exactly-once via checkpointed file tracking) — the crawl

@@ -42,6 +42,12 @@ def main() -> int:
     ap.add_argument("--synthesize", action="store_true",
                     help="treat --input as a testdata sf dir and synthesize "
                          "the pages table from documents.parquet")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "warc"),
+                    help="pages-table parquet dir (default) or a directory "
+                         "of raw WARC segments ingested via the "
+                         "block-splittable response-record reader "
+                         "(sources.warc.read_warc; html captures only)")
     ap.add_argument("--max-bytes", type=int, default=None)
     ap.add_argument("--html-partitions", type=int, default=None)
     ap.add_argument("--pdf-partitions", type=int, default=None)
@@ -83,11 +89,20 @@ def main() -> int:
     from extractor.writer import resume_filter, write_snapshot
 
     spark = build_session(app_name="extract-job")
+    if args.synthesize and args.input_format != "parquet":
+        raise SystemExit("--synthesize and --input-format warc are exclusive")
     if args.synthesize:
         from extractor.testgen import TEST_MAX_BYTES, pages_df
 
         pages = pages_df(spark, args.input)
         cfg_kwargs = {"max_bytes": args.max_bytes or TEST_MAX_BYTES}
+    elif args.input_format == "warc":
+        from extractor.sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.input))
+        cfg_kwargs = {}
+        if args.max_bytes:
+            cfg_kwargs["max_bytes"] = args.max_bytes
     else:
         pages = spark.read.parquet(args.input)
         cfg_kwargs = {}

@@ -262,3 +262,75 @@ def test_warc_stream_equals_batch(spark, tmp_path):
         (r.url, r.http_status, r.html) for r in read_warc(spark, str(d)).collect()
     }
     assert srows == brows and len(brows) == 6
+
+
+def test_warc_to_pages_schema_and_dirty_dates(spark, tmp_path):
+    """warc_to_pages adapts raw crawl responses to the pages-table
+    contract (BASELINE.json input_hint shape) and tolerates the dirt
+    real archives carry: a malformed WARC-Date yields a NULL warc_ts
+    but the ROW SURVIVES — one bad date must not kill a 100-TB job."""
+    from extractor.schema import PAGES_SCHEMA
+    from extractor.sources.warc import warc_to_pages
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg.warc").write_text(
+        warc_file(
+            [
+                ("https://ok.example/a", "2025-06-03T00:00:01Z", 200,
+                 "text/html", "<p>good date</p>"),
+                ("https://bare.example/b", "2025-06-03T00:00:02", 200,
+                 "text/html", "<p>bare iso, no Z</p>"),
+                ("https://bad.example/c", "not-a-date", 200,
+                 "text/html", "<p>garbage date</p>"),
+            ],
+            "seg",
+        ),
+        encoding="utf-8",
+    )
+    pages = warc_to_pages(read_warc(spark, str(d)))
+    assert [(f.name, f.dataType) for f in pages.schema.fields] == [
+        (f.name, f.dataType) for f in PAGES_SCHEMA.fields
+    ]
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {
+        "https://ok.example/a", "https://bare.example/b",
+        "https://bad.example/c",
+    }
+    assert rows["https://ok.example/a"].warc_ts is not None
+    assert rows["https://bare.example/b"].warc_ts is not None  # bare ISO ok
+    assert rows["https://bad.example/c"].warc_ts is None  # survives as NULL
+    assert bytes(rows["https://bad.example/c"].html) == b"<p>garbage date</p>"
+
+
+def test_warc_to_pages_feeds_run_extraction(spark, tmp_path):
+    """The full --input-format warc entrypoint chain: raw segment →
+    read_warc → warc_to_pages → run_extraction emits extracted
+    markdown per url (the batch analog of the reference's per-request
+    upload, routes/ocr.py)."""
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import run_extraction
+    from extractor.sources.warc import warc_to_pages
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    body = (
+        "<html><head><title>T</title></head><body>"
+        "<p>Main content paragraph with plenty of words so the density "
+        "heuristics keep it in the extracted output.</p></body></html>"
+    )
+    (d / "seg.warc").write_text(
+        warc_file(
+            [("https://chain.example/doc", "2025-06-03T00:00:01Z", 200,
+              "text/html", body)],
+            "seg",
+        ),
+        encoding="utf-8",
+    )
+    pages = warc_to_pages(read_warc(spark, str(d)))
+    out = run_extraction(spark, pages, ExtractConfig()).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.url == "https://chain.example/doc"
+    assert row.success and row.doc_type == "html"
+    assert "Main content paragraph" in row.text
