@@ -107,6 +107,7 @@ HEADLINE_QUERIES = [
     "warc_roundtrip",
     "e2e_warc_extract",
     "robots_filter",
+    "redirect_resolve",
 ]
 
 

@@ -4737,3 +4737,74 @@ def q_e2e_wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform(ordered, lambda s: s["url"]))
         ).alias("order_md5"),
     ).select("shard", "n_docs", "n_tokens", "order_md5")
+
+
+@register(
+    "redirect_resolve",
+    """
+    -- Redirect-chain resolution vs a recursive walk: chains of 5
+    -- (pos 0..4 -> terminal pos 5) per 8-doc group; every 11th group
+    -- closes pos 5 back onto pos 0, turning the whole group into a
+    -- 6-cycle.  max_hops=4: pos>=1 resolves, pos 0 is one hop too
+    -- long, cycle groups never resolve.
+    WITH RECURSIVE edges AS (
+      SELECT 'https://r.test/u' || doc_id::VARCHAR AS url,
+             'https://r.test/u' || (doc_id + 1)::VARCHAR AS location
+      FROM documents WHERE doc_id % 8 < 5
+      UNION ALL
+      SELECT 'https://r.test/u' || doc_id::VARCHAR,
+             'https://r.test/u' || (doc_id - 5)::VARCHAR
+      FROM documents WHERE doc_id % 8 = 5 AND (doc_id // 8) % 11 = 0
+    ), m AS (
+      SELECT url, min(location) AS location FROM edges GROUP BY url
+    ), walk AS (
+      SELECT url AS src, location AS cur, 1 AS hops FROM m
+      UNION ALL
+      SELECT w.src, m.location, w.hops + 1
+      FROM walk w JOIN m ON w.cur = m.url
+      WHERE w.hops < 4
+    ), term AS (
+      SELECT w.src, w.cur, w.hops
+      FROM walk w
+      WHERE w.cur NOT IN (SELECT url FROM m)
+    )
+    SELECT m.url AS url,
+           t.cur AS final_url,
+           CAST(t.hops AS BIGINT) AS hops,
+           (t.cur IS NOT NULL) AS resolved
+    FROM m LEFT JOIN term t ON m.url = t.src
+    """,
+)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect chains collapsed to their final targets
+    (crawl.resolve_redirects) — the canonical-URL map a crawl needs
+    before dedup/rank (3xx captures are edges, not documents; the
+    WARC reader surfaces each one's Location header).  Pointer
+    doubling: ceil(log2(max_hops)) self-joins of the redirect-sized
+    edge table resolve every chain ≤ max_hops — 4 shuffles for 16
+    hops where the naive walk pays 16.  Cycles and over-long chains
+    come back (NULL, NULL, false) — fetch policy, not an error.
+
+    The oracle is the textbook recursive walk (recursive CTE, hop
+    cap, terminal = not a redirect source); a green row proves the
+    doubled composition computes exactly the walk's fixpoint,
+    including hop counts."""
+    from extractor.operators.crawl import resolve_redirects
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def u(c):
+        return F.concat(F.lit("https://r.test/u"), c.cast("string"))
+
+    pos = F.col("doc_id") % 8
+    chain = docs.filter(pos < 5).select(
+        u(F.col("doc_id")).alias("url"),
+        u(F.col("doc_id") + 1).alias("location"),
+    )
+    cyc = docs.filter(
+        (pos == 5) & (F.floor(F.col("doc_id") / 8) % 11 == 0)
+    ).select(
+        u(F.col("doc_id")).alias("url"),
+        u(F.col("doc_id") - 5).alias("location"),
+    )
+    return resolve_redirects(chain.unionByName(cyc), max_hops=4)

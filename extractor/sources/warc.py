@@ -79,6 +79,7 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     rtype = F.regexp_extract(warc_hdr, r"WARC-Type:\s*(\S+)", 1)
     status = F.regexp_extract(http_hdr, r"HTTP/[0-9.]+\s+(\d{3})", 1)
     ctype = F.regexp_extract(http_hdr, r"Content-Type:\s*([^\r\n;]+)", 1)
+    loc = F.regexp_extract(http_hdr, r"Location:\s*(\S+)", 1)
     return (
         rec.select(
             rtype.alias("warc_type"),
@@ -86,6 +87,9 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
             ts.alias("warc_date"),
             F.nullif(status, F.lit("")).cast("int").alias("http_status"),
             F.trim(ctype).alias("content_type"),
+            # 3xx captures carry the redirect target — the edge the
+            # redirect-resolution operator follows (crawl.resolve_redirects).
+            F.nullif(loc, F.lit("")).alias("location"),
             body.alias("html"),
         )
         .filter((F.col("warc_type") == "response") & (F.col("url") != ""))
@@ -131,12 +135,25 @@ def to_warc_records(
     status_col: str = "http_status",
     ctype_col: str = "content_type",
     body_col: str = "html",
+    location_col: str | None = None,
 ) -> DataFrame:
     """Format response rows as raw WARC ``response`` records — one
     ``value: string`` column for ``df.write.text``; one codegen'd
     concat per row, no Python, no collect (the distributed writer
-    half of the round-trip, mirroring sources.wet.to_wet_records)."""
+    half of the round-trip, mirroring sources.wet.to_wet_records).
+
+    ``location_col`` (optional): a redirect-target column emitted as
+    an HTTP ``Location`` header when non-null, so 3xx captures
+    round-trip their redirect edge."""
     body = F.col(body_col)
+    loc_hdr = (
+        F.when(
+            F.col(location_col).isNotNull(),
+            F.concat(F.lit("Location: "), F.col(location_col), F.lit("\r\n")),
+        ).otherwise(F.lit(""))
+        if location_col
+        else F.lit("")
+    )
     return df.select(
         F.concat(
             F.lit(f"{WARC_SEP}\r\n" "WARC-Type: response\r\n" "WARC-Target-URI: "),
@@ -150,7 +167,9 @@ def to_warc_records(
             F.col(status_col).cast("string"),
             F.lit(" \r\nContent-Type: "),
             F.col(ctype_col),
-            F.lit(_HDR_END),
+            F.lit("\r\n"),
+            loc_hdr,
+            F.lit("\r\n"),
             body,
             F.lit("\r\n\r\n"),
         ).alias("value")

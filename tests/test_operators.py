@@ -1037,3 +1037,75 @@ def test_robots_frontier_filter_semantics(spark):
         "https://b.test/private/z.html",
         "https://a.test/private",
     }
+
+
+def test_resolve_redirects_semantics(spark):
+    """Chains resolve with exact hop counts; cycles, self-loops and
+    chains longer than max_hops come back (NULL, NULL, false);
+    conflicting captures of one source collapse to min(dst)."""
+    from extractor.operators.crawl import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),              # a→b→c→d
+            ("p", "q"), ("q", "p"),                          # 2-cycle
+            ("x", "x"),                                      # self-loop
+            ("l0", "l1"), ("l1", "l2"), ("l2", "l3"),
+            ("l3", "l4"), ("l4", "l5"),                      # 5 hops
+            ("dup", "z"), ("dup", "a"),                      # conflicting capture
+        ],
+        "url string, location string",
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(edges, max_hops=4).collect()
+    }
+    assert got["a"] == ("d", 3, True)
+    assert got["c"] == ("d", 1, True)
+    assert got["p"] == (None, None, False)
+    assert got["q"] == (None, None, False)
+    assert got["x"] == (None, None, False)
+    assert got["l0"] == (None, None, False)  # 5 hops > max_hops=4
+    assert got["l1"] == ("l5", 4, True)
+    # min(dst) tie-break: 'a' < 'z', and the chain continues through a
+    assert got["dup"] == ("d", 4, True)
+
+
+def test_resolve_redirects_matches_naive_walk(spark):
+    """Pointer doubling == the naive step-by-step walk on a seeded
+    edge set mixing chains, merges and cycles (log2(K) compositions
+    must compute exactly f^K's fixpoint, hop counts included)."""
+    from extractor.operators.crawl import resolve_redirects
+
+    # deterministic pseudo-random functional graph on 80 nodes
+    n = 80
+    edges = []
+    for i in range(n):
+        if (i * 2654435761) % 5 == 0:
+            continue  # ~1/5 of nodes are terminals
+        j = (i * 48271 + 11) % n
+        edges.append((f"n{i}", f"n{j}"))
+    max_hops = 8
+    srcs = {s for s, _ in edges}
+    nxt = dict(edges)
+
+    # naive reference, cycle-safe via visited set
+    def walk_ref(s):
+        cur, hops, seen = s, 0, {s}
+        while cur in nxt and hops < max_hops:
+            cur = nxt[cur]
+            hops += 1
+            if cur in nxt and cur in seen:
+                return (None, None, False)
+            seen.add(cur)
+        if cur in nxt:  # still a redirect source: cycle or too long
+            return (None, None, False)
+        return (cur, hops, True)
+
+    expect = {s: walk_ref(s) for s in srcs}
+    df = spark.createDataFrame(edges, "url string, location string")
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(df, max_hops=max_hops).collect()
+    }
+    assert got == expect

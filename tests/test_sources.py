@@ -334,3 +334,42 @@ def test_warc_to_pages_feeds_run_extraction(spark, tmp_path):
     assert row.url == "https://chain.example/doc"
     assert row.success and row.doc_type == "html"
     assert "Main content paragraph" in row.text
+
+
+def test_warc_location_roundtrip_feeds_redirect_resolution(spark, tmp_path):
+    """3xx captures carry their redirect edge: to_warc_records with
+    location_col writes the Location header, read_warc surfaces it as
+    the `location` column (NULL when absent), and the edges feed
+    crawl.resolve_redirects — the crawl-archive path to a
+    canonical-URL map."""
+    from extractor.operators.crawl import resolve_redirects
+
+    src = spark.createDataFrame(
+        [
+            ("https://h.test/a", "2025-06-03T00:00:01Z", 301,
+             "text/html", "<a>moved</a>", "https://h.test/b"),
+            ("https://h.test/b", "2025-06-03T00:00:02Z", 302,
+             "text/html", "<a>found</a>", "https://h.test/c"),
+            ("https://h.test/c", "2025-06-03T00:00:03Z", 200,
+             "text/html", "<p>final</p>", None),
+        ],
+        "url string, warc_date string, http_status int, content_type string,"
+        " html string, location string",
+    )
+    out = str(tmp_path / "warcout")
+    to_warc_records(src, location_col="location").write.text(out)
+    back = read_warc(spark, out)
+    rows = {r.url: (r.http_status, r.location, r.html) for r in back.collect()}
+    assert rows["https://h.test/a"] == (301, "https://h.test/b", "<a>moved</a>")
+    assert rows["https://h.test/b"] == (302, "https://h.test/c", "<a>found</a>")
+    assert rows["https://h.test/c"] == (200, None, "<p>final</p>")
+
+    edges = back.filter("location is not null").select("url", "location")
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(edges).collect()
+    }
+    assert got == {
+        "https://h.test/a": ("https://h.test/c", 2, True),
+        "https://h.test/b": ("https://h.test/c", 1, True),
+    }
