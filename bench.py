@@ -108,6 +108,7 @@ HEADLINE_QUERIES = [
     "e2e_warc_extract",
     "robots_filter",
     "redirect_resolve",
+    "page_metadata",
 ]
 
 

@@ -397,3 +397,79 @@ def html_to_markdown(html: bytes | str) -> str:
         pass
     parser._flush()
     return _render([b for b in parser.blocks if _keep(b)])
+
+
+class _MetadataCollector(HTMLParser):
+    """Collect page-level metadata from the document head (and body,
+    for the malformed pages that put head tags there): <title>,
+    <meta name=description>, <link rel=canonical>, <html lang>,
+    <meta property=og:title>.  First occurrence wins per field —
+    browsers honor the first <title>; duplicated meta is spam."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str | None] = {
+            "title": None, "description": None, "canonical": None,
+            "lang": None, "og_title": None,
+        }
+        self._title_parts: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        ad = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html" and self.meta["lang"] is None and ad.get("lang"):
+            self.meta["lang"] = ad["lang"].strip()
+        elif tag == "title" and self.meta["title"] is None:
+            self._title_parts = []
+        elif tag == "meta":
+            name = ad.get("name", "").lower()
+            prop = ad.get("property", "").lower()
+            content = ad.get("content")
+            if content is None:
+                return
+            if name == "description" and self.meta["description"] is None:
+                self.meta["description"] = _WS_RE.sub(" ", content).strip()
+            elif prop == "og:title" and self.meta["og_title"] is None:
+                self.meta["og_title"] = _WS_RE.sub(" ", content).strip()
+        elif tag == "link":
+            rel = ad.get("rel", "").lower().split()
+            if "canonical" in rel and self.meta["canonical"] is None:
+                href = ad.get("href", "").strip()
+                if href:
+                    self.meta["canonical"] = href
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._title_parts is not None:
+            self.meta["title"] = _WS_RE.sub(
+                " ", "".join(self._title_parts)
+            ).strip()
+            self._title_parts = None
+
+    def handle_data(self, data):
+        if self._title_parts is not None:
+            self._title_parts.append(data)
+
+
+def extract_metadata(html: bytes | str) -> dict[str, str | None]:
+    """Page-level metadata dict (title, description, canonical, lang,
+    og_title; None where absent) — the index/display fields an
+    extraction pipeline ships alongside the markdown body.
+    Deterministic, pure; shared by the Spark operator
+    (operators.metadata.page_metadata) and pinned against the
+    registry oracle's planted ground truth."""
+    if html is None:
+        return dict.fromkeys(
+            ("title", "description", "canonical", "lang", "og_title")
+        )
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _MetadataCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    if parser._title_parts is not None:  # unclosed <title>
+        parser.meta["title"] = _WS_RE.sub(
+            " ", "".join(parser._title_parts)
+        ).strip()
+    return parser.meta

@@ -4808,3 +4808,84 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         u(F.col("doc_id") - 5).alias("location"),
     )
     return resolve_redirects(chain.unionByName(cyc), max_hops=4)
+
+
+@register(
+    "page_metadata",
+    """
+    -- Planted ground truth: the Spark side BUILDS each page's html
+    -- (varying tag case, quote style, attribute order, whitespace,
+    -- entities, and which fields exist, all keyed off doc_id) and
+    -- runs the HTMLParser-based extractor; the oracle derives the
+    -- same fields from doc_id arithmetic.  A green row proves the
+    -- parser recovers exactly what was planted through every
+    -- variation.
+    SELECT 'https://m.test/' || doc_id::VARCHAR AS url,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE 'Doc & ' || doc_id::VARCHAR END AS title,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE 'Summary ' || doc_id::VARCHAR END AS description,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE 'https://canon.test/' || doc_id::VARCHAR END AS canonical,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE (['en','de','fr-FR','zh'])[(doc_id % 4) + 1] END AS lang,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'OG ' || doc_id::VARCHAR END AS og_title
+    FROM documents
+    """,
+)
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-field extraction (operators.metadata.page_metadata):
+    title / meta description / canonical link / declared lang /
+    og:title per page, one Arrow-batched map-only pass — the fields a
+    corpus ships next to the markdown body (canonical feeds the URL
+    tier, lang cross-checks the n-gram language ID).
+
+    The synthesized pages exercise the parser's grammar corners:
+    upper/lower tag case, single/double quotes, flipped attribute
+    order, entity + embedded-whitespace titles, a multi-token
+    ``rel="alternate canonical"``, and per-field absence classes."""
+    from extractor.operators.metadata import page_metadata
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr-FR"), F.lit("zh")),
+        (d % 4 + 1).cast("int"),
+    )
+    title_tag = F.when(d % 17 == 0, F.lit("")).otherwise(
+        F.when(d % 2 == 0,
+               F.concat(F.lit("<TITLE>  Doc &amp;\n "), ds, F.lit(" </TITLE>")))
+        .otherwise(F.concat(F.lit("<title>Doc &amp; "), ds, F.lit("</title>")))
+    )
+    desc_tag = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.when(d % 2 == 0,
+               F.concat(F.lit("<meta content='Summary "), ds,
+                        F.lit("' NAME='Description'>")))
+        .otherwise(F.concat(F.lit('<meta name="description" content="Summary '),
+                            ds, F.lit('">')))
+    )
+    canon_tag = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<LINK REL="alternate canonical" HREF="'
+                              "https://canon.test/"), ds, F.lit('">')))
+        .otherwise(F.concat(F.lit('<link rel="canonical" href="'
+                                  "https://canon.test/"), ds, F.lit('"/>')))
+    )
+    og_tag = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<meta property='OG:Title' content='OG "), ds,
+                 F.lit("'/>"))
+    )
+    html_attr = F.when(d % 13 == 0, F.lit("<html>")).otherwise(
+        F.concat(F.lit('<HTML Lang="'), lang, F.lit('">'))
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html>"), html_attr, F.lit("<head>"),
+        title_tag, desc_tag, canon_tag, og_tag,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://m.test/"), ds).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return page_metadata(pages)

@@ -1109,3 +1109,53 @@ def test_resolve_redirects_matches_naive_walk(spark):
         for r in resolve_redirects(df, max_hops=max_hops).collect()
     }
     assert got == expect
+
+
+def test_extract_metadata_grammar_corners():
+    """The head-field parser through its grammar corners: tag/attr
+    case, quote styles, attribute order, entity + whitespace titles,
+    multi-token rel, first-wins, unclosed title, bytes input, None."""
+    from extractor.html_extract import extract_metadata
+
+    h = (
+        '<!DOCTYPE html><HTML Lang="en-US"><HEAD>'
+        "<TITLE>  First &amp;\n Only Title </TITLE><title>second ignored</title>"
+        "<meta content='The desc' name='Description'>"
+        "<meta name='description' content='dup ignored'>"
+        '<LINK REL="stylesheet canonical" HREF="https://c.test/x">'
+        "<meta property='OG:Title' content='OG T'>"
+        "</HEAD><body><p>hi</p></body></html>"
+    )
+    assert extract_metadata(h) == {
+        "title": "First & Only Title",
+        "description": "The desc",
+        "canonical": "https://c.test/x",
+        "lang": "en-US",
+        "og_title": "OG T",
+    }
+    empty = dict.fromkeys(
+        ("title", "description", "canonical", "lang", "og_title")
+    )
+    assert extract_metadata("<p>no head</p>") == empty
+    assert extract_metadata(None) == empty
+    assert extract_metadata("<title>unclosed")["title"] == "unclosed"
+    assert extract_metadata(b"<title>bytes \xc3\xa9</title>")["title"] == "bytes é"
+    # rel without canonical token is not canonical
+    assert extract_metadata('<link rel="canonicalish" href="https://n.test/">')[
+        "canonical"
+    ] is None
+
+
+def test_page_metadata_is_map_only(spark):
+    """One Arrow pass over the scan: no Exchange anywhere in the
+    page_metadata plan (metadata extraction must ride the same scan
+    as extraction, never add a shuffle)."""
+    from extractor.operators.metadata import page_metadata
+
+    pages = spark.createDataFrame(
+        [("u1", b"<title>t</title>")], "url string, html binary"
+    )
+    df = page_metadata(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.collect()[0].title == "t"
