@@ -109,6 +109,7 @@ HEADLINE_QUERIES = [
     "robots_filter",
     "redirect_resolve",
     "page_metadata",
+    "soft404",
 ]
 
 

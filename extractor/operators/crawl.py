@@ -177,3 +177,40 @@ def resolve_redirects(
         F.when(resolved, F.col("s")).alias("hops"),
         resolved.alias("resolved"),
     )
+
+
+#: Phrases that mark an error page served with a 200 status.  Kept
+#: deliberately short and high-precision (Bar-Yossef et al., WWW'04
+#: measure soft-404s structurally; phrase matching is the cheap
+#: expression-only tier a crawl applies to every capture).
+SOFT404_PATTERN = (
+    r"(?i)(page not found|404 not found|error 404|page does not exist|"
+    r"no longer available|page you requested (was|is) not)"
+)
+
+
+def soft404_flags(
+    status: Column,
+    title: Column,
+    text: Column,
+    max_body_chars: int = 512,
+) -> dict[str, Column]:
+    """Soft-404 features + verdict, expression-only (no Python, no
+    shuffle): a capture that returned HTTP 200 but whose CONTENT is an
+    error page.  Crawls are full of them — they poison dedup (every
+    soft-404 on a host is near-identical), quality stats and the link
+    graph, so the gate runs right after extraction.
+
+    Verdict: status == 200 AND (the title matches an error phrase, OR
+    the body matches one AND is short — long pages that merely mention
+    "404" are articles, not error pages).  Returns the feature columns
+    too so a corpus report can audit the rule."""
+    title_hit = F.coalesce(title, F.lit("")).rlike(SOFT404_PATTERN)
+    body_hit = F.coalesce(text, F.lit("")).rlike(SOFT404_PATTERN)
+    short = F.length(F.coalesce(text, F.lit(""))) <= max_body_chars
+    return {
+        "title_hit": title_hit,
+        "body_hit": body_hit,
+        "short_body": short,
+        "soft404": (status == 200) & (title_hit | (body_hit & short)),
+    }

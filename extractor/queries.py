@@ -4889,3 +4889,89 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(html, "utf-8").alias("html"),
     )
     return page_metadata(pages)
+
+
+@register(
+    "soft404",
+    """
+    -- Independent SQL re-derivation of the soft-404 rule over the
+    -- same planted capture classes: hard 404s (status!=200) never
+    -- flag, error-titled and error-bodied short pages flag, long
+    -- articles that merely MENTION 404 do not.
+    WITH caps AS (
+      SELECT 'https://s.test/' || doc_id::VARCHAR AS url,
+             CASE WHEN doc_id % 23 = 0 THEN 404 ELSE 200 END AS http_status,
+             CASE WHEN doc_id % 23 = 0 THEN '404 Not Found'
+                  WHEN doc_id % 9 = 0 THEN 'Oops — Page Not Found'
+                  WHEN doc_id % 17 = 0 THEN 'Understanding HTTP'
+                  ELSE 'Doc ' || doc_id::VARCHAR END AS title,
+             CASE WHEN doc_id % 23 = 0 THEN 'not found'
+                  WHEN doc_id % 9 = 0 THEN 'Sorry, we lost this page.'
+                  WHEN doc_id % 13 = 0
+                    THEN 'The page you requested was not found on this server.'
+                  WHEN doc_id % 17 = 0 THEN rpad('What error 404 means: ' || text,
+                                                 600, 'x')
+                  ELSE text END AS body
+      FROM documents
+    ), flags AS (
+      SELECT url, http_status,
+             regexp_matches(title,
+               '(?i)(page not found|404 not found|error 404|page does not exist|no longer available|page you requested (was|is) not)'
+             ) AS title_hit,
+             regexp_matches(body,
+               '(?i)(page not found|404 not found|error 404|page does not exist|no longer available|page you requested (was|is) not)'
+             ) AS body_hit,
+             length(body) <= 512 AS short_body
+      FROM caps
+    )
+    SELECT url, http_status, title_hit, body_hit, short_body,
+           (http_status = 200 AND (title_hit OR (body_hit AND short_body)))
+             AS soft404
+    FROM flags
+    """,
+)
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (crawl.soft404_flags): captures that
+    returned HTTP 200 but whose content is an error page — they
+    poison dedup (every soft-404 on a host is near-identical), the
+    quality stats and the link graph, so the gate runs right after
+    extraction.  Expression-only: two rlikes and a length test, no
+    Python, no shuffle.
+
+    Planted classes: hard 404s (%23), error-titled soft-404s (%9),
+    error-bodied short soft-404s (%13), long articles that merely
+    MENTION 404 (%17 — must NOT flag), and clean pages.  The oracle
+    re-derives the rule independently in SQL."""
+    from extractor.operators.crawl import soft404_flags
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    caps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://s.test/"), ds).alias("url"),
+        F.when(d % 23 == 0, 404).otherwise(200).alias("http_status"),
+        F.when(d % 23 == 0, F.lit("404 Not Found"))
+        .when(d % 9 == 0, F.lit("Oops — Page Not Found"))
+        .when(d % 17 == 0, F.lit("Understanding HTTP"))
+        .otherwise(F.concat(F.lit("Doc "), ds))
+        .alias("title"),
+        F.when(d % 23 == 0, F.lit("not found"))
+        .when(d % 9 == 0, F.lit("Sorry, we lost this page."))
+        .when(d % 13 == 0,
+              F.lit("The page you requested was not found on this server."))
+        .when(d % 17 == 0,
+              F.rpad(F.concat(F.lit("What error 404 means: "), F.col("text")),
+                     600, "x"))
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    flags = soft404_flags(
+        F.col("http_status"), F.col("title"), F.col("body")
+    )
+    return caps.select(
+        "url",
+        "http_status",
+        flags["title_hit"].alias("title_hit"),
+        flags["body_hit"].alias("body_hit"),
+        flags["short_body"].alias("short_body"),
+        flags["soft404"].alias("soft404"),
+    )

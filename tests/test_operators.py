@@ -1159,3 +1159,33 @@ def test_page_metadata_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.collect()[0].title == "t"
+
+
+def test_soft404_flags_classes(spark):
+    """Planted capture classes through the soft-404 rule: hard 404s
+    never flag (status gate), error titles flag regardless of body
+    length, error bodies flag only when short, long articles that
+    merely mention 404 do not flag, NULL title/text is tolerated."""
+    from extractor.operators.crawl import soft404_flags
+
+    rows = [
+        ("hard404", 404, "404 Not Found", "not found"),
+        ("t_soft", 200, "Oops — Page Not Found", "x"),
+        ("b_soft", 200, "Home", "The page you requested was not found."),
+        ("b_long", 200, "Guide", "error 404 explained " + "y" * 600),
+        ("t_long", 200, "Page Not Found", "z" * 600),  # title wins even long
+        ("clean", 200, "Doc", "regular content here"),
+        ("nulls", 200, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, http_status int, title string, text string"
+    )
+    fl = soft404_flags(F.col("http_status"), F.col("title"), F.col("text"))
+    got = {
+        r.url: r.soft404
+        for r in df.select("url", fl["soft404"].alias("soft404")).collect()
+    }
+    assert got == {
+        "hard404": False, "t_soft": True, "b_soft": True,
+        "b_long": False, "t_long": True, "clean": False, "nulls": False,
+    }
