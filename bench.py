@@ -110,6 +110,7 @@ HEADLINE_QUERIES = [
     "redirect_resolve",
     "page_metadata",
     "soft404",
+    "recrawl_priority",
 ]
 
 

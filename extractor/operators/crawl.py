@@ -214,3 +214,51 @@ def soft404_flags(
         "short_body": short,
         "soft404": (status == 200) & (title_hit | (body_hit & short)),
     }
+
+
+def recrawl_priority(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Change-rate estimation over a URL's capture history — the
+    Cho & Garcia-Molina recrawl-scheduling signal: pages that changed
+    often in past crawls get refreshed first; static pages are
+    fetched rarely.  Returns ``(url, n_captures, n_changes,
+    change_bp, first_ts, last_ts)`` where ``change_bp`` =
+    ``floor(10000 · n_changes / (n_captures − 1))`` — the observed
+    change fraction in basis points (integer-exact, 0 for a
+    single-capture URL).
+
+    Scale shape: ONE shuffle (groupBy url).  A URL's history is
+    bounded by the number of crawls (dozens), never by corpus size,
+    so the per-url sorted history rides a ``collect_list`` →
+    ``array_sort`` aggregate and adjacent-capture comparison is a
+    codegen'd ``zip_with`` over the array — no window over the raw
+    capture stream, constant-bounded reduce state per URL."""
+    h = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                F.col(digest_col).alias("digest")))
+    )
+    agg = captures.groupBy(F.col(url_col).alias("url")).agg(h.alias("h"))
+    n = F.size("h")
+    changes = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("h"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("h"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: (a["digest"] != b["digest"]).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return agg.select(
+        "url",
+        n.cast("long").alias("n_captures"),
+        changes.alias("n_changes"),
+        F.floor(changes * 10000 / F.greatest(n - 1, F.lit(1)))
+        .cast("long")
+        .alias("change_bp"),
+        F.element_at("h", 1)["ts"].alias("first_ts"),
+        F.element_at("h", -1)["ts"].alias("last_ts"),
+    )

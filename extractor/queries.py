@@ -4975,3 +4975,76 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags["short_body"].alias("short_body"),
         flags["soft404"].alias("soft404"),
     )
+
+
+@register(
+    "recrawl_priority",
+    """
+    -- Oracle = the window-lag formulation of change counting; the
+    -- engine uses a bounded per-url history array instead (no window
+    -- over the raw capture stream).  Four synthetic crawls; every
+    -- 19th url misses crawl 2 (uneven history), every 5th never
+    -- changes, the rest change with period 1 + doc_id % 3.
+    WITH caps AS (
+      SELECT 'https://h.test/' || d.doc_id::VARCHAR AS url,
+             c.c::BIGINT AS crawl_ts,
+             md5(d.text || '#' ||
+                 (CASE WHEN d.doc_id % 5 = 0 THEN 0
+                       ELSE c.c // (1 + d.doc_id % 3) END)::VARCHAR) AS digest
+      FROM documents d, (SELECT unnest(range(4)) AS c) c
+      WHERE NOT (d.doc_id % 19 = 0 AND c.c = 2)
+    ), lagged AS (
+      SELECT url, crawl_ts, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY crawl_ts) AS prev
+      FROM caps
+    ), agg AS (
+      SELECT url,
+             count(*)::BIGINT AS n_captures,
+             coalesce(count(*) FILTER (prev IS NOT NULL AND digest != prev), 0)::BIGINT
+               AS n_changes,
+             min(crawl_ts) AS first_ts,
+             max(crawl_ts) AS last_ts
+      FROM lagged GROUP BY url
+    )
+    SELECT url, n_captures, n_changes,
+           ((10000 * n_changes) // greatest(n_captures - 1, 1))::BIGINT
+             AS change_bp,
+           first_ts, last_ts
+    FROM agg
+    """,
+)
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from observed change rates
+    (crawl.recrawl_priority): per url, how many of its consecutive
+    captures changed — the Cho & Garcia-Molina freshness signal that
+    decides which URLs the next crawl spends its fetch budget on.
+    One groupBy-url shuffle; the history rides a bounded
+    collect_list/array_sort aggregate (a url's history is crawls-
+    sized, never corpus-sized) and adjacent comparison is a codegen'd
+    zip_with — the oracle's window-lag formulation over the raw
+    stream is exactly what the engine avoids at scale."""
+    from extractor.operators.crawl import recrawl_priority
+
+    d = F.col("doc_id")
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+        )
+        .filter(~((d % 19 == 0) & (F.col("c") == 2)))
+        .select(
+            F.concat(F.lit("https://h.test/"), d.cast("string")).alias("url"),
+            F.col("c").cast("long").alias("crawl_ts"),
+            F.md5(
+                F.concat(
+                    F.col("text"), F.lit("#"),
+                    F.when(d % 5 == 0, F.lit(0))
+                    .otherwise(F.floor(F.col("c") / (d % 3 + 1)))
+                    .cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return recrawl_priority(caps)

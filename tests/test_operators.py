@@ -1189,3 +1189,34 @@ def test_soft404_flags_classes(spark):
         "hard404": False, "t_soft": True, "b_soft": True,
         "b_long": False, "t_long": True, "clean": False, "nulls": False,
     }
+
+
+def test_recrawl_priority_change_counting(spark):
+    """Adjacent-capture change counting over unordered input: exact
+    change counts and basis points, single-capture urls rate 0, and
+    the plan holds the no-window bar (bounded history array, not a
+    window over the capture stream)."""
+    from extractor.operators.crawl import recrawl_priority
+
+    caps = spark.createDataFrame(
+        [
+            ("u", 2, "b"), ("u", 0, "a"), ("u", 1, "a"), ("u", 3, "b"),
+            ("v", 1, "y"), ("v", 0, "x"), ("v", 2, "z"),
+            ("w", 5, "k"),
+            ("s", 0, "m"), ("s", 1, "m"),
+        ],
+        "url string, crawl_ts long, digest string",
+    )
+    df = recrawl_priority(caps)
+    got = {
+        r.url: (r.n_captures, r.n_changes, r.change_bp, r.first_ts, r.last_ts)
+        for r in df.collect()
+    }
+    assert got == {
+        "u": (4, 1, 3333, 0, 3),
+        "v": (3, 2, 10000, 0, 2),
+        "w": (1, 0, 0, 5, 5),
+        "s": (2, 0, 0, 0, 1),
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
