@@ -111,6 +111,7 @@ HEADLINE_QUERIES = [
     "page_metadata",
     "soft404",
     "recrawl_priority",
+    "fetch_schedule",
 ]
 
 

@@ -281,3 +281,59 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    k_per_host: int = 100,
+    default_delay_ms: int = 1000,
+    url_col: str = "url",
+    host_col: str = "host",
+    score_col: str = "score",
+    delay_col: str = "crawl_delay_ms",
+) -> DataFrame:
+    """Politeness-constrained fetch plan for one crawl cycle:
+    per host, the ``k_per_host`` highest-priority frontier URLs with
+    their fetch slot and start offset — ``offset_ms = slot ·
+    crawl_delay_ms`` (robots Crawl-delay; ``default_delay_ms`` when
+    the host has no rule).  Returns ``(host, url, score, slot,
+    offset_ms)``, slot 0-based.
+
+    The per-cycle cap IS the politeness model: a host serving one
+    request per delay yields at most K fetches per cycle, so ranking
+    inside a host never needs more than K rows — the bounded
+    two-level ``grouped_topk`` (no window over a mega-host's frontier;
+    1e8 queued URLs on one host cost the same reduce state as 200).
+    The delay table is hosts-sized; the join strategy is left to
+    Catalyst (broadcast under the threshold, shuffle join beyond —
+    same bar as robots_frontier_filter)."""
+    from extractor.operators.topk import grouped_topk_exploded
+
+    ranked = grouped_topk_exploded(
+        frontier.select(
+            F.col(host_col).alias("host"),
+            F.struct(
+                (-F.col(score_col)).alias("neg"), F.col(url_col).alias("url")
+            ).alias("key"),
+        ),
+        ["host"],
+        F.col("key"),
+        k=k_per_host,
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"), F.col(delay_col).alias("_delay")
+    )
+    return (
+        ranked.join(d, "host", "left")
+        .select(
+            "host",
+            F.col("value")["url"].alias("url"),
+            (-F.col("value")["neg"]).cast("long").alias("score"),
+            (F.col("rank") - 1).cast("long").alias("slot"),
+            (
+                (F.col("rank") - 1)
+                * F.coalesce(F.col("_delay"), F.lit(default_delay_ms))
+            ).cast("long").alias("offset_ms"),
+        )
+    )

@@ -5048,3 +5048,67 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return recrawl_priority(caps)
+
+
+@register(
+    "fetch_schedule",
+    """
+    -- Oracle = the row_number window formulation; the engine uses
+    -- the bounded two-level top-k instead (no window over a
+    -- mega-host's frontier).  37 hosts; every 5th host has no
+    -- Crawl-delay rule and falls back to the 1000 ms default.
+    WITH frontier AS (
+      SELECT 'https://h' || (doc_id % 37)::VARCHAR || '.test' AS host,
+             'https://h' || (doc_id % 37)::VARCHAR || '.test/p'
+               || doc_id::VARCHAR AS url,
+             (doc_id * 2654435761) % 10000 AS score
+      FROM documents
+    ), delays AS (
+      SELECT 'https://h' || h::VARCHAR || '.test' AS host,
+             (500 * (h % 4 + 1))::BIGINT AS crawl_delay_ms
+      FROM (SELECT unnest(range(37)) AS h) WHERE h % 5 != 0
+    ), ranked AS (
+      SELECT f.host, f.url, f.score,
+             row_number() OVER (PARTITION BY f.host
+                                ORDER BY f.score DESC, f.url) - 1 AS slot,
+             d.crawl_delay_ms
+      FROM frontier f LEFT JOIN delays d ON f.host = d.host
+    )
+    SELECT host, url, CAST(score AS BIGINT) AS score,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(slot * coalesce(crawl_delay_ms, 1000) AS BIGINT) AS offset_ms
+    FROM ranked WHERE slot < 5
+    """,
+)
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained fetch plan (webgraph.fetch_schedule):
+    per host, the K highest-priority frontier URLs with their fetch
+    slot and start offset (slot · Crawl-delay; default when the host
+    has no robots rule) — the stage between frontier scoring /
+    robots filtering and the fetcher.  The per-cycle cap IS the
+    politeness model, which is what keeps the ranking bounded: K rows
+    per host through the two-level grouped_topk, never a window over
+    a mega-host's queue."""
+    from extractor.operators.webgraph import fetch_schedule
+
+    d = F.col("doc_id")
+    frontier = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (d % 37).cast("string"), F.lit(".test"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://h"), (d % 37).cast("string"), F.lit(".test/p"),
+            d.cast("string"),
+        ).alias("url"),
+        ((d * 2654435761) % 10000).alias("score"),
+    )
+    delays = (
+        _docs(spark, sf_dir)
+        .sparkSession.range(37)
+        .filter(F.col("id") % 5 != 0)
+        .select(
+            F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            (500 * (F.col("id") % 4 + 1)).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return fetch_schedule(frontier, delays, k_per_host=5)

@@ -1220,3 +1220,32 @@ def test_recrawl_priority_change_counting(spark):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_fetch_schedule_slots_and_delays(spark):
+    """Per-host slots ordered score desc / url asc (deterministic
+    ties), K cap enforced, offsets from the host's Crawl-delay with
+    the default for rule-less hosts, and no Window in the plan (the
+    bounded top-k bar)."""
+    from extractor.operators.webgraph import fetch_schedule
+
+    fr = spark.createDataFrame(
+        [("a.test", "u1", 10), ("a.test", "u2", 30), ("a.test", "u3", 20),
+         ("a.test", "u4", 30), ("b.test", "v1", 5)],
+        "host string, url string, score long",
+    )
+    dl = spark.createDataFrame(
+        [("a.test", 2000)], "host string, crawl_delay_ms long"
+    )
+    df = fetch_schedule(fr, dl, k_per_host=3)
+    rows = {
+        (r.host, r.url): (r.score, r.slot, r.offset_ms) for r in df.collect()
+    }
+    assert rows == {
+        ("a.test", "u2"): (30, 0, 0),
+        ("a.test", "u4"): (30, 1, 2000),
+        ("a.test", "u3"): (20, 2, 4000),
+        ("b.test", "v1"): (5, 0, 0),
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
