@@ -112,6 +112,7 @@ HEADLINE_QUERIES = [
     "soft404",
     "recrawl_priority",
     "fetch_schedule",
+    "charset_decode",
 ]
 
 

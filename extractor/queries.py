@@ -5112,3 +5112,96 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fetch_schedule(frontier, delays, k_per_host=5)
+
+
+def _hx(col_or_lit) -> Column:
+    """Hex of a utf-8-encoded string expression (payload assembly for
+    the charset_decode synthesis — binary built as one unhex at the
+    end)."""
+    return F.hex(F.encode(col_or_lit, "utf-8"))
+
+
+@register(
+    "charset_decode",
+    """
+    -- Planted ground truth: the Spark side assembles raw BYTE
+    -- payloads (BOM prefixes, windows-1252 0xE9/0x80, shift-jis
+    -- kana, a lying utf-8 label over an invalid 0xFF) and runs the
+    -- WHATWG-order sniff + decode; the oracle states the expected
+    -- charset and decoded text per class from doc_id arithmetic.
+    SELECT 'https://c.test/' || doc_id::VARCHAR AS url,
+           CASE doc_id % 7
+             WHEN 0 THEN 'utf-8'
+             WHEN 1 THEN 'cp1252'
+             WHEN 2 THEN 'cp1252'
+             WHEN 3 THEN 'shift_jis'
+             WHEN 4 THEN 'utf-8'
+             WHEN 5 THEN 'utf-8'
+             WHEN 6 THEN 'cp1252'
+           END AS charset,
+           CASE doc_id % 7
+             WHEN 0 THEN '<p>bom café ' || doc_id::VARCHAR || '</p>'
+             WHEN 1 THEN '<meta charset="windows-1252"><p>café € '
+                         || doc_id::VARCHAR || '</p>'
+             WHEN 2 THEN '<p>café ' || doc_id::VARCHAR || '</p>'
+             WHEN 3 THEN '<meta charset=shift-jis><p>こんにちは '
+                         || doc_id::VARCHAR || '</p>'
+             WHEN 4 THEN '<p>plain ascii ' || doc_id::VARCHAR || '</p>'
+             WHEN 5 THEN '<meta charset=utf-8><p>bad' || chr(65533)
+                         || ' ' || doc_id::VARCHAR || '</p>'
+             WHEN 6 THEN '<meta http-equiv="Content-Type" '
+                         || 'content="text/html; charset=ISO-8859-1">'
+                         || '<p>café ' || doc_id::VARCHAR || '</p>'
+           END AS text
+    FROM documents
+    """,
+)
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode (operators.charset.decode_pages) over
+    raw byte payloads in the encodings a real crawl serves: BOM'd
+    UTF-8, meta- and transport-declared windows-1252 (0xE9 / the
+    0x80 euro ISO-8859-1 cannot represent), shift-jis kana, plain
+    ascii, a page LYING about utf-8 over an invalid 0xFF (decodes to
+    U+FFFD, never kills the task), and the http-equiv meta form.
+    WHATWG order pinned: BOM > Content-Type param > meta prescan >
+    utf-8 default.  Map-only Arrow pass; the oracle states the
+    expected (charset, text) per class."""
+    from extractor.operators.charset import decode_pages
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    cls = d % 7
+    hx = (
+        F.when(cls == 0, F.concat(
+            F.lit("EFBBBF"),
+            _hx(F.concat(F.lit("<p>bom café "), ds, F.lit("</p>")))))
+        .when(cls == 1, F.concat(
+            _hx(F.lit('<meta charset="windows-1252"><p>caf')),
+            F.lit("E9"), _hx(F.lit(" ")), F.lit("80"),
+            _hx(F.concat(F.lit(" "), ds, F.lit("</p>")))))
+        .when(cls == 2, F.concat(
+            _hx(F.lit("<p>caf")), F.lit("E9"),
+            _hx(F.concat(F.lit(" "), ds, F.lit("</p>")))))
+        .when(cls == 3, F.concat(
+            _hx(F.lit("<meta charset=shift-jis><p>")),
+            F.lit("82B182F182C982BF82CD"),
+            _hx(F.concat(F.lit(" "), ds, F.lit("</p>")))))
+        .when(cls == 4, _hx(F.concat(F.lit("<p>plain ascii "), ds,
+                                     F.lit("</p>"))))
+        .when(cls == 5, F.concat(
+            _hx(F.lit("<meta charset=utf-8><p>bad")), F.lit("FF"),
+            _hx(F.concat(F.lit(" "), ds, F.lit("</p>")))))
+        .otherwise(F.concat(
+            _hx(F.lit('<meta http-equiv="Content-Type" '
+                      'content="text/html; charset=ISO-8859-1"><p>caf')),
+            F.lit("E9"),
+            _hx(F.concat(F.lit(" "), ds, F.lit("</p>")))))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://c.test/"), ds).alias("url"),
+        F.unhex(hx).alias("html"),
+        F.when(cls == 2, F.lit("text/html; charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html"))
+        .alias("content_type"),
+    )
+    return decode_pages(pages, ctype_col="content_type")

@@ -1249,3 +1249,60 @@ def test_fetch_schedule_slots_and_delays(spark):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_charset_sniff_whatwg_order():
+    """BOM > Content-Type param > meta prescan (first 1024 bytes
+    only) > utf-8 default; labels normalize through the WHATWG alias
+    table; unknown labels and None fall back to utf-8."""
+    from extractor.operators.charset import normalize_charset, sniff_charset
+
+    assert sniff_charset(b'\xef\xbb\xbf<meta charset="shift_jis">') == "utf-8"
+    assert sniff_charset(b"\xff\xfeh\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00h") == "utf-16-be"
+    assert (
+        sniff_charset(b"<meta charset=utf-8>", "text/html; charset=ISO-8859-1")
+        == "cp1252"
+    )
+    assert sniff_charset(b'<META CHARSET="Windows-1252">') == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=shift-jis">'
+        )
+        == "shift_jis"
+    )
+    assert sniff_charset(b"x" * 1100 + b"<meta charset=shift_jis>") == "utf-8"
+    assert sniff_charset(b"<meta charset=klingon-9>") == "utf-8"
+    assert sniff_charset(None) == "utf-8"
+    assert normalize_charset("LATIN-1") == "cp1252"
+    assert normalize_charset("gb2312") == "gbk"
+    assert normalize_charset("bogus") is None
+
+
+def test_charset_decode_replacement_and_bom_strip():
+    from extractor.operators.charset import decode_html
+
+    assert decode_html(b"caf\xe9 \x80", "cp1252") == "café €"
+    assert (
+        decode_html(bytes.fromhex("82b182f182c982bf82cd"), "shift_jis")
+        == "こんにちは"
+    )
+    assert decode_html(b"\xef\xbb\xbfok\xff", "utf-8") == "ok�"
+    assert decode_html(b"\xff\xfeh\x00i\x00", "utf-16-le") == "hi"
+    assert decode_html(None, "utf-8") is None
+    assert decode_html(b"ok", "no-such-codec") == "ok"  # LookupError fallback
+
+
+def test_decode_pages_is_map_only(spark):
+    from extractor.operators.charset import decode_pages
+
+    pages = spark.createDataFrame(
+        [("u1", b"<meta charset=latin-1>caf\xe9", "text/html")],
+        "url string, html binary, content_type string",
+    )
+    df = decode_pages(pages, ctype_col="content_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = df.collect()[0]
+    assert row.charset == "cp1252" and row.text.endswith("café")
