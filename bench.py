@@ -113,6 +113,7 @@ HEADLINE_QUERIES = [
     "recrawl_priority",
     "fetch_schedule",
     "charset_decode",
+    "sitemap_roundtrip",
 ]
 
 

@@ -5205,3 +5205,65 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("content_type"),
     )
     return decode_pages(pages, ctype_col="content_type")
+
+
+@register(
+    "sitemap_roundtrip",
+    """
+    -- Sitemap export + splittable re-ingest: the oracle re-derives
+    -- loc/lastmod/changefreq/priority straight from documents —
+    -- XML-escaping of &-carrying locs, absent optional fields and
+    -- the basis-point priority parse all pinned by the round-trip.
+    SELECT 'https://site' || (doc_id % 13)::VARCHAR
+             || '.test/p?id=' || doc_id::VARCHAR || '&ref=sm' AS loc,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE '2025-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' END
+             AS lastmod,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE (['daily','weekly','monthly'])[(doc_id % 3) + 1] END
+             AS changefreq,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE ((doc_id % 10) * 1000)::BIGINT END AS priority_bp
+    FROM documents
+    """,
+)
+def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-discovery source round-trip (sources.sitemap): documents
+    → ``to_sitemap_records`` (one codegen'd concat per row, loc
+    XML-escaped) → text writer (4 part files) → ``read_sitemap``
+    (block-splittable ``lineSep="<url>"`` scan — sitemaps are
+    routinely single-line XML, so a newline split would pin one task
+    per file; expression-only field parse).  Locs carry a raw ``&``
+    so the escape/unescape path is load-bearing; lastmod/changefreq/
+    priority go absent on planted classes; priority round-trips
+    through the protocol's decimal form into integer basis points."""
+    from extractor.sources.sitemap import read_sitemap, to_sitemap_records
+
+    import tempfile
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    src = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://site"), (d % 13).cast("string"),
+            F.lit(".test/p?id="), ds, F.lit("&ref=sm"),
+        ).alias("loc"),
+        F.when(d % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("2025-0"), ((d % 9) + 1).cast("string"),
+                            F.lit("-01")))
+        .alias("lastmod"),
+        F.when(d % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                ((d % 3) + 1).cast("int"),
+            )
+        )
+        .alias("changefreq"),
+        F.when(d % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(((d % 10) * 1000).cast("long"))
+        .alias("priority_bp"),
+    )
+    out = tempfile.mkdtemp(prefix="sitemap_rt_") + "/sm"
+    to_sitemap_records(src.repartition(4)).write.mode("overwrite").text(out)
+    return read_sitemap(spark, out)

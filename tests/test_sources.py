@@ -373,3 +373,96 @@ def test_warc_location_roundtrip_feeds_redirect_resolution(spark, tmp_path):
         "https://h.test/a": ("https://h.test/c", 2, True),
         "https://h.test/b": ("https://h.test/c", 1, True),
     }
+
+
+# --- sitemap source ---------------------------------------------------------
+
+
+def test_sitemap_parse_fields_and_escapes(spark, tmp_path):
+    """Single-line sitemap XML (the real-world shape) parses per
+    <url> record: XML-escaped locs unescape, whitespace trims,
+    optional fields go NULL, priority parses to exact basis points,
+    the urlset preamble fragment is dropped."""
+    from extractor.sources.sitemap import read_sitemap
+
+    (tmp_path / "sitemap.xml").write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.test/p?x=1&amp;y=2</loc>"
+        "<lastmod>2025-06-01</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc> https://a.test/q </loc></url>"
+        "<url><loc>https://a.test/r</loc><priority>1.0</priority></url>"
+        "</urlset>",
+        encoding="utf-8",
+    )
+    rows = {
+        r.loc: (r.lastmod, r.changefreq, r.priority_bp)
+        for r in read_sitemap(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        "https://a.test/p?x=1&y=2": ("2025-06-01", "daily", 8000),
+        "https://a.test/q": (None, None, None),
+        "https://a.test/r": (None, None, 10000),
+    }
+
+
+def test_sitemap_index_and_writer_roundtrip(spark, tmp_path):
+    """Index files list child sitemaps; to_sitemap_records escapes
+    locs and omits absent optional fields, read_sitemap recovers
+    every row."""
+    from extractor.sources.sitemap import (
+        read_sitemap,
+        read_sitemap_index,
+        to_sitemap_records,
+    )
+
+    (tmp_path / "idx.xml").write_text(
+        "<sitemapindex><sitemap><loc>https://a.test/sm1.xml</loc>"
+        "<lastmod>2025-01-02</lastmod></sitemap>"
+        "<sitemap><loc>https://a.test/sm2.xml</loc></sitemap></sitemapindex>",
+        encoding="utf-8",
+    )
+    idx = {
+        r.loc: r.lastmod
+        for r in read_sitemap_index(spark, str(tmp_path)).collect()
+    }
+    assert idx == {
+        "https://a.test/sm1.xml": "2025-01-02",
+        "https://a.test/sm2.xml": None,
+    }
+
+    src = spark.createDataFrame(
+        [
+            ("https://b.test/x?a=1&b=2", "2025-05-05", "weekly", 5000),
+            ("https://b.test/y", None, None, None),
+        ],
+        "loc string, lastmod string, changefreq string, priority_bp long",
+    )
+    out = str(tmp_path / "sm_out")
+    to_sitemap_records(src.repartition(2)).write.text(out)
+    back = {
+        r.loc: (r.lastmod, r.changefreq, r.priority_bp)
+        for r in read_sitemap(spark, out).collect()
+    }
+    assert back == {
+        "https://b.test/x?a=1&b=2": ("2025-05-05", "weekly", 5000),
+        "https://b.test/y": (None, None, None),
+    }
+
+
+def test_sitemap_scan_is_splittable_text_scan(spark, tmp_path):
+    """Same plan bar as WET/WARC: FileScan text (block-splittable
+    lineSep scan), no Python eval in the parse."""
+    from extractor.sources.sitemap import read_sitemap
+
+    (tmp_path / "s.xml").write_text(
+        "<urlset><url><loc>https://a.test/1</loc></url></urlset>",
+        encoding="utf-8",
+    )
+    plan = (
+        read_sitemap(spark, str(tmp_path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan text" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
