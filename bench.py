@@ -114,6 +114,7 @@ HEADLINE_QUERIES = [
     "fetch_schedule",
     "charset_decode",
     "sitemap_roundtrip",
+    "sitemap_frontier",
 ]
 
 

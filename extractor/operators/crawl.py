@@ -262,3 +262,50 @@ def recrawl_priority(
         F.element_at("h", 1)["ts"].alias("first_ts"),
         F.element_at("h", -1)["ts"].alias("last_ts"),
     )
+
+
+def sitemap_frontier(
+    entries: DataFrame,
+    captures: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    ts_col: str = "last_ts",
+) -> DataFrame:
+    """Fetch decisions from sitemap hints vs capture history — the
+    stage that turns a parsed sitemap (sources.sitemap) into frontier
+    rows: ``new`` (listed, never captured), ``stale`` (lastmod after
+    the last capture), ``fresh`` (lastmod at/before it), ``no_hint``
+    (listed without lastmod — recrawl policy decides), ``unlisted``
+    (captured but gone from the sitemap — the site's own removal
+    signal).  ``fetch`` is true for new/stale/no_hint.
+
+    Timestamps compare as ISO-8601 strings (lexicographic == 
+    chronological for YYYY-MM-DD forms; integer-exact across
+    engines).  ONE full-outer equi-join on the URL key — both sides
+    are site-sized tables of (url, short string) rows; no payload
+    bytes move."""
+    e = entries.select(
+        F.col(loc_col).alias("url"), F.col(lastmod_col).alias("_lastmod")
+    )
+    c = captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("_cap_ts")
+    )
+    listed = F.col("_listed")
+    status = (
+        F.when(~listed, F.lit("unlisted"))
+        .when(F.col("_cap_ts").isNull(), F.lit("new"))
+        .when(F.col("_lastmod").isNull(), F.lit("no_hint"))
+        .when(F.col("_lastmod") > F.col("_cap_ts"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        e.withColumn("_listed", F.lit(True))
+        .join(c, "url", "full_outer")
+        .withColumn("_listed", F.coalesce(listed, F.lit(False)))
+        .select(
+            "url",
+            status.alias("status"),
+            status.isin("new", "stale", "no_hint").alias("fetch"),
+        )
+    )

@@ -5267,3 +5267,63 @@ def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sitemap_rt_") + "/sm"
     to_sitemap_records(src.repartition(4)).write.mode("overwrite").text(out)
     return read_sitemap(spark, out)
+
+
+@register(
+    "sitemap_frontier",
+    """
+    -- Fetch-decision classes: every 17th url unlisted (captured but
+    -- absent from the sitemap), every 4th never captured (new),
+    -- every 5th listed without lastmod (no_hint), the rest stale or
+    -- fresh by lastmod vs the fixed 2025-05-01 capture date.
+    WITH sm AS (
+      SELECT 'https://f.test/' || doc_id::VARCHAR AS loc,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE '2025-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' END
+               AS lastmod
+      FROM documents WHERE doc_id % 17 != 0
+    ), caps AS (
+      SELECT 'https://f.test/' || doc_id::VARCHAR AS url,
+             '2025-05-01' AS last_ts
+      FROM documents WHERE doc_id % 4 != 0
+    ), joined AS (
+      SELECT coalesce(sm.loc, caps.url) AS url,
+             sm.loc IS NOT NULL AS listed,
+             sm.lastmod, caps.last_ts
+      FROM sm FULL OUTER JOIN caps ON sm.loc = caps.url
+    ), st AS (
+      SELECT url,
+             CASE WHEN NOT listed THEN 'unlisted'
+                  WHEN last_ts IS NULL THEN 'new'
+                  WHEN lastmod IS NULL THEN 'no_hint'
+                  WHEN lastmod > last_ts THEN 'stale'
+                  ELSE 'fresh' END AS status
+      FROM joined
+    )
+    SELECT url, status, status IN ('new','stale','no_hint') AS fetch
+    FROM st
+    """,
+)
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven fetch decisions (crawl.sitemap_frontier): the
+    parsed sitemap joined full-outer against the capture history —
+    new / stale / fresh / no_hint / unlisted per url, fetch=true for
+    the three classes worth spending budget on.  One equi-join of two
+    site-sized (url, short string) tables; lastmod comparison is
+    lexicographic ISO-8601 (integer-exact across engines)."""
+    from extractor.operators.crawl import sitemap_frontier
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    sm = _docs(spark, sf_dir).filter(d % 17 != 0).select(
+        F.concat(F.lit("https://f.test/"), ds).alias("loc"),
+        F.when(d % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("2025-0"), ((d % 9) + 1).cast("string"),
+                            F.lit("-01")))
+        .alias("lastmod"),
+    )
+    caps = _docs(spark, sf_dir).filter(d % 4 != 0).select(
+        F.concat(F.lit("https://f.test/"), ds).alias("url"),
+        F.lit("2025-05-01").alias("last_ts"),
+    )
+    return sitemap_frontier(sm, caps)

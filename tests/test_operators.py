@@ -1306,3 +1306,30 @@ def test_decode_pages_is_map_only(spark):
     assert "Exchange" not in plan
     row = df.collect()[0]
     assert row.charset == "cp1252" and row.text.endswith("café")
+
+
+def test_sitemap_frontier_decisions(spark):
+    """All five fetch-decision classes through one full-outer join:
+    new / stale / fresh / no_hint / unlisted, fetch true only for the
+    three classes worth budget."""
+    from extractor.operators.crawl import sitemap_frontier
+
+    sm = spark.createDataFrame(
+        [("u_new", "2025-06-01"), ("u_stale", "2025-06-01"),
+         ("u_fresh", "2025-04-01"), ("u_nohint", None)],
+        "loc string, lastmod string",
+    )
+    caps = spark.createDataFrame(
+        [("u_stale", "2025-05-01"), ("u_fresh", "2025-05-01"),
+         ("u_nohint", "2025-05-01"), ("u_gone", "2025-05-01")],
+        "url string, last_ts string",
+    )
+    got = {
+        r.url: (r.status, r.fetch)
+        for r in sitemap_frontier(sm, caps).collect()
+    }
+    assert got == {
+        "u_new": ("new", True), "u_stale": ("stale", True),
+        "u_fresh": ("fresh", False), "u_nohint": ("no_hint", True),
+        "u_gone": ("unlisted", False),
+    }
