@@ -144,3 +144,27 @@ def decode_pages(
     return pages.select(*cols).mapInPandas(
         fn, schema="url string, charset string, text string"
     )
+
+
+def normalize_pages_encoding(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pages-table pass that re-encodes every payload as clean UTF-8
+    (sniff → decode → encode), schema-preserving — the opt-in stage
+    in front of ``run_extraction`` for corpora that carry legacy
+    encodings (the pipeline itself decodes UTF-8-with-replacement;
+    after this pass that decode is exact).  UTF-8 inputs round-trip
+    byte-identical except BOM strip and U+FFFD for invalid bytes.
+    One Arrow-batched map-only pass, no shuffle."""
+    schema = pages.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[html_col] = [
+                None
+                if b is None
+                else decode_html(b, sniff_charset(b)).encode("utf-8")
+                for b in pdf[html_col]
+            ]
+            yield out
+
+    return pages.mapInPandas(fn, schema=schema)

@@ -74,6 +74,11 @@ def main() -> int:
                          "catalog via writeTo().append()")
     ap.add_argument("--iceberg-table", default=None,
                     help="catalog.db.table for --writer-backend iceberg")
+    ap.add_argument("--sniff-charset", action="store_true",
+                    help="re-encode payloads as clean UTF-8 before "
+                         "extraction (WHATWG sniff: BOM > Content-Type "
+                         "> meta prescan; operators.charset) — for "
+                         "corpora carrying legacy encodings")
     ap.add_argument("--gopher-filter", action="store_true",
                     help="drop successfully-extracted html docs that fail "
                          "the Gopher quality rules (textstats.gopher_rules) "
@@ -136,6 +141,11 @@ def main() -> int:
                 "no Iceberg catalog configured on this session "
                 "(spark.sql.catalog.<name>); aborting before extraction"
             )
+
+    if args.sniff_charset:
+        from extractor.operators.charset import normalize_pages_encoding
+
+        pages = normalize_pages_encoding(pages)
 
     if args.resume:
         pages = resume_filter(pages, args.output)

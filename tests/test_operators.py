@@ -1333,3 +1333,43 @@ def test_sitemap_frontier_decisions(spark):
         "u_fresh": ("fresh", False), "u_nohint": ("no_hint", True),
         "u_gone": ("unlisted", False),
     }
+
+
+def test_normalize_pages_encoding_end_to_end(spark):
+    """A windows-1252 page (meta-declared) extracts its accented
+    content correctly once normalize_pages_encoding runs in front of
+    run_extraction; a clean UTF-8 page round-trips byte-identical
+    (minus nothing — no BOM, no invalid bytes); schema is preserved."""
+    import datetime as dt
+
+    from extractor.config import ExtractConfig
+    from extractor.operators.charset import normalize_pages_encoding
+    from extractor.pipeline import run_extraction
+
+    cp1252_html = (
+        b'<html><head><meta charset="windows-1252"><title>T</title></head>'
+        b"<body><p>Le caf\xe9 co\xfbte 3 \x80 ce soir, et la discussion "
+        b"continue longuement pour remplir le paragraphe.</p></body></html>"
+    )
+    utf8_html = (
+        "<html><body><p>Plain utf-8 paragraph with enough words to be "
+        "kept by the density heuristics of the extractor.</p></body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [
+            ("https://cp.test/a.html", dt.datetime(2025, 6, 1), cp1252_html,
+             None, None),
+            ("https://u8.test/b.html", dt.datetime(2025, 6, 1), utf8_html,
+             None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    fixed = normalize_pages_encoding(pages)
+    assert fixed.schema == pages.schema
+    raw = {r.url: bytes(r.html) for r in fixed.collect()}
+    assert raw["https://u8.test/b.html"] == utf8_html  # utf-8 untouched
+    assert "café coûte 3 €".encode() in raw["https://cp.test/a.html"]
+
+    out = {r.url: r for r in run_extraction(spark, fixed, ExtractConfig()).collect()}
+    assert out["https://cp.test/a.html"].success
+    assert "Le café coûte 3 €" in out["https://cp.test/a.html"].text
