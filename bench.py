@@ -115,6 +115,7 @@ HEADLINE_QUERIES = [
     "charset_decode",
     "sitemap_roundtrip",
     "sitemap_frontier",
+    "warc_integrity",
 ]
 
 

@@ -5327,3 +5327,72 @@ def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2025-05-01").alias("last_ts"),
     )
     return sitemap_frontier(sm, caps)
+
+
+@register(
+    "warc_integrity",
+    """
+    -- The separator-framing trade, MEASURED: bodies that genuinely
+    -- end in CR/LF (every 6th doc gets a planted '\\n\\n' tail; every
+    -- 15th a '\\r\\n') lose exactly those trailing bytes through the
+    -- splittable reader; everything else round-trips intact.  The
+    -- oracle derives declared/actual/lost from documents directly.
+    WITH bodies AS (
+      SELECT 'https://i.test/' || doc_id::VARCHAR AS url,
+             text || CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10)
+                          WHEN doc_id % 15 = 0 THEN chr(13) || chr(10)
+                          ELSE '' END AS body
+      FROM documents
+    )
+    SELECT url,
+           strlen(body)::BIGINT AS declared_length,
+           strlen(rtrim(body, chr(13) || chr(10)))::BIGINT
+             AS actual_length,
+           (strlen(body) - strlen(rtrim(body, chr(13) || chr(10))))::BIGINT
+             AS lost_bytes,
+           strlen(body) = strlen(rtrim(body, chr(13) || chr(10)))
+             AS intact
+    FROM bodies
+    """,
+)
+def q_warc_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framing-integrity audit over a raw-WARC round-trip: the reader
+    now surfaces the WARC header's declared Content-Length, so the
+    documented separator-framing trade (all trailing CR/LF stripped,
+    because the record trailer is indistinguishable from body bytes)
+    is a MEASURED per-record quantity — (declared, actual,
+    lost_bytes, intact) per url — instead of a docstring promise.  An
+    operator team alerts on lost_bytes exceeding the trailer size or
+    intact-rate drops (both would mean real corruption, not framing).
+
+    Map-only after the splittable scan: two length expressions and a
+    comparison, no shuffle."""
+    import tempfile
+
+    from extractor.sources.warc import read_warc, to_warc_records
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://i.test/"), ds).alias("url"),
+        F.lit("2025-06-02T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.lit("\n\n"))
+            .when(d % 15 == 0, F.lit("\r\n"))
+            .otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_integ_") + "/segments"
+    to_warc_records(docs.repartition(4)).write.mode("overwrite").text(out)
+    back = read_warc(spark, out)
+    actual = F.octet_length("html")
+    return back.select(
+        "url",
+        F.col("declared_length"),
+        actual.cast("long").alias("actual_length"),
+        (F.col("declared_length") - actual).cast("long").alias("lost_bytes"),
+        (F.col("declared_length") == actual).alias("intact"),
+    )

@@ -90,6 +90,14 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
             # 3xx captures carry the redirect target — the edge the
             # redirect-resolution operator follows (crawl.resolve_redirects).
             F.nullif(loc, F.lit("")).alias("location"),
+            # the WARC header's declared byte count — the integrity
+            # signal that makes the separator-framing trade (trailing
+            # CR/LF strip, embedded version lines) measurable instead
+            # of silent (see warc_integrity).
+            F.nullif(
+                F.regexp_extract(warc_hdr, r"Content-Length:\s*(\d+)", 1),
+                F.lit(""),
+            ).cast("long").alias("declared_length"),
             body.alias("html"),
         )
         .filter((F.col("warc_type") == "response") & (F.col("url") != ""))

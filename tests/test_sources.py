@@ -466,3 +466,30 @@ def test_sitemap_scan_is_splittable_text_scan(spark, tmp_path):
     )
     assert "FileScan text" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_declared_length_surfaces_framing_loss(spark, tmp_path):
+    """The reader surfaces the WARC header's Content-Length; a body
+    with a genuine trailing CRLF loses exactly those bytes to the
+    framing strip (declared > actual), a clean body round-trips
+    intact — the documented trade, measured per record."""
+    src = spark.createDataFrame(
+        [
+            ("https://i.test/clean", "2025-06-03T00:00:01Z", 200,
+             "text/html", "<p>clean body</p>"),
+            ("https://i.test/tail", "2025-06-03T00:00:02Z", 200,
+             "text/html", "<p>ends in newlines</p>\r\n"),
+        ],
+        "url string, warc_date string, http_status int, content_type string,"
+        " html string",
+    )
+    out = str(tmp_path / "w")
+    to_warc_records(src).write.text(out)
+    rows = {
+        r.url: (r.declared_length, len(r.html))
+        for r in read_warc(spark, out).collect()
+    }
+    dec, act = rows["https://i.test/clean"]
+    assert dec == act == len("<p>clean body</p>")
+    dec, act = rows["https://i.test/tail"]
+    assert dec == act + 2  # the framing strip took exactly the CRLF
