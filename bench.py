@@ -116,6 +116,7 @@ HEADLINE_QUERIES = [
     "sitemap_roundtrip",
     "sitemap_frontier",
     "warc_integrity",
+    "host_link_stats",
 ]
 
 

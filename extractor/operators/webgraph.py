@@ -337,3 +337,50 @@ def fetch_schedule(
             ).cast("long").alias("offset_ms"),
         )
     )
+
+
+def host_link_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link-graph hygiene stats: distinct out-degree,
+    distinct in-degree, and reciprocal degree (hosts linked BOTH
+    ways) — the cheap link-farm signal (farms show near-total
+    reciprocity and out-degree far above in-degree) a rank build
+    consults before trusting PageRank mass.  Self-edges are dropped
+    (intra-host links are navigation, not endorsement).  Returns
+    ``(host, out_deg, in_deg, reciprocal_deg)``.
+
+    Scale shape: distinct-edge projection first (multi-edges collapse
+    before anything shuffles wide), then degrees ride ONE groupBy
+    over a (host, is_out) union of the edge list, and reciprocity is
+    one self equi-join of the distinct edge table on the REVERSED
+    composite key — edge-sized, never corpus-sized, AQE-splittable on
+    skewed hubs."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("host"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .unionAll(
+            e.select(F.col("b").alias("host"), F.lit(0).alias("o"),
+                     F.lit(1).alias("i"))
+        )
+        .groupBy("host")
+        .agg(F.sum("o").cast("long").alias("out_deg"),
+             F.sum("i").cast("long").alias("in_deg"))
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = (
+        e.join(rev, ["a", "b"])
+        .groupBy(F.col("a").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("reciprocal_deg"))
+    )
+    return deg.join(recip, "host", "left").select(
+        "host", "out_deg", "in_deg",
+        F.coalesce(F.col("reciprocal_deg"), F.lit(0)).cast("long")
+        .alias("reciprocal_deg"),
+    )

@@ -5396,3 +5396,52 @@ def q_warc_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("declared_length") - actual).cast("long").alias("lost_bytes"),
         (F.col("declared_length") == actual).alias("intact"),
     )
+
+
+@register(
+    "host_link_stats",
+    """
+    -- Degree/reciprocity over a deterministic 41-host functional
+    -- graph with planted multi-edges (they must collapse) and
+    -- self-edges (they must drop).
+    WITH raw AS (
+      SELECT 'h' || (doc_id % 41)::VARCHAR AS a,
+             'h' || ((doc_id * 7 + doc_id // 41) % 41)::VARCHAR AS b
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT a, b FROM raw WHERE a != b
+    ), deg AS (
+      SELECT host, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg
+      FROM (
+        SELECT a AS host, 1 AS o, 0 AS i FROM e
+        UNION ALL
+        SELECT b AS host, 0 AS o, 1 AS i FROM e
+      ) GROUP BY host
+    ), recip AS (
+      SELECT e.a AS host, count(*)::BIGINT AS reciprocal_deg
+      FROM e JOIN e r ON e.a = r.b AND e.b = r.a
+      GROUP BY e.a
+    )
+    SELECT deg.host, deg.out_deg, deg.in_deg,
+           coalesce(recip.reciprocal_deg, 0)::BIGINT AS reciprocal_deg
+    FROM deg LEFT JOIN recip ON deg.host = recip.host
+    """,
+)
+def q_host_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph hygiene per host (webgraph.host_link_stats):
+    distinct out/in degree and reciprocal degree — the link-farm
+    signal (near-total reciprocity, out-degree far above in-degree) a
+    rank build consults before trusting PageRank mass.  Multi-edges
+    collapse via a distinct projection BEFORE anything shuffles wide,
+    self-edges drop, degrees ride one grouped union pass, reciprocity
+    is one self equi-join of the edge table on the reversed key."""
+    from extractor.operators.webgraph import host_link_stats
+
+    d = F.col("doc_id")
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 41).cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("h"), ((d * 7 + F.floor(d / 41)) % 41).cast("string")
+        ).alias("dst_host"),
+    )
+    return host_link_stats(edges)

@@ -1373,3 +1373,22 @@ def test_normalize_pages_encoding_end_to_end(spark):
     out = {r.url: r for r in run_extraction(spark, fixed, ExtractConfig()).collect()}
     assert out["https://cp.test/a.html"].success
     assert "Le café coûte 3 €" in out["https://cp.test/a.html"].text
+
+
+def test_host_link_stats_degrees_and_reciprocity(spark):
+    """Multi-edges collapse, self-edges drop, reciprocity counts
+    both-way host pairs, sink hosts get out_deg 0."""
+    from extractor.operators.webgraph import host_link_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+         ("d", "d")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r.host: (r.out_deg, r.in_deg, r.reciprocal_deg)
+        for r in host_link_stats(edges).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1), "b": (1, 1, 1), "c": (1, 1, 0), "d": (0, 1, 0)
+    }
