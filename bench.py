@@ -117,6 +117,7 @@ HEADLINE_QUERIES = [
     "sitemap_frontier",
     "warc_integrity",
     "host_link_stats",
+    "e2e_crawl_cycle",
 ]
 
 

@@ -5445,3 +5445,120 @@ def q_host_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst_host"),
     )
     return host_link_stats(edges)
+
+
+@register(
+    "e2e_crawl_cycle",
+    """
+    -- The oracle re-derives the WHOLE cycle from doc_id classes:
+    -- listed/captured/lastmod -> fetch decision, /priv robots drop
+    -- on rule-carrying hosts, priority default, per-host top-3 slots
+    -- under each host's Crawl-delay.
+    WITH cls AS (
+      SELECT doc_id,
+             doc_id % 13 AS h,
+             'https://site' || (doc_id % 13)::VARCHAR || '.test' AS host,
+             'https://site' || (doc_id % 13)::VARCHAR || '.test'
+               || (CASE WHEN doc_id % 10 = 0 THEN '/priv/' ELSE '/p/' END)
+               || doc_id::VARCHAR AS url,
+             doc_id % 17 != 0 AS listed,
+             doc_id % 4 != 0 AS captured,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE '2025-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' END
+               AS lastmod,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE ((doc_id % 10) * 1000)::BIGINT END AS priority_bp
+      FROM documents
+    ), fetchable AS (
+      SELECT *, coalesce(priority_bp, 5000) AS score FROM cls
+      WHERE listed AND (NOT captured OR lastmod IS NULL
+                        OR lastmod > '2025-05-01')
+    ), kept AS (
+      -- robots: hosts with h % 5 != 0 carry a Disallow /priv rule
+      SELECT * FROM fetchable
+      WHERE NOT (h % 5 != 0 AND doc_id % 10 = 0)
+    ), ranked AS (
+      SELECT host, url, score,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY score DESC, url) - 1 AS slot,
+             CASE WHEN h % 4 != 0 THEN 1000 * (h % 3 + 1)
+                  ELSE 1000 END AS delay
+      FROM kept
+    )
+    SELECT host, url, CAST(score AS BIGINT) AS score,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(slot * delay AS BIGINT) AS offset_ms
+    FROM ranked WHERE slot < 3
+    """,
+)
+def q_e2e_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl cycle, every stage the engine's own operator:
+    sitemap EXPORT + splittable re-ingest (sources.sitemap round-trip
+    through real files) → fetch decisions vs the capture history
+    (crawl.sitemap_frontier) → robots Disallow gate
+    (webgraph.robots_frontier_filter, /priv rules on rule-carrying
+    hosts) → politeness slots under per-host Crawl-delay
+    (webgraph.fetch_schedule, top-3 per host).  One registry row per
+    scheduled fetch; the oracle re-derives the whole cycle from
+    doc_id classes, so a regression in ANY stage — XML framing,
+    decision logic, prefix gate, ranking, delay math — flips rows."""
+    import tempfile
+
+    from extractor.operators.crawl import sitemap_frontier
+    from extractor.operators.webgraph import (
+        fetch_schedule,
+        robots_frontier_filter,
+    )
+    from extractor.sources.sitemap import read_sitemap, to_sitemap_records
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = d % 13
+    url = F.concat(
+        F.lit("https://site"), h.cast("string"), F.lit(".test"),
+        F.when(d % 10 == 0, F.lit("/priv/")).otherwise(F.lit("/p/")), ds,
+    )
+    docs = _docs(spark, sf_dir)
+    # 1. sitemap export + re-ingest (real files)
+    sm_src = docs.filter(d % 17 != 0).select(
+        url.alias("loc"),
+        F.when(d % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("2025-0"), ((d % 9) + 1).cast("string"),
+                            F.lit("-01")))
+        .alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.when(d % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(((d % 10) * 1000).cast("long"))
+        .alias("priority_bp"),
+    )
+    out = tempfile.mkdtemp(prefix="crawl_cycle_") + "/sm"
+    to_sitemap_records(sm_src.repartition(4)).write.mode("overwrite").text(out)
+    entries = read_sitemap(spark, out)
+    # 2. fetch decisions vs capture history
+    caps = docs.filter(d % 4 != 0).select(
+        url.alias("url"), F.lit("2025-05-01").alias("last_ts")
+    )
+    decisions = sitemap_frontier(entries, caps).filter(F.col("fetch"))
+    frontier = decisions.join(
+        entries.select(F.col("loc").alias("url"), "priority_bp"), "url"
+    ).select("url", F.coalesce(F.col("priority_bp"), F.lit(5000)).alias("score"))
+    # 3. robots gate: rule-carrying hosts disallow /priv
+    hosts = spark.range(13).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"),
+        F.col("id").alias("hid"),
+    )
+    rules = hosts.filter(F.col("hid") % 5 != 0).select(
+        "host", F.lit("/priv").alias("path_prefix")
+    )
+    kept = robots_frontier_filter(frontier, rules).join(frontier, "url")
+    # 4. politeness slots under per-host Crawl-delay
+    delays = hosts.filter(F.col("hid") % 4 != 0).select(
+        F.concat(F.lit("https://"), F.col("host")).alias("host"),
+        (1000 * (F.col("hid") % 3 + 1)).cast("long").alias("crawl_delay_ms"),
+    )
+    sched_in = kept.select(
+        F.concat(F.lit("https://"), F.col("host")).alias("host"),
+        "url", "score",
+    )
+    return fetch_schedule(sched_in, delays, k_per_host=3)

@@ -136,3 +136,20 @@ def to_sitemap_records(
             F.lit("</url>"),
         ).alias("value")
     )
+
+
+def read_sitemap_stream(
+    spark: SparkSession, path: str, max_files: int = 4
+) -> DataFrame:
+    """Streaming twin of :func:`read_sitemap`: a drop-directory of
+    sitemap files consumed as they land (file-source stream, same
+    ``lineSep`` record split, same :func:`parse_sitemap_records`
+    expressions — stream==batch by construction).  Checkpointed file
+    tracking gives exactly-once processing; the frontier-decision
+    join (crawl.sitemap_frontier) runs on each micro-batch."""
+    raw = (
+        spark.readStream.option("lineSep", URL_SEP)
+        .option("maxFilesPerTrigger", max_files)
+        .text(path)
+    )
+    return parse_sitemap_records(raw)

@@ -493,3 +493,40 @@ def test_warc_declared_length_surfaces_framing_loss(spark, tmp_path):
     assert dec == act == len("<p>clean body</p>")
     dec, act = rows["https://i.test/tail"]
     assert dec == act + 2  # the framing strip took exactly the CRLF
+
+
+def test_sitemap_stream_equals_batch(spark, tmp_path):
+    """Streaming sitemap ingest emits exactly the batch rows — one
+    parse implementation (parse_sitemap_records)."""
+    from extractor.sources.sitemap import read_sitemap, read_sitemap_stream
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(2):
+        (d / f"sm-{i}.xml").write_text(
+            "<urlset>"
+            + "".join(
+                f"<url><loc>https://s{i}.test/p{j}</loc>"
+                f"<priority>0.{j}</priority></url>"
+                for j in range(3)
+            )
+            + "</urlset>",
+            encoding="utf-8",
+        )
+    q = (
+        read_sitemap_stream(spark, str(d), max_files=1)
+        .writeStream.format("memory")
+        .queryName("sitemap_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r.loc, r.priority_bp)
+        for r in spark.sql("select * from sitemap_stream_t").collect()
+    }
+    brows = {
+        (r.loc, r.priority_bp) for r in read_sitemap(spark, str(d)).collect()
+    }
+    assert srows == brows and len(brows) == 6
