@@ -118,6 +118,8 @@ HEADLINE_QUERIES = [
     "warc_integrity",
     "host_link_stats",
     "e2e_crawl_cycle",
+    # r4 continuation 4
+    "host_trustrank",
 ]
 
 

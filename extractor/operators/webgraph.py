@@ -9,6 +9,10 @@ frontier scoring.  Two operators:
   edge rows, via the same Arrow-batched pure-Python parse as the
   main-content extractor (boilerplate KEPT: nav/footer edges are the
   graph).  Map-only; inherits upstream partitioning, no shuffle.
+* :func:`trustrank_int` — seeded-teleport PageRank (TrustRank,
+  Gyöngyi et al. VLDB 2004): teleport restricted to a curated trusted
+  set, so a link farm the trusted web never vouches for gets zero
+  mass instead of the uniform 15% floor.
 * :func:`pagerank_int` — fixed-iteration PageRank over an edge list,
   in INTEGER arithmetic (rank mass scaled by 10^12, contributions via
   integer division, damping 85/100).  Float PageRank sums doubles in
@@ -281,6 +285,103 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def trustrank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+    dangling: str = "drop",
+) -> DataFrame:
+    """Seeded PageRank (TrustRank, Gyöngyi/Garcia-Molina/Pedersen,
+    VLDB 2004): teleport mass lands ONLY on a curated trusted-seed
+    set, so rank is reachability-weighted trust — link farms that
+    self-endorse but are never linked FROM the trusted web get (near)
+    zero mass, where uniform-teleport PageRank hands every node a 15%
+    floor.  The complement to :func:`host_link_stats`' structural
+    link-farm signals: stats say "this host looks like a farm",
+    TrustRank says "nothing trustworthy vouches for it".
+
+    Same integer arithmetic and Pregel-as-joins shape as
+    :func:`pagerank_int` (one rank join + one dst aggregate per
+    iteration, lineage truncated per round); the differences:
+
+    * rank_0(v) = scale for seeds, 0 otherwise (seed-normalized
+      start);
+    * the per-iteration base term (15%·scale) is paid to seed nodes
+      only — non-seeds receive exclusively damped in-edge mass;
+    * ``dangling="redistribute"`` returns dangling mass to the SEED
+      set (dm div |seeds|), the personalized-teleport analog of
+      pagerank_int's uniform share.
+
+    ``seeds`` is a one-column DataFrame of trusted node ids (column
+    ``seed_col``); ids absent from the graph are ignored.  Seeds are
+    |trusted-hosts|-sized — small by construction (hand-audited
+    lists), so the flag join broadcasts; the per-iteration plan is
+    otherwise identical to pagerank_int and bucketing edges by src
+    co-locates the only recurring shuffle."""
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute', got {dangling!r}")
+    dedup_e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = dedup_e.groupBy("src").agg(F.sum("w").alias("odeg"))
+    e = dedup_e.join(outdeg, "src").localCheckpoint(eager=True)
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("is_seed", F.lit(True))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(seed_nodes), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = 15 * scale // 100
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
+    if dangling == "redistribute":
+        dangling_nodes = nodes.select("node").join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_seeds = nodes.filter("is_seed").count()
+        if n_seeds == 0:
+            raise ValueError("redistribute needs at least one seed present in the graph")
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.col("is_seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long"),
+    )
+    for _ in range(iterations):
+        contribs = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr("w * (rank div odeg)").alias("c"),
+        )
+        in_mass = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        updated = nodes.join(in_mass, "node", "left")
+        if dangling == "redistribute":
+            share = (
+                ranks.join(dangling_nodes, "node")
+                .agg(F.sum("rank").alias("dm"))
+                .select(F.expr(f"coalesce(dm, 0L) div {n_seeds}").alias("share"))
+            )
+            updated = updated.crossJoin(F.broadcast(share)).withColumn(
+                "s",
+                F.expr("coalesce(s, 0L) + if(is_seed, share, 0L)"),
+            )
+        ranks = updated.select(
+            "node",
+            "is_seed",
+            (seed_base + F.expr("85 * coalesce(s, 0L) div 100")).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
 
 
 def fetch_schedule(

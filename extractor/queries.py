@@ -2614,6 +2614,109 @@ def q_frontier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_scores(urls, ranks)
 
 
+# Seeded-teleport iteration: base term paid to seed rows only; the
+# in-mass leg is identical to _PAGERANK_ITER_SQL.
+_TRUSTRANK_ITER_SQL = """
+    i{K} AS (
+      SELECT n.node, n.is_seed,
+             CAST((CASE WHEN n.is_seed THEN 150000000000 ELSE 0 END) +
+                  (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.odeg) AS s
+        FROM edges e
+        JOIN i{PREV} r ON r.node = e.src
+        JOIN odeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+    )
+"""
+
+
+@register(
+    "host_trustrank",
+    f"""
+    -- trusted ring: every doc's host links to host+1 and host+3 (mod
+    -- 7); spam triangle: every 5th doc's s-host endorses the next
+    -- s-host AND links out to the trusted web — but nothing trusted
+    -- ever links to a spam host, so seeded teleport starves the farm
+    WITH hosts AS (
+      SELECT doc_id, 'h' || (doc_id % 7) || '.example-42.test' AS shost
+      FROM documents
+    ),
+    edges AS (
+      SELECT shost AS src,
+             'h' || ((doc_id + 1) % 7) || '.example-42.test' AS dst
+      FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 3) % 7) || '.example-42.test'
+      FROM hosts
+      UNION ALL
+      SELECT 's' || (doc_id % 3) || '.spam-42.test',
+             's' || ((doc_id + 1) % 3) || '.spam-42.test'
+      FROM hosts WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 's' || (doc_id % 3) || '.spam-42.test',
+             'h' || (doc_id % 7) || '.example-42.test'
+      FROM hosts WHERE doc_id % 5 = 0
+    ),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT node,
+             node IN ('h0.example-42.test', 'h3.example-42.test') AS is_seed
+      FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ),
+    i0 AS (
+      SELECT node, is_seed,
+             CAST(CASE WHEN is_seed THEN 1000000000000 ELSE 0 END AS BIGINT)
+               AS rank
+      FROM nodes
+    ),
+    {_TRUSTRANK_ITER_SQL.format(K=1, PREV=0)},
+    {_TRUSTRANK_ITER_SQL.format(K=2, PREV=1)},
+    {_TRUSTRANK_ITER_SQL.format(K=3, PREV=2)}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded PageRank over the host graph
+    (operators.webgraph.trustrank_int) — teleport mass restricted to
+    two hand-picked trusted hosts, the Gyöngyi et al. 2004 link-spam
+    demotion signal.  The fixture plants a spam triangle that
+    self-endorses and links OUT to the trusted ring but is never
+    linked from it: under uniform-teleport PageRank every spam host
+    collects the 15% floor, under TrustRank their rank is exactly 0
+    (nothing trustworthy vouches for them), which is the number a
+    mixture builder can threshold on.  The oracle unrolls the same
+    three seeded iterations; integer arithmetic keeps both engines
+    bit-identical."""
+    from extractor.operators.webgraph import trustrank_int
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def h(j: int):
+        return F.concat(
+            F.lit("h"), ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit(".example-42.test"),
+        )
+
+    def s(j: int):
+        return F.concat(
+            F.lit("s"), ((F.col("doc_id") + j) % 3).cast("string"),
+            F.lit(".spam-42.test"),
+        )
+
+    trusted = docs.select(
+        h(0).alias("src"), F.explode(F.array(h(1), h(3))).alias("dst")
+    )
+    spam = docs.filter(F.col("doc_id") % 5 == 0).select(
+        s(0).alias("src"), F.explode(F.array(s(1), h(0))).alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [("h0.example-42.test",), ("h3.example-42.test",)], "node string"
+    )
+    return trustrank_int(trusted.unionAll(spam), seeds, iterations=3)
+
+
 @register(
     "robots_filter",
     """

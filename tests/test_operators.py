@@ -630,6 +630,77 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_trustrank_seeded_teleport(spark):
+    """Three invariants of the seeded variant: (1) a component never
+    linked FROM the seed-reachable web gets rank exactly 0 even when
+    it self-endorses and links out (the link-spam demotion property);
+    (2) seeds == all nodes degenerates to pagerank_int exactly, both
+    dangling modes; (3) redistribute returns dangling mass to the
+    seed set and matches a driver-side replay of the integer
+    recurrence."""
+    import pytest
+
+    from extractor.operators.webgraph import PR_SCALE, pagerank_int, trustrank_int
+
+    # trusted: a<->b; spam: x->y, y->x, x->a (out-link to trusted web)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("x", "a")],
+        "src: string, dst: string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    tr = {r["node"]: r["rank"] for r in trustrank_int(edges, seeds, iterations=4).collect()}
+    assert tr["x"] == 0 and tr["y"] == 0
+    assert tr["a"] > 0 and tr["b"] > 0
+    pr = {r["node"]: r["rank"] for r in pagerank_int(edges, iterations=4).collect()}
+    assert pr["x"] > 0  # uniform teleport floors the farm; seeded starves it
+
+    # seeds = every node ⇒ identical to pagerank, both modes
+    all_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("x",), ("y",)], "node string"
+    )
+    for mode in ("drop", "redistribute"):
+        want = {
+            r["node"]: r["rank"]
+            for r in pagerank_int(edges, iterations=3, dangling=mode).collect()
+        }
+        got = {
+            r["node"]: r["rank"]
+            for r in trustrank_int(
+                edges, all_nodes, iterations=3, dangling=mode
+            ).collect()
+        }
+        assert got == want
+
+    # redistribute-to-seeds: star a->b, a->c with seed {a}; replay the
+    # exact integer recurrence driver-side
+    star = spark.createDataFrame([("a", "b"), ("a", "c")], "src: string, dst: string")
+    seed_a = spark.createDataFrame([("a",)], "node string")
+    rd = {
+        r["node"]: r["rank"]
+        for r in trustrank_int(star, seed_a, iterations=3, dangling="redistribute").collect()
+    }
+    scale = PR_SCALE
+    base = 15 * scale // 100
+    ranks = {"a": scale, "b": 0, "c": 0}
+    for _ in range(3):
+        share = ranks["b"] + ranks["c"]  # dm div |seeds|=1
+        contrib_a = ranks["a"] // 2
+        ranks = {
+            "a": base + 85 * share // 100,
+            "b": 85 * contrib_a // 100,
+            "c": 85 * contrib_a // 100,
+        }
+    assert rd == ranks
+
+    with pytest.raises(ValueError):
+        trustrank_int(star, seed_a, dangling="bogus")
+    # redistribute with no seed present in the graph is an error, not
+    # silent mass loss
+    ghost = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError):
+        trustrank_int(star, ghost, dangling="redistribute")
+
+
 def test_host_edges_resolution(spark):
     """Absolute hrefs keep their own host (lowercased); relative hrefs
     resolve against the source page's host."""
