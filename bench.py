@@ -120,6 +120,7 @@ HEADLINE_QUERIES = [
     "e2e_crawl_cycle",
     # r4 continuation 4
     "host_trustrank",
+    "robots_parse",
 ]
 
 

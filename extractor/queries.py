@@ -2718,6 +2718,84 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_parse",
+    """
+    -- the oracle does NOT parse: it re-derives the expected rule rows
+    -- from the fixture's class arithmetic (doc_id % 5), so a parser
+    -- bug in ANY grammar corner (comments, CRLF, key casing,
+    -- exact-beats-star, consecutive-UA grouping, empty Disallow,
+    -- junk lines) flips the diff
+    WITH hosts AS (
+      SELECT doc_id, 'h' || doc_id || '.example-42.test' AS host,
+             doc_id % 5 AS k
+      FROM documents WHERE doc_id < 35
+    ),
+    rules(k, kind, value) AS (VALUES
+      (0, 'disallow', '/private/'),
+      (0, 'disallow', '/tmp/'),
+      (0, 'crawl_delay', '7'),
+      (1, 'disallow', '/only-bot/'),
+      (2, 'disallow', '/shared/'),
+      (4, 'crawl_delay', '0.5'))
+    SELECT h.host, r.kind, r.value
+    FROM hosts h JOIN rules r USING (k)
+    """,
+)
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ingestion (operators.webgraph.parse_robots): raw
+    robots bodies → (host, kind, value) rule rows for agent
+    'graftbot', one expression-only map pass (group scan is an array
+    aggregate over each file's own lines — zero Exchange, plan-
+    asserted in pytest).  The 35-host fixture cycles five grammar
+    classes: (0) star group with comments/CRLF/odd key casing + two
+    Disallows + Crawl-delay; (1) exact-agent group beats a star group
+    (star rules must NOT leak in); (2) consecutive User-agent lines
+    sharing one group; (3) some other agent's group only → no rows;
+    (4) empty Disallow (allow-all) + a colon-less junk line +
+    fractional Crawl-delay."""
+    from extractor.operators.webgraph import parse_robots
+
+    docs = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 35)
+    body = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                "User-agent: *\r\nDISALLOW: /private/ # secret\r\n"
+                "Disallow: /tmp/\r\nCrawl-delay: 7\r\n"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit(
+                "User-agent: graftbot\nDisallow: /only-bot/\n\n"
+                "User-agent: *\nDisallow: /everyone/\n"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit("user-AGENT: foo\nUser-agent: *\nDisallow: /shared/\n"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.lit("User-agent: other\nDisallow: /x/\n"),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: *\nDisallow:\nnoise line without colon\n"
+                "Crawl-delay: 0.5\n"
+            )
+        )
+    )
+    bodies = docs.select(
+        F.concat(
+            F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example-42.test")
+        ).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return parse_robots(bodies, agent="graftbot")
+
+
+@register(
     "robots_filter",
     """
     -- same candidate-url fixture as frontier_score; disallow rules:

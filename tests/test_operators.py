@@ -630,6 +630,55 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_parse_robots_semantics(spark):
+    """Grammar corners the RFC-9309-lite parser must hold: comments,
+    CRLF, case-insensitive keys, exact-agent-beats-star (no union
+    across tiers), consecutive UA lines sharing one group, empty
+    Disallow = allow-all, colon-less junk, orphan rules before any
+    group, NULL bodies — and the whole thing is ONE map pass (no
+    Exchange in the executed plan)."""
+    from extractor.operators.webgraph import (
+        parse_robots,
+        robots_crawl_delays,
+        robots_disallow_rules,
+    )
+
+    rows = [
+        ("a.test", "User-agent: *\r\nDISALLOW: /private/ # secret\r\n"
+                   "Disallow: /tmp/\r\nCrawl-delay: 7\r\n"),
+        ("b.test", "User-agent: graftbot\nDisallow: /only-bot/\n\n"
+                   "User-agent: *\nDisallow: /everyone/\n"),
+        ("c.test", "user-AGENT: foo\nUser-agent: *\nDisallow: /shared/\n"),
+        ("d.test", "User-agent: other\nDisallow: /x/\n"),
+        ("e.test", "User-agent: *\nDisallow:\nnoise line without colon\n"
+                   "Crawl-delay: 0.5\n"),
+        ("f.test", "Disallow: /orphan/\nUser-agent: *\nDisallow: /ok/\n"),
+        ("g.test", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    parsed = parse_robots(df, agent="graftbot")
+    got = sorted(tuple(r) for r in parsed.collect())
+    assert got == [
+        ("a.test", "crawl_delay", "7"),
+        ("a.test", "disallow", "/private/"),
+        ("a.test", "disallow", "/tmp/"),
+        ("b.test", "disallow", "/only-bot/"),
+        ("c.test", "disallow", "/shared/"),
+        ("e.test", "crawl_delay", "0.5"),
+        ("f.test", "disallow", "/ok/"),
+    ]
+    assert sorted(tuple(r) for r in robots_disallow_rules(parsed).collect()) == [
+        ("a.test", "/private/"), ("a.test", "/tmp/"), ("b.test", "/only-bot/"),
+        ("c.test", "/shared/"), ("f.test", "/ok/"),
+    ]
+    # ms conversion, fractional delays, max-wins collapse
+    assert sorted(tuple(r) for r in robots_crawl_delays(parsed).collect()) == [
+        ("a.test", 7000), ("e.test", 500),
+    ]
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_trustrank_seeded_teleport(spark):
     """Three invariants of the seeded variant: (1) a component never
     linked FROM the seed-reachable web gets rank exactly 0 even when
