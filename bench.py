@@ -121,6 +121,7 @@ HEADLINE_QUERIES = [
     # r4 continuation 4
     "host_trustrank",
     "robots_parse",
+    "host_templates",
 ]
 
 

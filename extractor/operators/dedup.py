@@ -979,3 +979,122 @@ def cluster_keep_best(
             "n_members",
         )
     )
+
+
+def host_template_lines(
+    pages: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pages: int = 3,
+    min_frac_bp: int = 6000,
+) -> DataFrame:
+    """Per-host boilerplate-template discovery: lines that repeat on
+    at least ``min_frac_bp``/10000 of a host's pages (hosts with
+    fewer than ``min_pages`` pages are skipped — one page can't
+    witness a template).  This is the HOST-CONDITIONED complement to
+    :func:`paragraph_dedup`: corpus-wide first-occurrence dedup keeps
+    one copy of a nav bar *somewhere*, while the site-template view
+    identifies the nav bar as structure so :func:`strip_template_lines`
+    can remove every copy — the CCNet-adjacent cleaner for
+    DOM-heuristic leakage (cookie banners, footers, share widgets
+    that survive text-density extraction on some site layouts).
+
+    Returns (host, line, n_docs, n_pages, frac_bp).
+
+    Scale shape: split → trim → drop-empty is map-only; a per-page
+    ``array_distinct`` bounds within-page repeats BEFORE the shuffle;
+    the one wide shuffle is the distinct (host, page, line)
+    projection feeding a (host, line) count with map-side partials —
+    line text crosses the wire once, same cost class as
+    paragraph_dedup's chunk pass (at 100 TB, group on (host,
+    xxhash64(line)) and recover a representative with min(line) in
+    the same aggregate if line text dominates the shuffle).  Host
+    page counts are a hosts×1 aggregate; the join strategy is left
+    to Catalyst (broadcast under the threshold, shuffle beyond —
+    millions of hosts on a real crawl)."""
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(id_col).alias("pid"),
+            F.expr(
+                f"array_distinct(filter(transform(split({text_col}, '\\n'),"
+                " l -> trim(l)), l -> l <> ''))"
+            ).alias("_ls"),
+        )
+        .select("host", "pid", F.explode("_ls").alias("line"))
+        .distinct()
+    )
+    counts = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    npages = (
+        pages.select(F.col(host_col).alias("host"), F.col(id_col).alias("pid"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+    return (
+        counts.join(npages, "host")
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (10000 * F.col("n_docs") >= min_frac_bp * F.col("n_pages"))
+        )
+        .select(
+            "host",
+            "line",
+            "n_docs",
+            "n_pages",
+            (10000 * F.col("n_docs") / F.col("n_pages"))
+            .cast("long")
+            .alias("frac_bp"),
+        )
+    )
+
+
+def strip_template_lines(
+    pages: DataFrame,
+    templates: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove a host's template lines from every one of its pages —
+    the apply half of :func:`host_template_lines` (``templates`` is
+    its output, or any (host, line) table).  Line order is preserved;
+    matching is on the TRIMMED line, but surviving lines keep their
+    original bytes.  Returns (host, id, text) with the cleaned text.
+
+    Scale shape: posexplode is map-only; the template join is an
+    anti equi-join on (host, trimmed line) — template tables are
+    hosts×templates-sized, strategy left to Catalyst; reconstruction
+    is the paragraph_dedup array_sort aggregate (a page's own lines,
+    bounded state).  Pages whose every line was template survive
+    with text '' (the quality gate downstream drops them)."""
+    exploded = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "raw"),
+    ).withColumn("line", F.trim("raw"))
+    kept = exploded.join(
+        templates.select(
+            F.col("host").alias("t_host"), F.trim(F.col("line")).alias("t_line")
+        ),
+        (F.col("host") == F.col("t_host")) & (F.col("line") == F.col("t_line")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy("host", "id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "raw"))),
+                lambda s: s["raw"],
+            ),
+            "\n",
+        ).alias("_text")
+    )
+    ids = pages.select(
+        F.col(host_col).alias("host"), F.col(id_col).alias("id")
+    ).distinct()
+    return ids.join(kept_agg, ["host", "id"], "left").select(
+        "host", "id", F.coalesce("_text", F.lit("")).alias("text")
+    )

@@ -2796,6 +2796,69 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_templates",
+    """
+    -- independent re-derivation: build the same planted line rows by
+    -- class arithmetic and run the counting aggregate in SQL
+    WITH pages AS (
+      SELECT doc_id, 'h' || (doc_id % 9) AS host FROM documents
+    ),
+    lines AS (
+      SELECT host, doc_id, 'NAVBAR host ' || host AS line FROM pages
+      UNION ALL
+      SELECT host, doc_id, 'Copyright host ' || host || ' footer' FROM pages
+      UNION ALL
+      SELECT host, doc_id, 'unique content ' || doc_id FROM pages
+      UNION ALL
+      SELECT host, doc_id, 'rare promo line' FROM pages WHERE doc_id % 13 = 0
+    ),
+    counts AS (
+      SELECT host, line, count(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY host, line
+    ),
+    np AS (SELECT host, count(*) AS n_pages FROM pages GROUP BY host)
+    SELECT c.host, c.line, c.n_docs::BIGINT AS n_docs,
+           p.n_pages::BIGINT AS n_pages,
+           (10000 * c.n_docs // p.n_pages)::BIGINT AS frac_bp
+    FROM counts c JOIN np p USING (host)
+    WHERE p.n_pages >= 3 AND 10000 * c.n_docs >= 6000 * p.n_pages
+    """,
+)
+def q_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate-template discovery
+    (operators.dedup.host_template_lines): lines on ≥60% of a host's
+    pages are site structure, not content — the host-conditioned
+    complement to corpus-wide paragraph_dedup, feeding
+    strip_template_lines (the cleaner for cookie banners / footers
+    that survive DOM-heuristic extraction on some layouts).  The
+    9-host fixture plants two universal boiler lines per host, one
+    unique line per page, and a 'rare promo line' on every 13th page
+    (~7.7% — must stay below the 60% bar); within-page duplicate and
+    whitespace-jittered copies collapse before counting (the engine
+    sees '  NAVBAR…  ' + a doubled line; the oracle counts the clean
+    planted rows — trim/array_distinct bugs flip the diff)."""
+    from extractor.operators.dedup import host_template_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"))
+    text = F.concat(
+        # leading/trailing whitespace + a doubled boiler line: the
+        # operator must trim and de-dup within page before counting
+        F.lit("  NAVBAR host "), host, F.lit("  \n"),
+        F.lit("NAVBAR host "), host, F.lit("\n"),
+        F.lit("Copyright host "), host, F.lit(" footer\n"),
+        F.lit("\n"),  # blank line must be ignored
+        F.lit("unique content "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nrare promo line"))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        host.alias("host"), F.col("doc_id"), text.alias("text")
+    )
+    return host_template_lines(pages, min_pages=3, min_frac_bp=6000)
+
+
+@register(
     "robots_filter",
     """
     -- same candidate-url fixture as frontier_score; disallow rules:

@@ -630,6 +630,39 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_strip_template_lines(spark):
+    """The apply half of host-template discovery: template lines
+    vanish from every page of THEIR host only (another host keeps
+    the same text), surviving lines keep original bytes and order,
+    matching is on the trimmed form, and a page that was ALL
+    template survives as '' instead of disappearing."""
+    from extractor.operators.dedup import host_template_lines, strip_template_lines
+
+    pages = spark.createDataFrame(
+        [
+            ("a", 1, "NAV\narticle one\nfooter  \nend 1"),
+            ("a", 2, "  NAV\nsecond piece\nfooter\nend 2"),
+            ("a", 3, "NAV\nthird text\nfooter"),
+            ("a", 4, "NAV\nfooter"),  # all-template page
+            ("b", 9, "NAV\nother host keeps this\nfooter"),
+        ],
+        "host string, doc_id long, text string",
+    )
+    tpl = host_template_lines(pages, min_pages=3, min_frac_bp=9000)
+    assert sorted((r["host"], r["line"]) for r in tpl.collect()) == [
+        ("a", "NAV"), ("a", "footer"),
+    ]
+    out = {
+        (r["host"], r["id"]): r["text"]
+        for r in strip_template_lines(pages, tpl).collect()
+    }
+    assert out[("a", 1)] == "article one\nend 1"
+    assert out[("a", 2)] == "second piece\nend 2"  # trimmed-match, bytes kept
+    assert out[("a", 3)] == "third text"
+    assert out[("a", 4)] == ""  # survives empty, not dropped
+    assert out[("b", 9)] == "NAV\nother host keeps this\nfooter"
+
+
 def test_parse_robots_semantics(spark):
     """Grammar corners the RFC-9309-lite parser must hold: comments,
     CRLF, case-insensitive keys, exact-agent-beats-star (no union
