@@ -122,6 +122,7 @@ HEADLINE_QUERIES = [
     "host_trustrank",
     "robots_parse",
     "host_templates",
+    "retention_cohorts",
 ]
 
 

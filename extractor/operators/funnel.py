@@ -79,3 +79,53 @@ def funnel(
         *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
         steps_col.alias("steps"),
     )
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the bucket of their
+    FIRST event (the cohort), counted in every later bucket they were
+    active in — the lifecycle complement to :func:`funnel`, and the
+    per-crawl-wave analog for corpus work (which ingestion wave a
+    host entered the corpus in vs which waves it still contributes
+    pages to).
+
+    Buckets are integer epoch buckets ``(epoch_day div bucket_days)``
+    — pure arithmetic, no calendar semantics, so every engine agrees
+    exactly (date_trunc('week') already matches Monday-start between
+    Spark and DuckDB, but integer buckets can't drift by locale or
+    week-numbering rules at all).
+
+    Returns ``(cohort_week, week_offset, n_users)``: offset 0 rows
+    are cohort sizes; retention rate at offset k is
+    ``n_users(k) / n_users(0)`` driver-side.
+
+    Scale shape: ONE wide shuffle — the distinct (user, bucket)
+    projection (map-side partial distinct folds each user's events
+    within a bucket before the wire; payload is two longs per active
+    user-bucket, never the event rows).  The per-user min and the
+    activity join both key on user, so the same hash partitioning
+    serves the chain (Exchange reuse, same argument as funnel); the
+    final (cohort, offset) rollup is cohorts×offsets-sized."""
+    wk = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.floor(
+                F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+                / bucket_days
+            ).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

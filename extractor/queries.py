@@ -3728,6 +3728,39 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+@register(
+    "retention_cohorts",
+    """
+    -- integer epoch-week buckets: (epoch_day div 7), no calendar
+    -- week-numbering semantics to drift between engines
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             (ts::DATE - DATE '1970-01-01') // 7 AS week
+      FROM events
+    ),
+    fw AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT f.cohort_week::BIGINT AS cohort_week,
+           (w.week - f.cohort_week)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM wk w JOIN fw f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators.funnel.retention_cohorts): users bucketed by the epoch
+    week of their FIRST event, counted in every later week they were
+    active — the lifecycle view next to the funnel (and the
+    ingestion-wave analog for corpus sources).  One wide shuffle (the
+    distinct (user, week) projection, map-side partial-distinct
+    folded); the per-user min and the activity join share the user
+    hash partitioning."""
+    from extractor.operators.funnel import retention_cohorts
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return retention_cohorts(ev)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 crawl-lifecycle & relevance tier: cross-crawl deltas,
 # latest-wins snapshot resolution, TF-IDF keyterms, inbound

@@ -630,6 +630,48 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_retention_cohorts_naive_equivalence(spark):
+    """Seeded naive replay: the distributed cohort matrix equals a
+    driver-side recompute over the same synthetic events; offset-0
+    rows equal cohort sizes; a user active twice in one bucket counts
+    once."""
+    import datetime as dt
+    import random
+
+    from extractor.operators.funnel import retention_cohorts
+
+    rng = random.Random(7)
+    rows = []
+    for uid in range(40):
+        start = rng.randrange(0, 21)
+        for _ in range(rng.randrange(1, 8)):
+            day = start + rng.randrange(0, 28)
+            rows.append(
+                (uid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=uid % 24))
+            )
+    # duplicate activity inside one bucket must count once
+    rows.append((0, rows[0][1] + dt.timedelta(hours=1)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    # naive replay
+    epoch = dt.date(1970, 1, 1)
+    active: dict[int, set] = {}
+    for uid, ts in rows:
+        active.setdefault(uid, set()).add((ts.date() - epoch).days // 7)
+    want: dict[tuple, int] = {}
+    for uid, weeks in active.items():
+        c = min(weeks)
+        for w in weeks:
+            want[(c, w - c)] = want.get((c, w - c), 0) + 1
+    assert got == want
+    sizes = {c: n for (c, off), n in want.items() if off == 0}
+    assert all(got[(c, 0)] == n for c, n in sizes.items())
+    assert sum(sizes.values()) == len(active)
+
+
 def test_strip_template_lines(spark):
     """The apply half of host-template discovery: template lines
     vanish from every page of THEIR host only (another host keeps
