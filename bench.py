@@ -123,6 +123,8 @@ HEADLINE_QUERIES = [
     "robots_parse",
     "host_templates",
     "retention_cohorts",
+    "host_mirrors",
+    "crawl_novelty",
 ]
 
 

@@ -309,3 +309,106 @@ def sitemap_frontier(
             status.isin("new", "stale", "no_hint").alias("fetch"),
         )
     )
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    max_hosts_per_digest: int = 10,
+    min_containment_bp: int = 9000,
+) -> DataFrame:
+    """Mirror-host detection by shared content digests: host pairs
+    where one side's page set is (near-)contained in the other's —
+    CDNs, www/non-www splits, and wholesale site mirrors that URL
+    canonicalization can't see because the HOSTS differ.  Collapsing
+    mirrors before dedup removes whole duplicate sites in one join
+    instead of page-by-page, and keeps PageRank from double-counting
+    a mirrored site's endorsements.
+
+    Returns ``(host_a, host_b, shared, n_a, n_b, cont_a_bp,
+    cont_b_bp)`` with host_a < host_b; kept when EITHER directional
+    containment ``shared/n_x`` reaches ``min_containment_bp`` (a
+    mirror is usually a subset, so the direction matters — same
+    Broder-containment argument as dedup.ngram_containment_pairs).
+
+    Digests on more than ``max_hosts_per_digest`` hosts are dropped
+    BEFORE the pair join (identical boilerplate pages — parked-domain
+    templates, error pages — appear on thousands of hosts and would
+    cross every one of them with every other; the cap is the same
+    hot-key guard as the shingle index's ``max_df``).  Host sizes are
+    counted over the kept digests, stated in the output columns.
+
+    Scale shape: distinct (host, digest) projection → hot-digest
+    filter (one count per digest, map-side partials) → self equi-join
+    on digest (only co-occurring host pairs materialize, each digest
+    contributes at most C(cap,2) pairs) → one (host_a, host_b) count
+    + two hosts-sized size joins.  Digests are 16-byte keys; page
+    text never moves."""
+    hd = pages.select(
+        F.col(host_col).alias("host"), F.col(digest_col).alias("digest")
+    ).distinct()
+    kept = (
+        hd.join(
+            hd.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("_nh"))
+            .filter(F.col("_nh") <= max_hosts_per_digest)
+            .select("digest"),
+            "digest",
+        )
+    )
+    sizes = kept.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = kept.select(F.col("digest"), F.col("host").alias("host_a"))
+    b = kept.select(F.col("digest"), F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n", "n_b"), "host_b")
+        .withColumn("cont_a_bp", F.expr("(10000 * shared) div n_a"))
+        .withColumn("cont_b_bp", F.expr("(10000 * shared) div n_b"))
+        .filter(
+            (F.col("cont_a_bp") >= min_containment_bp)
+            | (F.col("cont_b_bp") >= min_containment_bp)
+        )
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "cont_a_bp", "cont_b_bp")
+    )
+
+
+def crawl_novelty(
+    captures: DataFrame,
+    crawl_col: str = "crawl_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Per-crawl content novelty — the corpus growth curve: of the
+    distinct content digests each crawl captured, how many had never
+    been seen in ANY earlier crawl.  The number a crawl operator
+    watches to decide whether re-crawling a source still pays (and
+    the denominator behind "the web is running out of new tokens"
+    plots).  Returns ``(crawl_id, n_digests, n_new, novelty_bp)``
+    with ``novelty_bp = 10000·n_new div n_digests``.
+
+    Scale shape: one distinct (digest, crawl) projection, then the
+    digest-first-occurrence min-aggregate (map-side partials) joined
+    back on digest — the same first-occurrence shape as
+    paragraph_dedup, at digest grain; the final per-crawl rollup is
+    crawls-sized.  Digests are 16-byte keys; page bytes never move."""
+    dc = captures.select(
+        F.col(crawl_col).alias("crawl_id"), F.col(digest_col).alias("digest")
+    ).distinct()
+    first = dc.groupBy("digest").agg(F.min("crawl_id").alias("_first"))
+    return (
+        dc.join(first, "digest")
+        .groupBy("crawl_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_digests"),
+            F.sum(
+                F.when(F.col("crawl_id") == F.col("_first"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+        .withColumn("novelty_bp", F.expr("(10000 * n_new) div n_digests"))
+    )

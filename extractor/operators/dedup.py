@@ -1045,9 +1045,10 @@ def host_template_lines(
             "line",
             "n_docs",
             "n_pages",
-            (10000 * F.col("n_docs") / F.col("n_pages"))
-            .cast("long")
-            .alias("frac_bp"),
+            # integer div: bit-exact vs the oracle's `//` (float
+            # division + cast can round a near-integer up before the
+            # truncation)
+            F.expr("(10000 * n_docs) div n_pages").alias("frac_bp"),
         )
     )
 

@@ -3729,6 +3729,129 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_mirrors",
+    """
+    WITH pages AS (
+      SELECT 'h' || (doc_id % 9) AS host, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT 'm' || (doc_id % 9), md5(text) FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT DISTINCT host, md5('BOILER') FROM (
+        SELECT 'h' || (doc_id % 9) AS host FROM documents
+        UNION ALL
+        SELECT 'm' || (doc_id % 9) FROM documents WHERE doc_id % 4 = 0) t
+    ),
+    hd AS (SELECT DISTINCT host, digest FROM pages),
+    kept AS (
+      SELECT * FROM hd WHERE digest IN (
+        SELECT digest FROM hd GROUP BY digest HAVING count(*) <= 10)
+    ),
+    sizes AS (SELECT host, count(*) AS n FROM kept GROUP BY host),
+    sh AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.digest = b.digest AND a.host < b.host
+      GROUP BY 1, 2
+    )
+    SELECT s.host_a, s.host_b, s.shared::BIGINT AS shared,
+           sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+           ((10000 * s.shared) // sa.n)::BIGINT AS cont_a_bp,
+           ((10000 * s.shared) // sb.n)::BIGINT AS cont_b_bp
+    FROM sh s
+    JOIN sizes sa ON sa.host = s.host_a
+    JOIN sizes sb ON sb.host = s.host_b
+    WHERE (10000 * s.shared) // sa.n >= 9000
+       OR (10000 * s.shared) // sb.n >= 9000
+    """,
+)
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators.crawl.host_mirror_pairs):
+    host pairs whose content digests are directionally (near-)
+    contained — CDN/www-split/wholesale mirrors that URL
+    canonicalization can't see.  Fixture: every 4th page of host h_j
+    is mirrored on m_j (so cont(m_j) = 100% exactly, the pair must
+    surface), and one 'BOILER' digest is planted on ALL 18 hosts —
+    above the 10-host hot-digest cap, so it must be excluded before
+    the pair join (without the cap it alone would materialize every
+    host pair).  Cross-host planted text dups stay under the 90%
+    containment bar and must not leak in."""
+    from extractor.operators.crawl import host_mirror_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"))
+    m = F.concat(F.lit("m"), (F.col("doc_id") % 9).cast("string"))
+    primary = docs.select(h.alias("host"), F.md5("text").alias("digest"))
+    mirror = docs.filter(F.col("doc_id") % 4 == 0).select(
+        m.alias("host"), F.md5("text").alias("digest")
+    )
+    boiler = (
+        primary.select("host")
+        .unionAll(mirror.select("host"))
+        .distinct()
+        .withColumn("digest", F.md5(F.lit("BOILER")))
+    )
+    pages = primary.unionAll(mirror).unionAll(boiler)
+    return host_mirror_pairs(
+        pages, max_hosts_per_digest=10, min_containment_bp=9000
+    )
+
+
+@register(
+    "crawl_novelty",
+    """
+    -- 4 crawls: a doc enters at crawl (doc_id % 4) and stays; every
+    -- 3rd doc's content CHANGES each crawl (fresh digest per crawl),
+    -- the rest are static (novel only at their entry crawl)
+    WITH caps AS (
+      SELECT c.crawl,
+             md5(d.text || CASE WHEN d.doc_id % 3 = 0
+                                THEN c.crawl::VARCHAR ELSE '' END) AS digest
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(d.doc_id % 4, 3)) AS crawl) c
+    ),
+    dc AS (SELECT DISTINCT crawl, digest FROM caps),
+    fc AS (SELECT digest, min(crawl) AS first_crawl FROM dc GROUP BY digest)
+    SELECT c.crawl::BIGINT AS crawl_id,
+           count(*)::BIGINT AS n_digests,
+           sum(CASE WHEN f.first_crawl = c.crawl THEN 1 ELSE 0 END)::BIGINT
+             AS n_new,
+           ((10000 * sum(CASE WHEN f.first_crawl = c.crawl THEN 1 ELSE 0 END))
+             // count(*))::BIGINT AS novelty_bp
+    FROM dc c JOIN fc f USING (digest)
+    GROUP BY 1
+    """,
+)
+def q_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl content novelty (operators.crawl.crawl_novelty) —
+    the corpus growth curve: of each crawl's distinct digests, how
+    many no earlier crawl ever saw.  The fixture staggers corpus
+    entry (doc enters at crawl doc_id%4) and plants a
+    changes-every-crawl class (doc_id%3==0), so novelty_bp falls
+    crawl over crawl but never to zero — the real-web shape.  One
+    digest-grain first-occurrence aggregate; page bytes never move."""
+    from extractor.operators.crawl import crawl_novelty
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    caps = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence((F.col("doc_id") % 4).cast("int"), F.lit(3))
+        ).alias("crawl"),
+    ).select(
+        F.col("crawl").cast("long").alias("crawl_id"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.col("crawl").cast("string")
+                ).otherwise(F.lit("")),
+            )
+        ).alias("digest"),
+    )
+    return crawl_novelty(caps)
+
+
+@register(
     "retention_cohorts",
     """
     -- integer epoch-week buckets: (epoch_day div 7), no calendar

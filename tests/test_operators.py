@@ -630,6 +630,59 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_host_mirror_pairs(spark):
+    """Mirror detection corners: a strict-subset mirror surfaces with
+    directional containment 10000 on the subset side; a digest above
+    the hot-host cap is excluded BEFORE the pair join (it would
+    otherwise cross every host with every other); low-overlap pairs
+    stay out; host_a < host_b ordering holds."""
+    from extractor.operators.crawl import host_mirror_pairs
+
+    rows = (
+        # big.test: 4 pages; mir.test mirrors 3 of them
+        [("big.test", f"d{i}") for i in range(4)]
+        + [("mir.test", f"d{i}") for i in range(3)]
+        # one stray shared page with other.test (low overlap)
+        + [("other.test", "d0"), ("other.test", "x1"), ("other.test", "x2")]
+        # hot digest on every host (cap 3 < 4 hosts -> excluded; d0 on
+        # exactly 3 hosts stays)
+        + [(h, "HOT") for h in ("big.test", "mir.test", "other.test", "z.test")]
+        + [("z.test", "z1")]
+    )
+    pages = spark.createDataFrame(rows, "host string, digest string")
+    got = {
+        (r["host_a"], r["host_b"]): (
+            r["shared"], r["n_a"], r["n_b"], r["cont_a_bp"], r["cont_b_bp"]
+        )
+        for r in host_mirror_pairs(
+            pages, max_hosts_per_digest=3, min_containment_bp=9000
+        ).collect()
+    }
+    # only the true mirror pair survives; HOT is excluded from counts
+    assert got == {("big.test", "mir.test"): (3, 4, 3, 7500, 10000)}
+
+
+def test_crawl_novelty_first_occurrence(spark):
+    """Novelty counts digests by first crawl: repeats in later crawls
+    are not new; within-crawl duplicate digests count once; an
+    all-new first crawl scores 10000 bp."""
+    from extractor.operators.crawl import crawl_novelty
+
+    caps = spark.createDataFrame(
+        [
+            (0, "a"), (0, "b"), (0, "b"),   # crawl 0: a, b (dup collapses)
+            (1, "a"), (1, "c"),             # crawl 1: a old, c new
+            (2, "a"), (2, "b"), (2, "c"),   # crawl 2: nothing new
+        ],
+        "crawl_id long, digest string",
+    )
+    got = {
+        r["crawl_id"]: (r["n_digests"], r["n_new"], r["novelty_bp"])
+        for r in crawl_novelty(caps).collect()
+    }
+    assert got == {0: (2, 2, 10000), 1: (2, 1, 5000), 2: (3, 0, 0)}
+
+
 def test_retention_cohorts_naive_equivalence(spark):
     """Seeded naive replay: the distributed cohort matrix equals a
     driver-side recompute over the same synthetic events; offset-0
