@@ -125,6 +125,8 @@ HEADLINE_QUERIES = [
     "retention_cohorts",
     "host_mirrors",
     "crawl_novelty",
+    "template_strip",
+    "e2e_robots_fetch",
 ]
 
 

@@ -2755,6 +2755,13 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional Crawl-delay."""
     from extractor.operators.webgraph import parse_robots
 
+    return parse_robots(_robots_bodies(spark, sf_dir), agent="graftbot")
+
+
+def _robots_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """35-host raw robots.txt fixture shared by robots_parse and
+    e2e_robots_fetch: host class k%5 picks one of five grammar
+    classes (see q_robots_parse)."""
     docs = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 35)
     body = (
         F.when(
@@ -2786,13 +2793,12 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    bodies = docs.select(
+    return docs.select(
         F.concat(
             F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example-42.test")
         ).alias("host"),
         body.alias("robots_txt"),
     )
-    return parse_robots(bodies, agent="graftbot")
 
 
 @register(
@@ -3793,6 +3799,124 @@ def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_mirror_pairs(
         pages, max_hosts_per_digest=10, min_containment_bp=9000
     )
+
+
+@register(
+    "e2e_robots_fetch",
+    """
+    -- raw robots bodies -> parse -> Disallow gate -> Crawl-delay ->
+    -- top-3 fetch slots, re-derived end-to-end from class arithmetic
+    -- (host class k%5 picks the robots grammar; path class doc_id%4
+    -- picks which Disallow it can hit)
+    WITH frontier AS (
+      SELECT doc_id, (doc_id % 35) AS hk,
+             'h' || (doc_id % 35) || '.example-42.test' AS host,
+             'https://h' || (doc_id % 35) || '.example-42.test' ||
+               CASE doc_id % 4 WHEN 0 THEN '/private/'
+                               WHEN 1 THEN '/only-bot/'
+                               WHEN 2 THEN '/shared/' ELSE '/ok/' END
+               || doc_id AS url,
+             (doc_id * 2654435761) % 10000 AS score
+      FROM documents
+    ),
+    allowed AS (
+      SELECT * FROM frontier f
+      WHERE NOT ((f.hk % 5 = 0 AND f.doc_id % 4 = 0)
+              OR (f.hk % 5 = 1 AND f.doc_id % 4 = 1)
+              OR (f.hk % 5 = 2 AND f.doc_id % 4 = 2))
+    ),
+    ranked AS (
+      SELECT host, hk, url, score,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY score DESC, url) - 1 AS slot
+      FROM allowed
+    )
+    SELECT host, url, score::BIGINT AS score, slot::BIGINT AS slot,
+           (slot * CASE hk % 5 WHEN 0 THEN 7000 WHEN 4 THEN 500
+                               ELSE 1000 END)::BIGINT AS offset_ms
+    FROM ranked WHERE slot < 3
+    """,
+)
+def q_e2e_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness tier end-to-end from RAW bytes: the 35-host
+    robots_parse fixture bodies → parse_robots('graftbot') →
+    robots_disallow_rules → robots_frontier_filter over a 500-url
+    frontier (path class doc_id%4 collides with each host class's
+    Disallows by construction) → robots_crawl_delays (7 s / 0.5 s /
+    default hosts all present) → fetch_schedule top-3 slots.  Every
+    stage is the engine's own operator; the oracle re-derives the
+    whole chain from class arithmetic, so a regression in ANY stage
+    (a grammar corner, the exact-beats-star rule, the ms conversion,
+    the slot ranking) flips rows."""
+    from extractor.operators.webgraph import (
+        fetch_schedule,
+        parse_robots,
+        robots_crawl_delays,
+        robots_disallow_rules,
+        robots_frontier_filter,
+    )
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    seg = (
+        F.when(d % 4 == 0, F.lit("/private/"))
+        .when(d % 4 == 1, F.lit("/only-bot/"))
+        .when(d % 4 == 2, F.lit("/shared/"))
+        .otherwise(F.lit("/ok/"))
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 35).cast("string"),
+            F.lit(".example-42.test"), seg, d.cast("string"),
+        ).alias("url"),
+        ((d * 2654435761) % 10000).alias("score"),
+    )
+    parsed = parse_robots(_robots_bodies(spark, sf_dir), agent="graftbot")
+    kept = robots_frontier_filter(frontier, robots_disallow_rules(parsed))
+    scored = kept.join(frontier, "url").select("host", "url", "score")
+    return fetch_schedule(scored, robots_crawl_delays(parsed), k_per_host=3)
+
+
+@register(
+    "template_strip",
+    """
+    -- the apply half: with the fixture's planted templates (NAVBAR +
+    -- Copyright, both >= 60% of every host's pages), the stripped
+    -- text is derivable per doc by pure arithmetic — the leading
+    -- blank survivor line keeps its original (empty) bytes, the rare
+    -- promo line survives because it is NOT a template
+    SELECT 'h' || (doc_id % 9) AS host, doc_id AS id,
+           chr(10) || 'unique content ' || doc_id ||
+           CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'rare promo line'
+                ELSE '' END AS text
+    FROM documents
+    """,
+)
+def q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template removal end-to-end (host_template_lines →
+    strip_template_lines) over the host_templates fixture: both
+    whitespace-jittered NAVBAR copies and the Copyright line vanish
+    from every page (trimmed-form matching), the blank line and the
+    per-page unique/rare lines survive with their ORIGINAL bytes and
+    order.  The oracle re-derives every page's stripped text by
+    class arithmetic — a matching, ordering, or byte-preservation
+    bug in either half flips rows."""
+    from extractor.operators.dedup import host_template_lines, strip_template_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"))
+    text = F.concat(
+        F.lit("  NAVBAR host "), host, F.lit("  \n"),
+        F.lit("NAVBAR host "), host, F.lit("\n"),
+        F.lit("Copyright host "), host, F.lit(" footer\n"),
+        F.lit("\n"),
+        F.lit("unique content "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nrare promo line"))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(host.alias("host"), F.col("doc_id"), text.alias("text"))
+    tpl = host_template_lines(pages, min_pages=3, min_frac_bp=6000)
+    return strip_template_lines(pages, tpl)
 
 
 @register(
