@@ -127,6 +127,7 @@ HEADLINE_QUERIES = [
     "crawl_novelty",
     "template_strip",
     "e2e_robots_fetch",
+    "top_dup_ngrams",
 ]
 
 

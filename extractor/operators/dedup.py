@@ -1099,3 +1099,64 @@ def strip_template_lines(
     return ids.join(kept_agg, ["host", "id"], "left").select(
         "host", "id", F.coalesce("_text", F.lit("")).alias("text")
     )
+
+
+def top_duplicated_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide most-duplicated n-grams — the memorization-risk
+    report (Lee et al. 2022 / Carlini et al. 2022 observe models
+    regurgitate exactly the sequences that repeat most across
+    training documents; this is the list an operator reviews and
+    turns into strip rules or dup_span thresholds).  Counts DOCUMENT
+    frequency (an n-gram repeated inside one doc counts once — that's
+    repetition_stats' job), keeps n-grams on ≥ ``min_docs`` docs, and
+    returns the global top ``k`` as ``(rank, ngram, n_docs)``,
+    ties broken by ngram text so the cut is deterministic.
+
+    Scale shape: sliding n-grams from a MATERIALIZED word array
+    (map-only), per-doc distinct bounds within-doc repeats before the
+    wire, one (ngram) count with map-side partials, then the bounded
+    two-level :func:`~extractor.operators.topk.grouped_topk` with an
+    empty group list — a GLOBAL top-k with per-bucket state ≤ B·k,
+    never a single-reducer ORDER BY over the full n-gram table.  The
+    count shuffle carries n-gram strings once (same cost class as
+    vocab_topk's token shuffle)."""
+    from extractor.operators.topk import grouped_topk_exploded
+
+    w = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size("ws") >= n)
+    grams = (
+        w.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, n), " "),
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    counts = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    ranked = grouped_topk_exploded(
+        counts.select(F.struct((-F.col("n_docs")).alias("neg"), "ngram").alias("key")),
+        [],
+        F.col("key"),
+        k=k,
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("value")["ngram"].alias("ngram"),
+        (-F.col("value")["neg"]).cast("long").alias("n_docs"),
+    )

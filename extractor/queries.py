@@ -3878,6 +3878,59 @@ def q_e2e_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_dup_ngrams",
+    """
+    -- window formulation of the global top-k; the engine runs the
+    -- bounded two-level grouped_topk instead.  Every 7th doc carries
+    -- a planted 9-word tail whose five 5-grams must dominate.
+    WITH w AS (
+      SELECT doc_id,
+             string_split(
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' COMMON tail phrase for the dup report x y'
+                            ELSE '' END, ' ') AS ws
+      FROM documents
+    ),
+    gr AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t
+    ),
+    cnt AS (
+      SELECT g, count(*) AS n_docs FROM gr GROUP BY g HAVING count(*) >= 2
+    ),
+    rk AS (
+      SELECT g, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, g) AS rank
+      FROM cnt
+    )
+    SELECT rank::BIGINT AS rank, g AS ngram, n_docs::BIGINT AS n_docs
+    FROM rk WHERE rank <= 20
+    """,
+)
+def q_top_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-duplicated 5-grams
+    (operators.dedup.top_duplicated_ngrams) — the memorization-risk
+    report an operator turns into strip rules.  Document frequency
+    (per-doc distinct), global top-20 through the bounded two-level
+    top-k (no single-reducer ORDER BY over the n-gram table), ties
+    broken by n-gram text.  A 9-word tail planted on every 7th doc
+    must surface as the five dominant entries."""
+    from extractor.operators.dedup import top_duplicated_ngrams
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" COMMON tail phrase for the dup report x y"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return top_duplicated_ngrams(docs, n=5, k=20, min_docs=2)
+
+
+@register(
     "template_strip",
     """
     -- the apply half: with the fixture's planted templates (NAVBAR +

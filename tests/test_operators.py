@@ -630,6 +630,30 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_top_duplicated_ngrams(spark):
+    """Document frequency, not occurrences: an internally-repeated
+    5-gram counts once per doc; singleton n-grams fall under
+    min_docs; ranks are deterministic (count desc, text asc); short
+    docs (< n words) don't blow up the sequence expression."""
+    from extractor.operators.dedup import top_duplicated_ngrams
+
+    share = "p q r s t"
+    rows = [
+        (1, f"{share} aaa bbb"),
+        (2, f"zzz {share}"),
+        (3, "m m m m m m m m m m"),   # internal repetition only
+        (4, "m m m m m"),             # shares 'm m m m m' with doc 3
+        (5, "too short"),             # < 5 words
+    ]
+    got = [
+        (r["rank"], r["ngram"], r["n_docs"])
+        for r in top_duplicated_ngrams(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=10
+        ).collect()
+    ]
+    assert sorted(got) == [(1, "m m m m m", 2), (2, share, 2)]
+
+
 def test_host_mirror_pairs(spark):
     """Mirror detection corners: a strict-subset mirror surfaces with
     directional containment 10000 on the subset side; a digest above
