@@ -128,6 +128,7 @@ HEADLINE_QUERIES = [
     "template_strip",
     "e2e_robots_fetch",
     "top_dup_ngrams",
+    "anchor_spam",
 ]
 
 

@@ -130,3 +130,69 @@ def anchor_term_topk(
         F.col("value.term").alias("term"),
         (-F.col("value.neg")).cast("long").alias("n"),
     )
+
+
+def anchor_concentration(
+    outlinks: DataFrame,
+    min_anchors: int = 5,
+) -> DataFrame:
+    """Exact-anchor concentration per target host — the anchor-text
+    face of link spam: organic inbound anchors are diverse, while a
+    paid/automated campaign repeats ONE exact phrase, so the share of
+    a host's inbound anchors taken by its single most common exact
+    anchor separates the two (the anchor-side complement to
+    webgraph.host_link_stats' structural signals and trustrank's
+    reachability signal).  Returns ``(dst_host, top_anchor, top_n,
+    total, n_distinct, concentration_bp)`` for hosts with at least
+    ``min_anchors`` inbound anchors.
+
+    Anchor grain is the full trimmed lowercased anchor TEXT (exact
+    phrase, not terms — that's anchor_term_topk's axis).  Plan: the
+    same map-only host resolution as anchor_term_topk, one
+    (host, anchor) count with map-side partials, the k=1 bounded
+    grouped_topk for the argmax (constant reduce state on a host with
+    10^7 distinct anchors), and totals aggregated from the
+    ALREADY-REDUCED count table, not a second pass over the raw
+    edges.  Ties break on anchor text, so the report is
+    deterministic."""
+    from extractor.operators.topk import grouped_topk
+
+    def host_of(col: str):
+        no_scheme = F.expr(f"substring({col}, instr({col}, '://') + 3)")
+        return F.lower(F.substring_index(no_scheme, "/", 1))
+
+    src_host = host_of("url")
+    dst_host = (
+        F.when(F.col("href").contains("://"), host_of("href"))
+        .otherwise(src_host)
+    )
+    anchors = outlinks.select(
+        dst_host.alias("dst_host"),
+        F.trim(F.lower(F.col("anchor_text"))).alias("a"),
+    ).filter(F.col("a") != "")
+    counts = anchors.groupBy("dst_host", "a").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top1 = grouped_topk(
+        counts, ["dst_host"], F.struct((-F.col("n")).alias("neg"), F.col("a")), k=1
+    ).select(
+        "dst_host",
+        F.col("topk")[0]["a"].alias("top_anchor"),
+        (-F.col("topk")[0]["neg"]).cast("long").alias("top_n"),
+    )
+    totals = counts.groupBy("dst_host").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return (
+        top1.join(totals, "dst_host")
+        .filter(F.col("total") >= min_anchors)
+        .select(
+            "dst_host",
+            "top_anchor",
+            "top_n",
+            "total",
+            "n_distinct",
+            F.expr("(10000 * top_n) div total").alias("concentration_bp"),
+        )
+    )

@@ -3878,6 +3878,87 @@ def q_e2e_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anchor_spam",
+    """
+    -- farm hosts receive ONE exact phrase from every page
+    -- (concentration 10000); organic hosts get distinct per-page
+    -- anchors plus a 'home page' repeat from every 3rd page
+    WITH anchors AS (
+      SELECT 'farm' || (doc_id % 5) || '.test' AS dst_host,
+             'buy cheap widgets now' AS a
+      FROM documents
+      UNION ALL
+      SELECT 'org' || (doc_id % 7) || '.test',
+             'article ' || doc_id || ' review'
+      FROM documents
+      UNION ALL
+      SELECT 'org' || (doc_id % 7) || '.test', 'home page'
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    counts AS (
+      SELECT dst_host, a, count(*) AS n FROM anchors GROUP BY dst_host, a
+    ),
+    top1 AS (
+      SELECT dst_host, a AS top_anchor, n AS top_n
+      FROM (SELECT dst_host, a, n,
+                   row_number() OVER (PARTITION BY dst_host
+                                      ORDER BY n DESC, a) AS rk
+            FROM counts)
+      WHERE rk = 1
+    ),
+    totals AS (
+      SELECT dst_host, sum(n) AS total, count(*) AS n_distinct
+      FROM counts GROUP BY dst_host
+    )
+    SELECT t.dst_host, t.top_anchor, t.top_n::BIGINT AS top_n,
+           s.total::BIGINT AS total, s.n_distinct::BIGINT AS n_distinct,
+           ((10000 * t.top_n) // s.total)::BIGINT AS concentration_bp
+    FROM top1 t JOIN totals s USING (dst_host)
+    WHERE s.total >= 5
+    """,
+)
+def q_anchor_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-anchor concentration per target host
+    (operators.relevance.anchor_concentration) — the anchor-text face
+    of link spam: the planted farm hosts collect one exact phrase
+    from every page (concentration_bp = 10000 exactly), the organic
+    hosts' profiles are dominated by distinct per-page anchors with a
+    mild 'home page' repeat (their top anchor, ~33% of pages, but
+    diluted to a low concentration).  k=1 bounded grouped_topk for
+    the per-host argmax; totals come from the already-reduced count
+    table."""
+    from extractor.operators.relevance import anchor_concentration
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    src = F.concat(F.lit("https://src.test/p"), d.cast("string"))
+    farm = docs.select(
+        src.alias("url"),
+        F.lit(0).alias("seq"),
+        F.concat(F.lit("https://farm"), (d % 5).cast("string"), F.lit(".test/x"))
+        .alias("href"),
+        F.lit("buy cheap widgets now").alias("anchor_text"),
+    )
+    organic = docs.select(
+        src.alias("url"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("https://org"), (d % 7).cast("string"), F.lit(".test/a"))
+        .alias("href"),
+        F.concat(F.lit("article "), d.cast("string"), F.lit(" review"))
+        .alias("anchor_text"),
+    )
+    home = docs.filter(d % 3 == 0).select(
+        src.alias("url"),
+        F.lit(2).alias("seq"),
+        F.concat(F.lit("https://org"), (d % 7).cast("string"), F.lit(".test/a"))
+        .alias("href"),
+        F.lit("home page").alias("anchor_text"),
+    )
+    links = farm.unionAll(organic).unionAll(home)
+    return anchor_concentration(links, min_anchors=5)
+
+
+@register(
     "top_dup_ngrams",
     """
     -- window formulation of the global top-k; the engine runs the
