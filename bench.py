@@ -129,6 +129,7 @@ HEADLINE_QUERIES = [
     "e2e_robots_fetch",
     "top_dup_ngrams",
     "anchor_spam",
+    "canonical_map",
 ]
 
 

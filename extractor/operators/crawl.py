@@ -412,3 +412,103 @@ def crawl_novelty(
         )
         .withColumn("novelty_bp", F.expr("(10000 * n_new) div n_digests"))
     )
+
+
+def _canon_of(name: str):
+    """Scheme-preserving URL normalization over the column named
+    ``name``: lowercase scheme+host, strip query and fragment, keep
+    the path's case (paths are case-sensitive)."""
+    return F.expr(
+        f"""
+        lower(substring_index(substring_index(substring_index({name}, '#', 1),
+                                              '?', 1), '://', 1))
+        || '://'
+        || lower(substring_index(substring({name}, instr({name}, '://') + 3),
+                                 '/', 1))
+        || substring(
+             substring_index(substring_index(
+               substring({name}, instr({name}, '://') + 3), '#', 1), '?', 1),
+             length(substring_index(substring({name}, instr({name}, '://') + 3),
+                                    '/', 1)) + 1)
+        """
+    )
+
+
+def canonical_url_map(
+    pages: DataFrame,
+    redirects: DataFrame | None = None,
+    url_col: str = "url",
+    canonical_col: str = "rel_canonical",
+) -> DataFrame:
+    """One url → canonical-url consolidation map from the three
+    signals a crawl actually has, with explicit precedence:
+
+    1. a RESOLVED redirect target (:func:`resolve_redirects` output —
+       the server said "this page lives elsewhere");
+    2. the page's own ``rel=canonical`` (absolute used as-is,
+       relative resolved against the page's scheme+host, empty/NULL
+       ignored — the publisher said it);
+    3. the URL itself.
+
+    The winner is then normalized (lowercase scheme+host, query and
+    fragment stripped — paths keep their case).  Returns
+    ``(url, canonical_url, source)`` with source ∈ {'redirect',
+    'rel_canonical', 'self'}; downstream dedup/PageRank/indexing key
+    on canonical_url instead of treating every variant as a distinct
+    document.
+
+    Scale shape: one left equi-join on the url key against the
+    redirect-sized resolution table (unresolved chains — cycles,
+    over-long — fall through to the next signal, not to NULL);
+    everything else is map-side expressions.  The map itself is a
+    (url, url, enum) projection a 10^12-row corpus materializes in
+    one pass."""
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(canonical_col).alias("_rc"),
+    )
+    if redirects is not None:
+        r = redirects.filter(F.col("resolved")).select(
+            F.col("url"), F.col("final_url").alias("_redir")
+        )
+        p = p.join(r, "url", "left")
+    else:
+        p = p.withColumn("_redir", F.lit(None).cast("string"))
+    page_base = F.substring_index(F.substring_index(F.col("url"), "#", 1), "?", 1)
+    page_scheme = F.lower(F.substring_index(page_base, "://", 1))
+    page_host = F.lower(
+        F.substring_index(
+            F.expr("substring(url, instr(url, '://') + 3)"), "/", 1
+        )
+    )
+    rc_abs = (
+        F.when(F.col("_rc").contains("://"), F.col("_rc"))
+        .otherwise(
+            F.concat(
+                page_scheme,
+                F.lit("://"),
+                page_host,
+                F.when(
+                    F.col("_rc").startswith("/"), F.col("_rc")
+                ).otherwise(F.concat(F.lit("/"), F.col("_rc"))),
+            )
+        )
+    )
+    has_rc = F.col("_rc").isNotNull() & (F.trim(F.col("_rc")) != "")
+    winner = (
+        F.when(F.col("_redir").isNotNull(), F.col("_redir"))
+        .when(has_rc, rc_abs)
+        .otherwise(F.col("url"))
+    )
+    source = (
+        F.when(F.col("_redir").isNotNull(), F.lit("redirect"))
+        .when(has_rc, F.lit("rel_canonical"))
+        .otherwise(F.lit("self"))
+    )
+    return p.select(
+        "url", winner.alias("_w"), source.alias("source")
+    ).select(
+        "url",
+        _canon_of("_w").alias("canonical_url"),
+        "source",
+    )

@@ -3878,6 +3878,83 @@ def q_e2e_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "canonical_map",
+    """
+    -- expected map re-derived per class (doc_id % 6): resolved
+    -- redirect > rel=canonical (absolute normalized / relative
+    -- resolved against the page host) > self; unresolved redirects
+    -- (doc_id % 12 = 0) fall through to self, blank canonicals are
+    -- ignored, the winner is lowercased with query/fragment stripped
+    WITH base AS (
+      SELECT doc_id,
+             'https://Host' || (doc_id % 7) || '.Example.test/p/' || doc_id
+               || '?utm=x' AS url,
+             'https://host' || (doc_id % 7) || '.example.test' AS nhost
+      FROM documents
+    )
+    SELECT url,
+           CASE
+             WHEN doc_id % 6 = 0 AND doc_id % 12 <> 0
+               THEN 'https://final-' || doc_id || '.test/x'
+             WHEN doc_id % 6 = 3
+               THEN 'https://final-' || doc_id || '.test/x'
+             WHEN doc_id % 6 = 1
+               THEN 'https://canon-' || doc_id || '.test/a'
+             WHEN doc_id % 6 = 2
+               THEN nhost || '/canonical/' || doc_id
+             ELSE nhost || '/p/' || doc_id
+           END AS canonical_url,
+           CASE
+             WHEN (doc_id % 6 = 0 AND doc_id % 12 <> 0) OR doc_id % 6 = 3
+               THEN 'redirect'
+             WHEN doc_id % 6 IN (1, 2) THEN 'rel_canonical'
+             ELSE 'self'
+           END AS source
+    FROM base
+    """,
+)
+def q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-identity consolidation (operators.crawl.canonical_url_map):
+    resolved redirects beat the publisher's rel=canonical beat the
+    URL itself, winner normalized — the one map dedup/PageRank/
+    indexing key on instead of treating every variant as a distinct
+    document.  Six fixture classes cover each precedence leg, an
+    UNRESOLVED redirect falling through to self, relative-canonical
+    host resolution, blank-canonical ignoring, and case/query/
+    fragment normalization of every winner."""
+    from extractor.operators.crawl import canonical_url_map
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://Host"), (d % 7).cast("string"),
+        F.lit(".Example.test/p/"), d.cast("string"), F.lit("?utm=x"),
+    )
+    rc = (
+        F.when(
+            d % 6 == 1,
+            F.concat(
+                F.lit("HTTPS://Canon-"), d.cast("string"), F.lit(".TEST/a?q=1#f")
+            ),
+        )
+        .when(d % 6 == 2, F.concat(F.lit("/canonical/"), d.cast("string")))
+        .when(d % 6 == 3, F.lit("/ignored"))
+        .when(d % 6 == 4, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = docs.select(url.alias("url"), rc.alias("rel_canonical"))
+    redirects = docs.filter((d % 6 == 0) | (d % 6 == 3)).select(
+        url.alias("url"),
+        F.concat(
+            F.lit("https://Final-"), d.cast("string"), F.lit(".Test/x?s=1")
+        ).alias("final_url"),
+        F.lit(1).alias("hops"),
+        (d % 12 != 0).alias("resolved"),
+    )
+    return canonical_url_map(pages, redirects)
+
+
+@register(
     "anchor_spam",
     """
     -- farm hosts receive ONE exact phrase from every page

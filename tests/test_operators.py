@@ -630,6 +630,54 @@ def test_pagerank_dangling_modes(spark):
         pagerank_int(edges, dangling="bogus")
 
 
+def test_canonical_url_map_precedence(spark):
+    """Precedence and normalization corners: resolved redirect beats
+    rel=canonical beats self; unresolved redirects fall through;
+    relative canonicals (with and without leading slash) resolve
+    against the page's scheme+host; blank canonicals are ignored;
+    every winner is lowercased with query/fragment stripped while the
+    path keeps its case."""
+    from extractor.operators.crawl import canonical_url_map
+
+    pages = spark.createDataFrame(
+        [
+            ("https://A.Test/P/1?utm=x", None),
+            ("https://a.test/p/2#frag", "HTTPS://Canon.TEST/A?q=1"),
+            ("https://B.test/p/3", "/Canon/3"),
+            ("https://b.test/p/4", "canon/4"),
+            ("https://c.test/p/5", "   "),
+            ("https://d.test/p/6", "/ignored"),
+            ("https://e.test/p/7", None),
+        ],
+        "url string, rel_canonical string",
+    )
+    redirects = spark.createDataFrame(
+        [
+            ("https://d.test/p/6", "https://Final.Test/Land?s=1", 2, True),
+            ("https://e.test/p/7", None, None, False),
+        ],
+        "url string, final_url string, hops int, resolved boolean",
+    )
+    got = {
+        r["url"]: (r["canonical_url"], r["source"])
+        for r in canonical_url_map(pages, redirects).collect()
+    }
+    assert got == {
+        "https://A.Test/P/1?utm=x": ("https://a.test/P/1", "self"),
+        "https://a.test/p/2#frag": ("https://canon.test/A", "rel_canonical"),
+        "https://B.test/p/3": ("https://b.test/Canon/3", "rel_canonical"),
+        "https://b.test/p/4": ("https://b.test/canon/4", "rel_canonical"),
+        "https://c.test/p/5": ("https://c.test/p/5", "self"),
+        "https://d.test/p/6": ("https://final.test/Land", "redirect"),
+        "https://e.test/p/7": ("https://e.test/p/7", "self"),
+    }
+    # no redirect table at all -> pure canonical/self map, same schema
+    no_r = {
+        r["url"]: r["source"] for r in canonical_url_map(pages).collect()
+    }
+    assert no_r["https://d.test/p/6"] == "rel_canonical"
+
+
 def test_top_duplicated_ngrams(spark):
     """Document frequency, not occurrences: an internally-repeated
     5-gram counts once per doc; singleton n-grams fall under
