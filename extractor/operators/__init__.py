@@ -1,19 +1,37 @@
 """First-class training-data-pipeline operators.
 
-* ``dedup``       — exact, MinHash+LSH, SimHash, n-gram Jaccard
-                    (optional stop-shingle cap), embedding-cosine
-                    near-dup (SRP-LSH-blocked scale default),
-                    connected-components cluster resolution,
-                    paragraph-grain dedup with reconstruction,
-                    benchmark n-gram decontamination
+* ``dedup``       — exact, MinHash+LSH, SimHash (+ hamming pairs),
+                    n-gram Jaccard / directional containment,
+                    embedding-cosine near-dup (OR-amplified SRP
+                    bands), connected-components cluster resolution,
+                    quality-aware canonicals, paragraph-grain dedup
+                    with reconstruction, host-template discovery +
+                    strip, duplicated-span coverage, top duplicated
+                    n-grams, benchmark n-gram decontamination
 * ``similarity``  — brute-force cosine top-k, SRP-LSH-bucketed and
-                    IVF approximate top-k
+                    IVF approximate top-k, measured recall
 * ``webgraph``    — outlink edge extraction, fixed-iteration integer
-                    PageRank (bit-identical across partitionings)
+                    PageRank (dangling modes) + seeded TrustRank,
+                    host-graph rollup + link stats, robots.txt
+                    parsing + Disallow gate, frontier scoring,
+                    politeness fetch scheduling
 * ``incremental`` — crawl-batch fuzzy dedup against a committed
                     band-signature index (history never recomputed)
-* ``textstats``   — language-ID, quality scoring, token counting,
-                    document fingerprinting
+* ``crawl``       — cross-crawl delta / latest-wins resolution /
+                    content moves, redirect resolution (pointer
+                    doubling), soft-404 gate, recrawl priority,
+                    sitemap fetch decisions, mirror-host detection,
+                    per-crawl novelty, canonical-URL consolidation
+* ``relevance``   — integer TF-IDF keyterms, inbound anchor-text
+                    profiles, exact-anchor spam concentration
+* ``funnel``      — K-step ordered funnels, retention cohorts
+* ``textstats``   — language-ID, quality scoring (Gopher rules,
+                    unigram surprisal, CCNet terciles), token
+                    counting, document fingerprinting
+* ``metadata``    — head-field extraction (title/canonical/lang/og)
+* ``charset``     — WHATWG charset sniff + per-row decode
+* ``packing``     — shard-parallel sequence packing, deterministic
+                    training shards
 * ``topk``        — bounded per-group top-k (the window-free
                     sample/vocab/sketch building block)
 * ``joins``       — as-of join and time-range join in their
