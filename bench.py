@@ -130,6 +130,7 @@ HEADLINE_QUERIES = [
     "top_dup_ngrams",
     "anchor_spam",
     "canonical_map",
+    "wat_roundtrip",
 ]
 
 

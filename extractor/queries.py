@@ -3878,6 +3878,78 @@ def q_e2e_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wat_roundtrip",
+    """
+    -- (url, date, title, n_links, links_md5) re-derived from
+    -- documents: every 7th title carries JSON-escaped characters,
+    -- every 5th doc has ZERO links (empty array, md5('') not NULL)
+    SELECT 'https://crawl.test/meta/' || doc_id::VARCHAR AS url,
+           '2025-06-03T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z'
+             AS warc_date,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Ti"tle \\ ' || doc_id
+                ELSE 'Title ' || doc_id END AS title,
+           CASE WHEN doc_id % 5 = 0 THEN 0
+                ELSE doc_id % 4 + 1 END::BIGINT AS n_links,
+           md5(CASE WHEN doc_id % 5 = 0 THEN ''
+                ELSE (SELECT string_agg('https://out' || ((doc_id + j) % 50)
+                                        || '.test/l' || j, '|' ORDER BY j)
+                      FROM unnest(generate_series(0, doc_id % 4)) t(j))
+                END) AS links_md5
+    FROM documents
+    """,
+)
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT segment export + re-ingest (sources.wat) — the METADATA
+    face of a crawl archive, completing the Common-Crawl format
+    triple (WARC raw / WET text / WAT links): documents →
+    ``to_wat_records`` (one to_json + concat per row) → Spark text
+    writer → ``read_wat`` (block-splittable lineSep scan, ONE
+    from_json per record).  The oracle derives (url, date, title,
+    n_links, links_md5) straight from documents, so a green row
+    proves the JSON envelope round-trips exactly — titles with
+    quotes/backslashes (every 7th doc) pin the escaping, zero-link
+    docs (every 5th) pin empty-vs-NULL semantics."""
+    import tempfile
+
+    from extractor.sources.wat import read_wat, to_wat_records
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://crawl.test/meta/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("2025-06-03T00:00:"),
+            F.lpad((d % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("warc_date"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit('Ti"tle \\ '), d.cast("string")),
+        ).otherwise(F.concat(F.lit("Title "), d.cast("string"))).alias("title"),
+        F.when(d % 5 == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), (d % 4).cast("int")),
+                lambda j: F.concat(
+                    F.lit("https://out"),
+                    ((d + j) % 50).cast("string"),
+                    F.lit(".test/l"),
+                    j.cast("string"),
+                ),
+            )
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="wat_rt_") + "/segments"
+    to_wat_records(docs.repartition(4)).write.mode("overwrite").text(out)
+    return read_wat(spark, out).select(
+        "url",
+        "warc_date",
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.md5(F.array_join("links", "|")).alias("links_md5"),
+    )
+
+
+@register(
     "canonical_map",
     """
     -- expected map re-derived per class (doc_id % 6): resolved

@@ -530,3 +530,109 @@ def test_sitemap_stream_equals_batch(spark, tmp_path):
         (r.loc, r.priority_bp) for r in read_sitemap(spark, str(d)).collect()
     }
     assert srows == brows and len(brows) == 6
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata records, JSON envelope with head title + outlinks)
+# ---------------------------------------------------------------------------
+
+from extractor.sources.wat import (  # noqa: E402
+    read_wat,
+    read_wat_stream,
+    to_wat_records,
+)
+
+WAT_RECORDS = [
+    ("https://w.example/1", "2025-06-01T00:00:01Z", 'Ti"tle \\ with <escapes>',
+     ["https://x.test/a", "https://y.test/b"]),
+    ("https://w.example/2", "2025-06-01T00:00:02Z", None, []),
+    ("https://w.example/3", "2025-06-01T00:00:03Z", "plain title",
+     ["https://z.test/c"]),
+]
+_WAT_SCHEMA_STR = "url string, warc_date string, title string, links array<string>"
+
+
+def test_wat_spark_writer_roundtrip(spark, tmp_path):
+    """to_wat_records → write.text → read_wat recovers every row
+    exactly — including a title full of JSON-escaped characters, a
+    NULL title, and an empty link list (data, not a parse failure)."""
+    src = spark.createDataFrame(WAT_RECORDS, _WAT_SCHEMA_STR)
+    out = str(tmp_path / "watout")
+    to_wat_records(src.repartition(2)).write.text(out)
+    got = sorted(
+        (r.url, r.warc_date, r.title, list(r.links))
+        for r in read_wat(spark, out).collect()
+    )
+    assert got == sorted(WAT_RECORDS)
+
+
+def test_wat_scan_is_splittable_and_python_free(spark, tmp_path):
+    """Same bar as WET/WARC: FileScan text (block-splittable), no
+    Python eval anywhere — the JSON parse is one from_json."""
+    src = spark.createDataFrame(WAT_RECORDS[:1], _WAT_SCHEMA_STR)
+    out = str(tmp_path / "watplan")
+    to_wat_records(src).write.text(out)
+    plan = read_wat(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wat_skips_warcinfo_and_feeds_graph(spark, tmp_path):
+    """A warcinfo preamble record is dropped; the links column drives
+    the web-graph tier directly (the WAT payoff: pagerank without
+    touching raw HTML)."""
+    from extractor.operators.webgraph import pagerank_int
+
+    src = spark.createDataFrame(WAT_RECORDS, _WAT_SCHEMA_STR)
+    out = tmp_path / "watmix"
+    to_wat_records(src).write.text(str(out))
+    # prepend a warcinfo record to one part file (drop the stale
+    # Hadoop checksum sibling so the local FS re-reads the edit)
+    part = next(p for p in out.iterdir() if p.name.startswith("part-"))
+    part.write_text(
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Filename: seg\r\n\r\n"
+        "software: testgen\r\n\r\n" + part.read_text(encoding="utf-8"),
+        encoding="utf-8",
+    )
+    crc = part.parent / f".{part.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    got = read_wat(spark, str(out))
+    assert got.count() == 3
+    edges = got.select(
+        F.col("url").alias("src"), F.explode("links").alias("dst")
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_int(edges, iterations=1).collect()}
+    # 5 graph nodes: the two source urls with links + their 3 targets
+    # (the link-less url contributes no edge, hence no node)
+    assert ranks["https://x.test/a"] > 0 and len(ranks) == 5
+
+
+def test_wat_stream_equals_batch(spark, tmp_path):
+    """Drop-directory streaming ingest emits exactly the batch rows
+    (shared parse_wat_records expressions)."""
+    d = tmp_path / "drop"
+    src = spark.createDataFrame(WAT_RECORDS, _WAT_SCHEMA_STR)
+    to_wat_records(src.repartition(3)).write.text(str(d))
+    stream = read_wat_stream(spark, str(d), max_files=1)
+    q = (
+        stream.withColumn("links", F.to_json("links"))
+        .writeStream.format("memory")
+        .queryName("wat_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r.url, r.warc_date, r.title, r.links)
+        for r in spark.sql("select * from wat_stream_t").collect()
+    }
+    import json
+
+    brows = {
+        (r.url, r.warc_date, r.title,
+         json.dumps(list(r.links), separators=(",", ":")))
+        for r in read_wat(spark, str(d)).collect()
+    }
+    assert srows == brows and len(brows) == 3
