@@ -356,6 +356,10 @@ def host_mirror_pairs(
             .select("digest"),
             "digest",
         )
+        # referenced by sizes + both sides of the pair join: without
+        # the checkpoint the distinct projection recomputes 4x (same
+        # reuse pattern as duplicated_span_stats' gram table)
+        .localCheckpoint(eager=True)
     )
     sizes = kept.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = kept.select(F.col("digest"), F.col("host").alias("host_a"))
