@@ -131,6 +131,7 @@ HEADLINE_QUERIES = [
     "anchor_spam",
     "canonical_map",
     "wat_roundtrip",
+    "dedup_incremental_exact",
 ]
 
 

@@ -206,3 +206,84 @@ def compact_index(
         target_partitions=target_partitions,
         dedupe_on=["id", "band_idx"],
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    commit: bool = True,
+) -> DataFrame:
+    """Exact-digest membership gate against a committed digest index —
+    the first stage of a production crawl's dedup (cheaper than any
+    fuzzy pass, and at web scale the majority of removals: mirrors,
+    re-crawls of unchanged pages, boilerplate-identical captures).
+    Per new doc: ``(id, digest, status)`` with status
+
+    * ``dup_of_history`` — content md5 already committed by ANY
+      earlier batch (the whole point: history text is never re-read,
+      only its digests);
+    * ``new``            — first occurrence of the digest in this
+      batch and absent from history (the rows worth extracting,
+      indexing, and shipping downstream);
+    * ``dup_in_batch``   — a later in-batch copy of a ``new`` digest
+      (min id wins, deterministically).
+
+    ``commit=True`` appends the batch's NEW digests (digest, id of
+    first occurrence) as one atomic snapshot, checkpointing results
+    first — the same ordering discipline, crash-window statement and
+    ``commit=False`` + :func:`commit_digests` exactly-once two-step
+    as the LSH index (module docstring step 3); the at-least-once
+    repair is ``compact_index``'s pattern with ``dedupe_on=
+    ['digest']``.
+
+    Invariant (pinned by tests): batches B1, B2, … classify exactly
+    as a one-shot first-occurrence dedup over B1 ∪ B2 ∪ … with batch
+    boundaries drawn in — a digest's single ``new`` row is its global
+    min id's row in the earliest batch containing it.
+
+    Scale shape: one map-only digest pass over the batch, one
+    groupBy(digest) min-aggregate (map-side partials), one left
+    equi-join of the batch's DISTINCT digests against the committed
+    index (history never self-joins; on a real deployment the index
+    is bucketed by digest so the probe prunes to touched buckets) —
+    per-crawl cost O(|batch|), independent of corpus size."""
+    spark: SparkSession = new_docs.sparkSession
+    d = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    firsts = d.groupBy("digest").agg(F.min("id").alias("first_id"))
+    if _committed_manifests(index_dir):
+        hist = (
+            read_extracted(spark, index_dir)
+            .select("digest")
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+        firsts = firsts.join(hist, "digest", "left")
+    else:
+        firsts = firsts.withColumn("_hist", F.lit(None).cast("boolean"))
+    firsts = firsts.localCheckpoint(eager=True)  # statuses + commit reuse
+    status = (
+        F.when(F.col("_hist"), F.lit("dup_of_history"))
+        .when(F.col("id") == F.col("first_id"), F.lit("new"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    out = d.join(firsts, "digest").select("id", "digest", status.alias("status"))
+    if commit:
+        out = out.localCheckpoint(eager=True)
+        commit_digests(
+            firsts.filter(F.col("_hist").isNull()).select(
+                "digest", F.col("first_id").alias("id")
+            ),
+            index_dir,
+        )
+    return out
+
+
+def commit_digests(new_digests: DataFrame, index_dir: str) -> str:
+    """Append a batch's first-occurrence digests to the exact index
+    as one atomic snapshot (the exactly-once second step; see
+    :func:`commit_band_rows`)."""
+    return write_snapshot(new_digests, index_dir, key_col="digest")

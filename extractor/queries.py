@@ -3247,6 +3247,80 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_exact",
+    """
+    -- the oracle is the one-shot first-occurrence classification
+    -- with batch boundaries drawn in (batch 1 = doc_id < 250): a
+    -- digest seen in batch 1 makes EVERY batch-2 holder a
+    -- dup_of_history; within a digest's earliest batch the min id is
+    -- 'new' and the rest are dup_in_batch.  Content: every multiple
+    -- of 10 carries the text of its 100-block base, so blocks plant
+    -- both in-batch and cross-batch exact dup families on top of
+    -- whatever duplicate texts the raw table already has.
+    WITH content AS (
+      SELECT d.doc_id,
+             md5(s.text) AS digest,
+             CASE WHEN d.doc_id < 250 THEN 1 ELSE 2 END AS batch
+      FROM documents d
+      JOIN documents s
+        ON s.doc_id = CASE WHEN d.doc_id % 10 = 0
+                           THEN (d.doc_id // 100) * 100
+                           ELSE d.doc_id END
+    ),
+    mins AS (
+      SELECT digest,
+             min(CASE WHEN batch = 1 THEN doc_id END) AS min1,
+             min(CASE WHEN batch = 2 THEN doc_id END) AS min2
+      FROM content GROUP BY digest
+    )
+    SELECT c.doc_id AS id, c.digest,
+           CASE
+             WHEN c.batch = 2 AND m.min1 IS NOT NULL THEN 'dup_of_history'
+             WHEN c.batch = 1 AND c.doc_id = m.min1 THEN 'new'
+             WHEN c.batch = 2 AND c.doc_id = m.min2 THEN 'new'
+             ELSE 'dup_in_batch'
+           END AS status
+    FROM content c JOIN mins m USING (digest)
+    """,
+)
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-digest incremental dedup
+    (operators.incremental.incremental_exact_dedup): the membership
+    gate in FRONT of the fuzzy index — batch 2 classifies against
+    batch 1's committed digest snapshot without re-reading any
+    history text; per-crawl cost O(batch).  Every multiple-of-10 doc
+    carries its 100-block base's text, planting in-batch dup families
+    (300..390 inside batch 2) and cross-batch ones (250..290 → 200,
+    committed by batch 1); the oracle is the one-shot
+    first-occurrence classification with the batch boundary drawn
+    in — the operator's core invariant, driver-checked."""
+    import tempfile
+
+    from extractor.operators.incremental import incremental_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = docs.select(
+        F.col("doc_id").alias("s_id"), F.col("text").alias("s_text")
+    )
+    content = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, (F.col("doc_id") / 100).cast("long") * 100
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("content_src"),
+    ).join(src, F.col("content_src") == F.col("s_id")).select(
+        "doc_id", F.col("s_text").alias("text")
+    )
+    b1 = content.filter(F.col("doc_id") < 250)
+    b2 = content.filter(F.col("doc_id") >= 250)
+    index_dir = tempfile.mkdtemp(prefix="md5_index_")
+    r1 = incremental_exact_dedup(b1, index_dir)
+    r2 = incremental_exact_dedup(b2, index_dir)
+    return r1.unionByName(r2)
+
+
+@register(
     "lsh_index_stats",
     # Band rows are a pure per-doc function, so the two-batch committed
     # index equals the one-shot `banded` CTE over the whole corpus —

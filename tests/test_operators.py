@@ -460,6 +460,50 @@ def test_incremental_lsh_dedup_equals_one_shot(spark, tmp_path):
     assert cross, "expected pairs spanning the batch boundary"
 
 
+def test_incremental_exact_dedup_batched_equals_one_shot(spark, tmp_path):
+    """Three batches through the exact-digest index classify exactly
+    like a one-shot first-occurrence pass with batch boundaries drawn
+    in; commit=False leaves the index unchanged (replayable batch);
+    the exactly-once two-step (commit_digests) matches commit=True."""
+    from extractor.operators.incremental import (
+        commit_digests,
+        incremental_exact_dedup,
+    )
+
+    rows = [
+        (1, "alpha"), (2, "beta"), (3, "alpha"),        # batch 1: dup in batch
+        (10, "alpha"), (11, "gamma"), (12, "gamma"),    # batch 2: hist + in-batch
+        (20, "beta"), (21, "delta"),                    # batch 3: hist + new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") < 10),
+               df.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+               df.filter(F.col("doc_id") >= 20)]
+    idx = str(tmp_path / "md5idx")
+
+    got = {}
+    b1 = incremental_exact_dedup(batches[0], idx).collect()
+    # commit=False must NOT advance the index: a replay classifies
+    # identically
+    pre = incremental_exact_dedup(batches[1], idx, commit=False).collect()
+    # then commit batch 2 via the exactly-once two-step
+    d2 = incremental_exact_dedup(batches[1], idx, commit=False)
+    d2 = d2.localCheckpoint(eager=True)
+    commit_digests(
+        d2.filter(F.col("status") == "new").select("digest", "id"), idx
+    )
+    assert sorted(map(tuple, pre)) == sorted(map(tuple, d2.collect()))
+    b3 = incremental_exact_dedup(batches[2], idx).collect()
+    for r in list(b1) + list(d2.collect()) + list(b3):
+        got[r["id"]] = r["status"]
+
+    assert got == {
+        1: "new", 2: "new", 3: "dup_in_batch",
+        10: "dup_of_history", 11: "new", 12: "dup_in_batch",
+        20: "dup_of_history", 21: "new",
+    }
+
+
 def test_incremental_index_survives_compaction(spark, tmp_path):
     """Daily appends → many small snapshots; compact_snapshots must
     fold the band index without changing subsequent batch results
