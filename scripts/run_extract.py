@@ -84,6 +84,17 @@ def main() -> int:
                          "the Gopher quality rules (textstats.gopher_rules) "
                          "before the write; quarantine/error rows and "
                          "pdf/image docs pass through untouched")
+    ap.add_argument("--strip-templates", action="store_true",
+                    help="after extraction, discover each host's template "
+                         "lines (dedup.host_template_lines over the "
+                         "successful html rows) and strip them from every "
+                         "page of that host before the write — removes "
+                         "cookie banners / footers that survive the DOM "
+                         "heuristics on some layouts")
+    ap.add_argument("--template-frac-bp", type=int, default=6000,
+                    help="line must appear on at least this fraction "
+                         "(basis points) of a host's pages to count as "
+                         "template (default 6000 = 60%%)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -166,6 +177,40 @@ def main() -> int:
         keep = gopher_rules(F.col("text"))["keep"]
         extracted = extracted.filter(
             (F.col("doc_type") != "html") | (~F.col("success")) | keep
+        )
+    if args.strip_templates:
+        # Post-extraction cleaner: per-host template-line discovery
+        # over the successful html rows, then the strip join.  Two
+        # aggregate passes over the EXTRACTED text (never raw bytes)
+        # plus one url equi-join back — the markdown body is replaced,
+        # every other column and every non-html/error row unchanged.
+        from extractor.operators.dedup import (
+            host_template_lines,
+            strip_template_lines,
+        )
+
+        no_scheme = F.expr("substring(url, instr(url, '://') + 3)")
+        html_ok = extracted.filter(
+            (F.col("doc_type") == "html") & F.col("success")
+        ).select(
+            F.lower(F.substring_index(no_scheme, "/", 1)).alias("host"),
+            F.col("url"),
+            F.col("text"),
+        )
+        tpl = host_template_lines(
+            html_ok, id_col="url", min_frac_bp=args.template_frac_bp
+        )
+        stripped = strip_template_lines(html_ok, tpl, id_col="url").select(
+            F.col("id").alias("url"), F.col("text").alias("_stripped")
+        )
+        extracted = (
+            extracted.join(stripped, "url", "left")
+            .withColumn(
+                "text",
+                F.when(F.col("_stripped").isNotNull(), F.col("_stripped"))
+                .otherwise(F.col("text")),
+            )
+            .drop("_stripped")
         )
     run_id = write_snapshot(
         extracted,

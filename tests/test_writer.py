@@ -292,3 +292,55 @@ def test_iceberg_live_append_roundtrip(tmp_path):
         assert lid == hashlib.md5(f"u1:{run_id}".encode()).hexdigest()
     finally:
         spark.stop()
+
+
+def test_run_extract_strip_templates_flag(spark, tmp_path, monkeypatch):
+    """--strip-templates removes a host's repeated boilerplate line
+    from every extracted html page while leaving unique content, other
+    hosts, and non-html rows untouched."""
+    import datetime as dt
+    import importlib
+    import sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        run_extract = importlib.import_module("run_extract")
+    finally:
+        sys.path.remove(scripts_dir)
+
+    def page(i, host):
+        html = (
+            f"<html><body><p>COOKIE BANNER PLEASE ACCEPT</p>"
+            f"<p>unique article body number {i} with several words of"
+            f" real content to keep the block classifier happy</p>"
+            f"</body></html>"
+        ).encode()
+        return (f"https://{host}/p{i}.html", dt.datetime(2025, 6, 1), html,
+                None, "en")
+
+    rows = [page(i, "tpl.test") for i in range(5)] + [
+        page(9, "other.test")  # single page: below min_pages, untouched
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    in_dir = str(tmp_path / "pages_in")
+    pages.write.parquet(in_dir)
+    out_dir = str(tmp_path / "strip_out")
+    argv = ["run_extract.py", "--input", in_dir, "--output", out_dir,
+            "--strip-templates"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    assert run_extract.main() == 0
+    got = {r.url: r.text for r in read_extracted(spark, out_dir).collect()}
+    for i in range(5):
+        t = got[f"https://tpl.test/p{i}.html"]
+        assert "COOKIE BANNER" not in t
+        assert f"unique article body number {i}" in t
+    # the single-page host keeps its banner (min_pages guard)
+    assert "COOKIE BANNER" in got["https://other.test/p9.html"]
