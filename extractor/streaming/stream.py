@@ -225,6 +225,50 @@ def streaming_incremental_dedup(
     return handle
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    results_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch bridge for the exact-digest membership gate
+    (operators.incremental.incremental_exact_dedup): every micro-batch
+    classifies its docs as new / dup_in_batch / dup_of_history against
+    the committed digest index, snapshot-commits the CLASSIFICATIONS
+    first and only then advances the index with the batch's new
+    digests (``commit_digests``) — the same exactly-once two-step as
+    the LSH bridge, so a crash between the commits replays the batch
+    against an unchanged index.  Returns the handler for
+    ``stream.writeStream.foreachBatch(...)``; accumulated results
+    read back with ``writer.read_extracted(results_dir)`` and match
+    the batched classification over everything ingested (pinned by
+    tests/test_streaming.py).
+
+    In a production crawl this sits FIRST: the cheap gate that stops
+    re-crawled unchanged pages and mirrors from ever reaching
+    extraction, fuzzy dedup, or indexing."""
+    from extractor.operators.incremental import (
+        commit_digests,
+        incremental_exact_dedup,
+    )
+    from extractor.writer import write_snapshot
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = incremental_exact_dedup(
+            batch_df, index_dir, id_col=id_col, text_col=text_col, commit=False
+        ).localCheckpoint(eager=True)
+        write_snapshot(res, results_dir, key_col="id")
+        commit_digests(
+            res.filter(F.col("status") == "new").select("digest", "id"),
+            index_dir,
+        )
+
+    return handle
+
+
 def streaming_windowed_events(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h window per event_type with late-data watermark —
     identical expressions to the batch ``events_windowed`` oracle

@@ -446,3 +446,59 @@ def test_streaming_warc_extract_equals_batch(spark, tmp_path):
     brows = {key(r) for r in streaming_extract_pages(batch_pages, CFG).collect()}
     assert srows == brows
     assert len(brows) > 50 and any(r[1] for r in brows)
+
+
+def test_streaming_exact_dedup_matches_batched(spark, tmp_path):
+    """The exact-digest foreachBatch gate: accumulated stream
+    classifications equal the two-batch incremental run over the same
+    split — cross-micro-batch copies classify dup_of_history, within-
+    batch copies dup_in_batch, and both state tables are snapshot-
+    committed."""
+    from extractor.operators.incremental import incremental_exact_dedup
+    from extractor.streaming.stream import streaming_exact_dedup
+    from extractor.writer import read_extracted
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(copies)
+    src = str(tmp_path / "docs_src")
+    corpus.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    corpus.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "idx")
+    results_dir = str(tmp_path / "res")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_exact_dedup(stream, index_dir, results_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["digest"], r["status"])
+        for r in read_extracted(spark, results_dir).select(
+            "id", "digest", "status"
+        ).collect()
+    }
+    # batched reference over the same split
+    idx2 = str(tmp_path / "idx_batch")
+    b1 = incremental_exact_dedup(corpus.filter(F.col("doc_id") < 250), idx2)
+    r1 = {r["id"]: (r["digest"], r["status"]) for r in b1.collect()}
+    b2 = incremental_exact_dedup(corpus.filter(F.col("doc_id") >= 250), idx2)
+    r2 = {r["id"]: (r["digest"], r["status"]) for r in b2.collect()}
+    want = {**r1, **r2}
+    assert got == want and len(got) == corpus.count()
+    # an injected copy in batch 2 of a batch-1 doc is history-dup
+    assert got[1_000_000][1] == "dup_of_history"
