@@ -2718,6 +2718,66 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_wat_rank",
+    # Same oracle as host_pagerank: the WAT file round-trip must be
+    # LOSSLESS for the ranks to match, so any framing/JSON bug in the
+    # archive path breaks integer-exact rank parity.
+    f"""
+    WITH {_HOST_GRAPH_CTES}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_e2e_wat_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl archive in → domain ranks out: the host_pagerank link
+    fixture exported as REAL WAT segments (sources.wat.to_wat_records
+    → write.text), re-ingested through the block-splittable reader,
+    links exploded to page edges, collapsed by host_edges, ranked by
+    pagerank_int — every stage the engine's own operator, and the
+    oracle is the DIRECT host-graph computation, so the archive hop
+    must be byte-lossless for the integer ranks to agree."""
+    import tempfile
+
+    from extractor.operators.webgraph import host_edges, pagerank_int
+    from extractor.sources.wat import read_wat, to_wat_records
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    shost = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-42.test"),
+    )
+    src = F.concat(
+        F.lit("https://"), shost, F.lit("/page/"),
+        F.format_string("%06d", F.col("doc_id")), F.lit(".html"),
+    )
+
+    def abs_href(j: int, upper: bool = False):
+        h = F.concat(
+            F.lit("h"), ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit(".example-42.test"),
+        )
+        return F.concat(F.lit("https://"), F.upper(h) if upper else h, F.lit("/x"))
+
+    wat_rows = docs.select(
+        src.alias("url"),
+        F.lit("2025-06-04T00:00:00Z").alias("warc_date"),
+        F.lit(None).cast("string").alias("title"),
+        F.array(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("/local/1"))
+            .otherwise(abs_href(1)),
+            abs_href(2, upper=True),
+            abs_href(3),
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="wat_rank_") + "/segments"
+    to_wat_records(wat_rows.repartition(4)).write.mode("overwrite").text(out)
+    links = read_wat(spark, out).select(
+        F.col("url").alias("src"), F.explode("links").alias("dst")
+    )
+    he = host_edges(links, src_col="src", dst_col="dst")
+    return pagerank_int(he, src_col="src_host", dst_col="dst_host", iterations=3)
+
+
+@register(
     "robots_parse",
     """
     -- the oracle does NOT parse: it re-derives the expected rule rows
