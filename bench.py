@@ -132,6 +132,7 @@ HEADLINE_QUERIES = [
     "canonical_map",
     "wat_roundtrip",
     "dedup_incremental_exact",
+    "e2e_wat_rank",
 ]
 
 
