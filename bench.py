@@ -133,6 +133,9 @@ HEADLINE_QUERIES = [
     "wat_roundtrip",
     "dedup_incremental_exact",
     "e2e_wat_rank",
+    "extraction_churn",
+    "build_postings",
+    "postings_query",
 ]
 
 

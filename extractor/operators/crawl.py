@@ -516,3 +516,81 @@ def canonical_url_map(
         _canon_of("_w").alias("canonical_url"),
         "source",
     )
+
+
+def extraction_churn(
+    base: DataFrame,
+    variant: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host churn report between two extraction runs over the same
+    URL sample — the canary an operator team gates an extractor change
+    on: run the candidate beside the shipping version on a pinned
+    sample and read WHICH host classes change, by how much, and
+    whether any rows were lost, before touching the 10^12-row corpus.
+    (:func:`crawl_delta` answers the same question at URL grain
+    between two *crawls*; this is the host-grain rollup between two
+    *code versions* on one crawl.)
+
+    Returns one row per host:
+    ``(host, pages_base, pages_variant, only_base, only_variant,
+    changed, changed_bp, base_bytes, variant_bytes, delta_bytes)``
+    where ``changed`` counts urls present on both sides whose text
+    differs, ``changed_bp`` is its basis-point share of the
+    both-sides urls, and ``delta_bytes = variant_bytes - base_bytes``
+    (signed — template stripping shrinks, a boilerplate regression
+    grows).  ``only_base`` > 0 means the candidate DROPPED rows — the
+    first thing to look at.
+
+    Scale shape: each side is projected map-side to
+    (url, host, md5, byte length) — 16-byte digests and two longs
+    move, page text never shuffles.  One full-outer equi-join on the
+    url key (AQE-splittable), then one host aggregate with map-side
+    partials.  The report is hosts-sized.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        u = F.col(url_col)
+        no_scheme = F.expr(
+            f"substring({url_col}, instr({url_col}, '://') + 3)"
+        )
+        host = F.lower(F.substring_index(no_scheme, "/", 1))
+        return df.select(
+            u.alias("url"),
+            host.alias(f"host_{tag}"),
+            F.md5(F.col(text_col)).alias(f"md5_{tag}"),
+            # octet_length: BYTE counts (length() is characters) —
+            # churn is a storage/transfer number, and it matches any
+            # SQL oracle's octet_length bit-for-bit on non-ASCII too
+            F.octet_length(F.col(text_col)).cast("long").alias(f"len_{tag}"),
+        )
+
+    joined = side(base, "b").join(side(variant, "v"), "url", "full_outer")
+    host = F.coalesce(F.col("host_b"), F.col("host_v"))
+    in_b = F.col("md5_b").isNotNull()
+    in_v = F.col("md5_v").isNotNull()
+    per_host = joined.groupBy(host.alias("host")).agg(
+        F.sum(in_b.cast("long")).alias("pages_base"),
+        F.sum(in_v.cast("long")).alias("pages_variant"),
+        F.sum((in_b & ~in_v).cast("long")).alias("only_base"),
+        F.sum((~in_b & in_v).cast("long")).alias("only_variant"),
+        F.sum(
+            (in_b & in_v & (F.col("md5_b") != F.col("md5_v"))).cast("long")
+        ).alias("changed"),
+        F.sum((in_b & in_v).cast("long")).alias("_both"),
+        F.sum(F.coalesce(F.col("len_b"), F.lit(0))).alias("base_bytes"),
+        F.sum(F.coalesce(F.col("len_v"), F.lit(0))).alias("variant_bytes"),
+    )
+    return per_host.select(
+        "host",
+        "pages_base",
+        "pages_variant",
+        "only_base",
+        "only_variant",
+        "changed",
+        F.when(F.col("_both") > 0, F.expr("(10000 * changed) div _both"))
+        .otherwise(F.lit(0)).cast("long").alias("changed_bp"),
+        "base_bytes",
+        "variant_bytes",
+        (F.col("variant_bytes") - F.col("base_bytes")).alias("delta_bytes"),
+    )

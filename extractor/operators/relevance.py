@@ -196,3 +196,89 @@ def anchor_concentration(
             F.expr("(10000 * top_n) div total").alias("concentration_bp"),
         )
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Inverted-index construction: one row per surviving term with
+    its document frequency and the full posting list —
+    ``(token, df, postings array<struct<doc:long, tf:long>>)``,
+    postings sorted by doc id.  The artifact behind phrase/keyword
+    lookup over the corpus (contamination spot-checks, "which
+    documents say X" audits) without a full scan per question.
+
+    ``max_df`` is the stopword guard and the reason this survives
+    100 TB: a Zipf head term ("the") has a posting for nearly every
+    document, and collecting that list would put one
+    corpus-sized array on a single reducer.  Terms with
+    ``df > max_df`` are dropped BEFORE any list is materialized — the
+    df table is computed from the already-reduced (token, doc) rows,
+    and the filter rides the df join, so every collected array is
+    bounded by ``max_df`` entries.  (Querying a dropped stopword is
+    answered by NOT finding it — the same contract every web index
+    has.)
+
+    Plan: explode lowercased tokens → (token, doc) tf counts
+    (map-side partials) → token df counts over the REDUCED rows →
+    inner equi-join tf⋈df with the ``df <= max_df`` cut (strategy
+    Catalyst's choice, co-partitioned on token either way) → one
+    collect_list per token, sorted.  Corpus text never shuffles;
+    after the first explode only (token, ids, counts) move."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(words_of(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfs = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    return (
+        tf.join(dfs, "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+            ).alias("postings")
+        )
+    )
+
+
+def conjunctive_query(
+    postings: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """AND-query over a :func:`build_postings` index: documents that
+    contain EVERY term in ``terms`` — ``(doc, min_tf)`` with the
+    smallest per-term frequency as the match strength (the classic
+    conjunctive-retrieval score floor).
+
+    Plan: filter the index to the |terms| rows (an equi-IN the scan
+    pushes down — the index is never read beyond those terms),
+    explode their bounded postings, and keep docs hit by all K terms
+    via one count aggregate.  Work is O(sum of the K posting lists),
+    exactly the textbook merge cost, distributed."""
+    if not terms:
+        raise ValueError("conjunctive_query needs at least one term")
+    k = len(set(terms))
+    hits = (
+        postings.filter(F.col("token").isin(list(set(terms))))
+        .select("token", F.explode("postings").alias("p"))
+        .select("token", F.col("p.doc").alias("doc"), F.col("p.tf").alias("tf"))
+    )
+    return (
+        hits.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("_n") == k)
+        .select("doc", "min_tf")
+    )

@@ -6503,3 +6503,207 @@ def q_e2e_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "score",
     )
     return fetch_schedule(sched_in, delays, k_per_host=3)
+
+
+@register(
+    "extraction_churn",
+    """
+    -- the A/B canary re-derived by pure class arithmetic: templated
+    -- hosts (idx < 9) lose both NAVBAR copies + the Copyright line
+    -- in the variant (changed_bp 10000 among surviving rows), clean
+    -- hosts (idx 9-11) are byte-identical (changed_bp 0), and every
+    -- doc_id % 41 == 0 row is missing from the variant (only_base)
+    WITH p AS (
+      SELECT doc_id, doc_id % 12 AS idx,
+             'h' || (doc_id % 12) || '.test' AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, idx, h,
+             'https://' || h || '/p' || doc_id AS url,
+             CASE WHEN idx < 9 THEN
+               '  NAVBAR host ' || h || '  ' || chr(10) ||
+               'NAVBAR host ' || h || chr(10) ||
+               'Copyright host ' || h || ' footer' || chr(10) || chr(10) ||
+               'unique content ' || doc_id ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'rare promo line' ELSE '' END
+             ELSE 'unique content ' || doc_id ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'rare promo line' ELSE '' END
+             END AS text
+      FROM p
+    ), v AS (
+      SELECT doc_id, h, url,
+             CASE WHEN idx < 9 THEN
+               chr(10) || 'unique content ' || doc_id ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'rare promo line' ELSE '' END
+             ELSE 'unique content ' || doc_id ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'rare promo line' ELSE '' END
+             END AS text
+      FROM b WHERE doc_id % 41 <> 0
+    ), j AS (
+      SELECT coalesce(b.h, v.h) AS host,
+             b.text AS bt, v.text AS vt
+      FROM b FULL OUTER JOIN v USING (url)
+    )
+    SELECT host,
+           sum(CASE WHEN bt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS pages_base,
+           sum(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS pages_variant,
+           sum(CASE WHEN bt IS NOT NULL AND vt IS NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS only_base,
+           sum(CASE WHEN bt IS NULL AND vt IS NOT NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS only_variant,
+           sum(CASE WHEN bt IS NOT NULL AND vt IS NOT NULL AND bt <> vt
+                    THEN 1 ELSE 0 END)::BIGINT AS changed,
+           ((10000 * sum(CASE WHEN bt IS NOT NULL AND vt IS NOT NULL
+                              AND bt <> vt THEN 1 ELSE 0 END))
+            // greatest(sum(CASE WHEN bt IS NOT NULL AND vt IS NOT NULL
+                                 THEN 1 ELSE 0 END), 1))::BIGINT
+             AS changed_bp,
+           sum(CASE WHEN bt IS NOT NULL THEN strlen(bt) ELSE 0 END)
+             ::BIGINT AS base_bytes,
+           sum(CASE WHEN vt IS NOT NULL THEN strlen(vt) ELSE 0 END)
+             ::BIGINT AS variant_bytes,
+           (sum(CASE WHEN vt IS NOT NULL THEN strlen(vt) ELSE 0 END)
+            - sum(CASE WHEN bt IS NOT NULL THEN strlen(bt) ELSE 0 END))
+             ::BIGINT AS delta_bytes
+    FROM j GROUP BY host
+    """,
+)
+def q_extraction_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-grain A/B churn report (operators.crawl.extraction_churn)
+    between a baseline extraction and a template-stripped variant —
+    the canary an operator team reads before shipping an extractor
+    change to the full corpus.  The variant is produced by the
+    engine's OWN template pipeline (host_template_lines →
+    strip_template_lines), so the oracle's class arithmetic checks
+    both the report math and the strip chain: templated hosts must
+    show changed_bp 10000 and negative delta_bytes, clean hosts
+    changed_bp 0, and the planted doc_id % 41 row loss must surface
+    as only_base — the row-loss alarm is the report's whole point."""
+    from extractor.operators.crawl import extraction_churn
+    from extractor.operators.dedup import host_template_lines, strip_template_lines
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (d % 12).cast("string"), F.lit(".test"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p"), d.cast("string")
+    )
+    rare = F.when(d % 13 == 0, F.lit("\nrare promo line")).otherwise(F.lit(""))
+    unique = F.concat(F.lit("unique content "), d.cast("string"), rare)
+    templated_text = F.concat(
+        F.lit("  NAVBAR host "), host, F.lit("  \n"),
+        F.lit("NAVBAR host "), host, F.lit("\n"),
+        F.lit("Copyright host "), host, F.lit(" footer\n\n"),
+        unique,
+    )
+    text = F.when(d % 12 < 9, templated_text).otherwise(unique)
+    pages = docs.select(host.alias("host"), d.alias("doc_id"),
+                        url.alias("url"), text.alias("text"))
+    base = pages.select("url", "text")
+    tpl = host_template_lines(pages, min_pages=3, min_frac_bp=6000)
+    stripped = strip_template_lines(pages, tpl)
+    variant = (
+        stripped.filter(F.col("id") % 41 != 0)
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/p"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+    )
+    return extraction_churn(base, variant)
+
+
+@register(
+    "build_postings",
+    """
+    -- planted marker tokens (40 classes, df = n/40) survive the
+    -- max_df=200 stopword cut; the ~35-word synthetic vocabulary
+    -- (df ~ n_docs) is dropped by it — the oracle replays the same
+    -- rule, so a df or posting-order bug flips rows
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(
+               lower(text) || ' marker' || (doc_id % 40), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id AS doc, count(*)::BIGINT AS tf
+      FROM t WHERE token <> '' GROUP BY 1, 2
+    ), dfs AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.token, dfs.df,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM tf JOIN dfs USING (token)
+    WHERE dfs.df <= 200
+    GROUP BY tf.token, dfs.df
+    """,
+)
+def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (operators.relevance.build_postings)
+    with the max_df stopword guard doing real work: the synthetic
+    vocabulary (df ~ n_docs) must be dropped BEFORE any posting list
+    is collected, while 40 planted marker classes (df = n/40) survive
+    with doc-sorted postings.  The list is canonicalized to a
+    'doc:tf,doc:tf' string so the oracle compares bit-for-bit."""
+    from extractor.operators.relevance import build_postings
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" marker"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    idx = build_postings(docs, max_df=200)
+    return idx.select(
+        "token",
+        "df",
+        F.array_join(
+            F.transform(
+                "postings",
+                lambda p: F.concat(
+                    p["doc"].cast("string"), F.lit(":"), p["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@register(
+    "postings_query",
+    """
+    -- independent arithmetic, no index replay: kwalpha rides every
+    -- 3rd doc, kwbeta every 5th, each appended once (tf = 1), so the
+    -- conjunction is exactly the doc_id % 15 == 0 set with min_tf 1
+    SELECT doc_id AS doc, 1::BIGINT AS min_tf
+    FROM documents WHERE doc_id % 15 = 0
+    """,
+)
+def q_postings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive AND-retrieval over the engine's own inverted index
+    (build_postings → conjunctive_query): documents carrying BOTH
+    planted keywords.  The oracle never touches the index — it states
+    the answer set by arithmetic — so a bug anywhere in the
+    tokenize/df/collect/merge chain flips rows."""
+    from extractor.operators.relevance import build_postings, conjunctive_query
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" kwalpha")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" kwbeta")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = build_postings(docs, max_df=1_000_000)
+    return conjunctive_query(idx, ["kwalpha", "kwbeta"])

@@ -1756,3 +1756,87 @@ def test_host_link_stats_degrees_and_reciprocity(spark):
     assert got == {
         "a": (2, 1, 1), "b": (1, 1, 1), "c": (1, 1, 0), "d": (0, 1, 0)
     }
+
+
+def test_extraction_churn_report(spark):
+    """Row loss, change counting, byte math and url→host derivation
+    — each column's semantics pinned on a 3-host hand fixture."""
+    from extractor.operators.crawl import extraction_churn
+
+    base = spark.createDataFrame(
+        [
+            ("https://A.test/1", "aaaa"),      # changed (and host case-folds)
+            ("https://a.test/2", "bb"),        # dropped by variant
+            ("https://b.test/1", "same"),      # unchanged
+            ("https://b.test/2", "x"),         # changed, grows
+        ],
+        "url string, text string",
+    )
+    variant = spark.createDataFrame(
+        [
+            # same KEY as base (urls join case-sensitively — only the
+            # host grouping folds case)
+            ("https://A.test/1", "aa"),
+            ("https://b.test/1", "same"),
+            ("https://b.test/2", "xxxx"),
+            ("https://c.test/9", "new row"),   # variant-only row
+        ],
+        "url string, text string",
+    )
+    got = {r["host"]: r.asDict() for r in extraction_churn(base, variant).collect()}
+    assert set(got) == {"a.test", "b.test", "c.test"}
+    a = got["a.test"]
+    assert (a["pages_base"], a["pages_variant"]) == (2, 1)
+    assert (a["only_base"], a["only_variant"]) == (1, 0)
+    assert (a["changed"], a["changed_bp"]) == (1, 10000)
+    assert (a["base_bytes"], a["variant_bytes"], a["delta_bytes"]) == (6, 2, -4)
+    b = got["b.test"]
+    assert (b["changed"], b["changed_bp"]) == (1, 5000)
+    assert b["delta_bytes"] == 3
+    assert (b["only_base"], b["only_variant"]) == (0, 0)
+    c = got["c.test"]
+    assert (c["pages_base"], c["only_variant"], c["changed_bp"]) == (0, 1, 0)
+
+
+def test_build_postings_max_df_guard_and_order(spark):
+    """The stopword cut drops a hot term BEFORE any list collects;
+    survivors carry doc-sorted postings with real tf counts."""
+    from extractor.operators.relevance import build_postings
+
+    docs = spark.createDataFrame(
+        [(9, "the rare rare the"), (3, "the"), (5, "the rare"), (1, "THE")],
+        "doc_id long, text string",
+    )
+    rows = {r["token"]: r for r in build_postings(docs, max_df=3).collect()}
+    assert "the" not in rows            # df=4 > 3: guarded out
+    rare = rows["rare"]
+    assert rare["df"] == 2
+    assert [(p["doc"], p["tf"]) for p in rare["postings"]] == [(5, 1), (9, 2)]
+
+
+def test_conjunctive_query_semantics(spark):
+    """AND over K posting lists: only docs hit by every distinct term
+    survive; min_tf is the weakest per-term frequency; duplicate
+    terms in the request don't double-count; empty request raises."""
+    import pytest as _pytest
+
+    from extractor.operators.relevance import build_postings, conjunctive_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y z"),   # both x and y: min_tf = min(2, 1) = 1
+            (2, "x x x"),     # x only
+            (3, "y y"),       # y only
+            (4, "x y y"),     # both: min_tf = min(1, 2) = 1... and tf(y)=2
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_postings(docs, max_df=100)
+    got = {r["doc"]: r["min_tf"] for r in
+           conjunctive_query(idx, ["x", "y", "x"]).collect()}
+    assert got == {1: 1, 4: 1}
+    one = {r["doc"]: r["min_tf"] for r in
+           conjunctive_query(idx, ["x"]).collect()}
+    assert one == {1: 2, 2: 3, 4: 1}
+    with _pytest.raises(ValueError):
+        conjunctive_query(idx, [])
