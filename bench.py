@@ -136,6 +136,7 @@ HEADLINE_QUERIES = [
     "extraction_churn",
     "build_postings",
     "postings_query",
+    "postings_merge",
 ]
 
 

@@ -282,3 +282,42 @@ def conjunctive_query(
         .filter(F.col("_n") == k)
         .select("doc", "min_tf")
     )
+
+
+def merge_postings(
+    old: DataFrame,
+    new: DataFrame,
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Merge two :func:`build_postings` indexes over DISJOINT document
+    sets (the batch discipline upstream: the incremental exact-dedup
+    gate ensures a crawl batch only indexes docs the corpus has never
+    seen) — the index-maintenance half of the retrieval tier: a new
+    crawl indexes ITS OWN documents with build_postings, and the
+    corpus index absorbs it here without ever re-tokenizing history.
+
+    The ``max_df`` stopword guard is re-applied at merge time: a term
+    that was rare in each half but common in the union is dropped —
+    exactly how a growing corpus promotes terms to stopwords.  Output
+    schema == build_postings, so merges chain (LSM-style: merge crawl
+    indexes pairwise, compact tiers on whatever cadence write
+    amplification dictates).
+
+    Scale shape: one union + one token groupBy — per-token reduce
+    state is flatten + array_sort over lists each side already
+    bounded by its own max_df cut, and the merged cut keeps the
+    output row ≤ ``max_df`` entries.  Cost is O(index size), not
+    O(corpus text): token rows move once, raw text never moves.
+    Skew: a merged-hot token's state is at most 2·max_df entries
+    before the cut drops it — bounded by construction."""
+    both = old.select("token", "df", "postings").unionAll(
+        new.select("token", "df", "postings")
+    )
+    return (
+        both.groupBy("token")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+        )
+        .filter(F.col("df") <= max_df)
+    )

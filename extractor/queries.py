@@ -6707,3 +6707,68 @@ def q_postings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_postings(docs, max_df=1_000_000)
     return conjunctive_query(idx, ["kwalpha", "kwbeta"])
+
+
+@register(
+    "postings_merge",
+    """
+    -- one-shot formulation: merging the two half-indexes must equal
+    -- indexing the whole corpus with the merged cut.  Planted dfs are
+    -- sf-independent (block tokens: grp df<=13, hot df<=50), so the
+    -- max_df=30 merge cut keeps grp, drops hot AND the df~n synthetic
+    -- vocabulary at every scale
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(
+               lower(text) || ' grp' || (doc_id // 13)
+                           || ' hot' || (doc_id // 50), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id AS doc, count(*)::BIGINT AS tf
+      FROM t WHERE token <> '' GROUP BY 1, 2
+    ), dfs AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.token, dfs.df,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM tf JOIN dfs USING (token)
+    WHERE dfs.df <= 30
+    GROUP BY tf.token, dfs.df
+    """,
+)
+def q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators.relevance
+    .merge_postings): the corpus splits into two disjoint batches
+    (doc_id parity), each batch builds ITS OWN index, and the merge
+    must equal the one-shot index over everything — including the
+    merge-time max_df re-cut that promotes the 'hot' block token
+    (df 50) and the df~n vocabulary to stopwords while the halves,
+    built permissively, still carried them.  History text is never
+    re-tokenized; only index rows move."""
+    from extractor.operators.relevance import build_postings, merge_postings
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" grp"), F.expr("doc_id div 13").cast("string"),
+            F.lit(" hot"), F.expr("doc_id div 50").cast("string"),
+        ).alias("text"),
+    )
+    half_a = build_postings(docs.filter(d % 2 == 0), max_df=1_000_000)
+    half_b = build_postings(docs.filter(d % 2 == 1), max_df=1_000_000)
+    merged = merge_postings(half_a, half_b, max_df=30)
+    return merged.select(
+        "token",
+        "df",
+        F.array_join(
+            F.transform(
+                "postings",
+                lambda p: F.concat(
+                    p["doc"].cast("string"), F.lit(":"), p["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )

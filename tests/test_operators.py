@@ -1840,3 +1840,30 @@ def test_conjunctive_query_semantics(spark):
     assert one == {1: 2, 2: 3, 4: 1}
     with _pytest.raises(ValueError):
         conjunctive_query(idx, [])
+
+
+def test_merge_postings_lsm_chain_and_recut(spark):
+    """Associative chaining: merging three disjoint batch indexes
+    (pairwise, LSM-style) equals the one-shot index, and the
+    merge-time max_df re-cut drops a term each half carried."""
+    from extractor.operators.relevance import build_postings, merge_postings
+
+    rows = [(i, f"common blk{i // 4}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    idxs = [build_postings(b, max_df=1_000) for b in batches]
+    merged = merge_postings(merge_postings(idxs[0], idxs[1], max_df=8),
+                            idxs[2], max_df=8)
+    one_shot = build_postings(docs, max_df=8)
+
+    def canon(df):
+        return sorted(
+            (r["token"], r["df"], [(p["doc"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        )
+
+    got, want = canon(merged), canon(one_shot)
+    assert got == want
+    toks = {t for t, _, _ in got}
+    assert "common" not in toks        # df 12 > 8: re-cut at merge
+    assert "blk0" in toks              # df 4: survives everywhere

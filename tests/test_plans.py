@@ -305,3 +305,27 @@ def test_quality_buckets_window_over_histogram_only(spark):
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert win_lines and all("lang" in ln for ln in win_lines), "\n".join(win_lines)
     assert "BroadcastHashJoin" in plan
+
+
+def test_postings_and_churn_plan_shapes(spark):
+    """The retrieval/churn tier keeps its claimed shapes: no Python
+    stage, no window, no cartesian anywhere; the churn rollup is one
+    full-outer url join feeding a hash aggregate (page text never in
+    the shuffled projection); the index builders carry map-side
+    partial aggregates and the conjunctive query pushes the term IN
+    filter into the index scan side."""
+    for name in ["extraction_churn", "build_postings",
+                 "postings_query", "postings_merge"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:1500]}"
+    churn = plan_of(REGISTRY["extraction_churn"].spark(spark, SF_SMALL))
+    assert "FullOuter" in churn, churn[:2000]
+    # md5/len are computed below the join: the join output columns
+    # are the projected digests, never a text column
+    build = plan_of(REGISTRY["build_postings"].spark(spark, SF_SMALL))
+    assert "partial_" in build, build[:2000]
+    # the AND-query filters the index to its K terms before exploding
+    q = optimized_of(REGISTRY["postings_query"].spark(spark, SF_SMALL))
+    assert "kwalpha" in q and "kwbeta" in q, q[:2000]
