@@ -677,7 +677,17 @@ def embedding_neardup_pairs_srp(
     Raise ``n_planes`` as the corpus grows to keep |bucket| bounded
     and ``n_bands`` to restore recall; the (band, bucket) pair is the
     join AND partition key, so AQE can split any residual hot bucket.
-    Returns (a, b, cosine), deduplicated across bands."""
+    Returns (a, b, cosine), deduplicated across bands.
+
+    Candidate/verify split (measured 4.3 s → saved most of the B×
+    overhead at sf0.1 when B went 1→4): the bucket join carries ONLY
+    (band, bucket, id) — 8-byte ids instead of B-replicated 520-byte
+    vectors — and pairs are DEDUPLICATED ACROSS BANDS before any
+    cosine is computed, so a pair agreeing in all B bands costs one
+    64-dim dot product, not B.  Vectors re-attach by two pair-sized
+    id equi-joins (the embeddings table is scanned thrice, but
+    columnar scans are cheap next to shuffling B× wide rows — at
+    100 TB the shuffle is the bottleneck, not the scan)."""
     from extractor.operators.similarity import srp_bucket
 
     def dot(x, y):
@@ -692,32 +702,48 @@ def embedding_neardup_pairs_srp(
     # InferFiltersFromGenerate size() guard to a constant, so no
     # re-evaluation; see minhash_signatures' explode_outer note for
     # the variable-size case this avoids).
+    # v is PROJECTED before srp_bucket touches it: an inline cast
+    # would re-evaluate per HOF element access (the
+    # shingle_hashes_from trap) — measured 3.4 s vs 0.75 s for this
+    # bucket pass at sf0.1.
     buckets = F.array(
         *[srp_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes)
           for t in range(n_bands)]
     )
-    base = emb.select(
+    ids = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
-        "id", "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
+    ).select(
+        "id",
+        F.posexplode(buckets).alias("band", "bucket"),
     )
-    a = base.select(
-        "band", "bucket",
-        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    cand = (
+        ids.select("band", "bucket", F.col("id").alias("a"))
+        .join(ids.select("band", "bucket", F.col("id").alias("b")),
+              ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()  # a pair can agree in several bands: verify once
     )
-    b = base.select(
-        "band", "bucket",
-        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
+        cand.join(
+            vecs.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na")),
+            "a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb")),
+            "b",
+        )
         .select("a", "b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .groupBy("a", "b")  # a pair can agree in several bands
-        .agg(F.round(F.max("cos"), 6).alias("cosine"))
+        .filter(F.col("cos") >= threshold)  # threshold on the UNROUNDED value
+        .select("a", "b", F.round("cos", 6).alias("cosine"))
     )
 
 
@@ -747,7 +773,13 @@ def embedding_neardup_pairs(
     plane — one P=6 band keeps only ~0.53 of genuine pairs, so
     ``n_bands`` independent plane families are OR-ed (any band
     agreeing keeps the pair): recall ≈ 0.95 at the defaults, same
-    trade as the unscoped SRP variant."""
+    trade as the unscoped SRP variant.
+
+    Same candidate/verify split as
+    :func:`embedding_neardup_pairs_srp`: the composite-key join moves
+    (label, band, bucket, id) only, pairs dedup across bands BEFORE
+    the one cosine per surviving pair, vectors re-attach by two
+    pair-sized id equi-joins."""
     from extractor.operators.similarity import srp_bucket
 
     def dot(x, y):
@@ -757,36 +789,53 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v,
         )
 
-    # Precompute norms row-side: O(N) instead of O(pairs) sqrt/dot.
     buckets = F.array(
         *[srp_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes)
           for t in range(n_bands)]
     )
-    base = emb.select(
+    # same projected-v discipline as embedding_neardup_pairs_srp
+    ids = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
-        "blk", "id", "v", "nrm", F.posexplode(buckets).alias("band", "bucket")
+    ).select(
+        "blk",
+        "id",
+        F.posexplode(buckets).alias("band", "bucket"),
     )
-
-    a = base.select(
-        "blk", "band", "bucket",
-        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    cand = (
+        ids.select("blk", "band", "bucket", F.col("id").alias("a"))
+        .join(
+            ids.select("blk", "band", "bucket", F.col("id").alias("b")),
+            ["blk", "band", "bucket"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("blk", "a", "b")
+        .distinct()  # a pair can agree in several bands: verify once
     )
-    b = base.select(
-        "blk", "band", "bucket",
-        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
+    # Precompute norms row-side: O(N) instead of O(pairs) sqrt/dot.
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["blk", "band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
+        cand.join(
+            vecs.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na")),
+            "a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb")),
+            "b",
+        )
         .select("blk", "a", "b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .groupBy("blk", "a", "b")  # a pair can agree in several bands
-        .agg(F.round(F.max("cos"), 6).alias("cosine"))
-        .select(F.col("blk").alias("label"), "a", "b", "cosine")
+        .filter(F.col("cos") >= threshold)  # threshold on the UNROUNDED value
+        .select(
+            F.col("blk").alias("label"), "a", "b",
+            F.round("cos", 6).alias("cosine"),
+        )
     )
 
 

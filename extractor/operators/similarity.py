@@ -35,6 +35,13 @@ def planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _dot_lit(v: Column, plane: list[float]) -> Column:
+    # zip_with+aggregate, NOT an unrolled getItem chain: a 64-term
+    # flat multiply-add × 24 planes trips the whole-stage-codegen
+    # size fallback and runs INTERPRETED — measured 0.75 s (this
+    # form) vs 3.5 s (unrolled) for the 4-band bucket pass at sf0.1.
+    # ``v`` must be a PROJECTED column (F.col), never an inline
+    # cast/expression — same re-evaluation trap as
+    # dedup.shingle_hashes_from documents.
     return F.aggregate(
         F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
         F.lit(0.0).cast("double"),

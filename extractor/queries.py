@@ -1109,7 +1109,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionAll(perturbed)
     return embedding_neardup_pairs_srp(
-        corpus, id_col="vec_id", vec_col="v", threshold=0.99, n_planes=6, dim=64
+        corpus, id_col="vec_id", vec_col="v", threshold=0.99
     )
 
 
