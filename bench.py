@@ -137,6 +137,7 @@ HEADLINE_QUERIES = [
     "build_postings",
     "postings_query",
     "postings_merge",
+    "phrase_query",
 ]
 
 

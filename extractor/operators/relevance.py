@@ -321,3 +321,69 @@ def merge_postings(
         )
         .filter(F.col("df") <= max_df)
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Flat positional index rows ``(token, doc, pos, df)`` — the
+    disk shape real engines store (a posting per occurrence, with its
+    word offset), and what :func:`phrase_query` consumes.  Kept FLAT
+    rather than nesting positions into per-token arrays: flat rows
+    partition/bucket by token for locality, join on (doc, pos)
+    arithmetic directly, and never build a hot token's corpus-sized
+    nested array (the same reducer-state argument as
+    :func:`build_postings`' max_df guard, which applies here too —
+    ``df`` counts DISTINCT docs and terms above ``max_df`` drop).
+
+    Plan: posexplode is map-only; df is one distinct-(token, doc)
+    aggregate with map-side partials over (token, long) rows; the cut
+    rides the token equi-join back.  Corpus text never shuffles."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.posexplode(words_of(F.lower(F.col(text_col)))).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    dfs = (
+        toks.select("token", "doc")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    return toks.join(dfs, "token").select("token", "doc", "pos", "df")
+
+
+def phrase_query(
+    postings: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Exact phrase retrieval over :func:`positional_postings` rows:
+    documents containing ``terms`` as CONSECUTIVE words, with the
+    number of phrase starts — ``(doc, n_matches)``.
+
+    The classic positional-index merge, distributed: term i's rows
+    are filtered from the index (a pushed-down equality the token
+    bucketing serves), positions shift by −i, and K−1 equi-joins on
+    the (doc, pos) composite keep exactly the offsets where every
+    term lines up.  Inputs are term-posting-sized, shrinking with
+    each join; no window, no per-doc state."""
+    if not terms:
+        raise ValueError("phrase_query needs at least one term")
+    acc = (
+        postings.filter(F.col("token") == terms[0])
+        .select("doc", "pos")
+        .distinct()
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        step = (
+            postings.filter(F.col("token") == t)
+            .select("doc", (F.col("pos") - i).alias("pos"))
+            .distinct()
+        )
+        acc = acc.join(step, ["doc", "pos"])
+    return acc.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

@@ -6772,3 +6772,37 @@ def q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+@register(
+    "phrase_query",
+    """
+    -- independent arithmetic, no index replay: 'alpha beta gamma'
+    -- rides every 7th doc exactly once; every 11th doc carries the
+    -- near-miss 'alpha beta zeta' (the bigram alone must NOT count),
+    -- so the phrase answer is exactly the %7 set with one start each
+    SELECT doc_id AS doc, 1::BIGINT AS n_matches
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval through the engine's own positional
+    index (positional_postings → phrase_query): docs where the three
+    planted words are CONSECUTIVE.  The %11 near-miss class carries
+    the first two words followed by a different third, so any
+    off-by-one in the position shift, a missing join key, or df/cut
+    damage flips rows.  The oracle states the answer set by
+    arithmetic and never touches the index."""
+    from extractor.operators.relevance import phrase_query, positional_postings
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" alpha beta zeta")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = positional_postings(docs, max_df=1_000_000)
+    return phrase_query(idx, ["alpha", "beta", "gamma"])

@@ -1867,3 +1867,48 @@ def test_merge_postings_lsm_chain_and_recut(spark):
     toks = {t for t, _, _ in got}
     assert "common" not in toks        # df 12 > 8: re-cut at merge
     assert "blk0" in toks              # df 4: survives everywhere
+
+
+def test_phrase_query_positions_and_overlaps(spark):
+    """Position arithmetic pinned by hand: consecutive-only matching,
+    multiple starts per doc, overlapping repeats, duplicate term in
+    the phrase, and the empty-request error."""
+    import pytest as _pytest
+
+    from extractor.operators.relevance import phrase_query, positional_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # one match for (a, b)
+            (2, "a x b"),          # gap: no match
+            (3, "a b a b"),        # two starts
+            (4, "a a a"),          # (a, a): overlapping starts at 0 and 1
+            (5, "b a"),            # reversed: no match
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_postings(docs, max_df=100)
+    got = {r["doc"]: r["n_matches"] for r in phrase_query(idx, ["a", "b"]).collect()}
+    assert got == {1: 1, 3: 2}
+    rep = {r["doc"]: r["n_matches"] for r in phrase_query(idx, ["a", "a"]).collect()}
+    assert rep == {4: 2}
+    single = {r["doc"]: r["n_matches"] for r in phrase_query(idx, ["a"]).collect()}
+    assert single == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
+    with _pytest.raises(ValueError):
+        phrase_query(idx, [])
+
+
+def test_positional_postings_df_cut(spark):
+    """df counts DISTINCT docs (not occurrences) and the max_df cut
+    removes hot terms from the flat rows."""
+    from extractor.operators.relevance import positional_postings
+
+    docs = spark.createDataFrame(
+        [(1, "the the rare"), (2, "the"), (3, "the x")],
+        "doc_id long, text string",
+    )
+    rows = positional_postings(docs, max_df=2).collect()
+    toks = {r["token"] for r in rows}
+    assert "the" not in toks          # df=3 docs > 2 (5 occurrences irrelevant)
+    rare = [r for r in rows if r["token"] == "rare"]
+    assert len(rare) == 1 and (rare[0]["doc"], rare[0]["pos"], rare[0]["df"]) == (1, 2, 1)
