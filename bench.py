@@ -138,6 +138,7 @@ HEADLINE_QUERIES = [
     "postings_query",
     "postings_merge",
     "phrase_query",
+    "e2e_wet_index",
 ]
 
 

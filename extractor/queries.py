@@ -6806,3 +6806,52 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = positional_postings(docs, max_df=1_000_000)
     return phrase_query(idx, ["alpha", "beta", "gamma"])
+
+
+@register(
+    "e2e_wet_index",
+    """
+    -- same arithmetic answer as phrase_query: if the WET hop loses
+    -- or reorders ONE byte of any %7 doc's text, its positions shift
+    -- and the phrase row disappears — the archive and retrieval
+    -- tiers verify each other
+    SELECT doc_id AS doc, 1::BIGINT AS n_matches
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_e2e_wet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl archive in → phrase answers out: the phrase fixture
+    exported as REAL WET segments (to_wet_records → write.text),
+    re-ingested through the block-splittable reader, positional index
+    built from the ROUND-TRIPPED text, phrase retrieved — every stage
+    the engine's own operator.  doc ids ride the WET url and are
+    recovered by parsing it back, so url formatting, record framing,
+    body byte-identity and position arithmetic are all on the hook
+    for the same arithmetic oracle phrase_query answers to."""
+    import tempfile
+
+    from extractor.operators.relevance import phrase_query, positional_postings
+    from extractor.sources.wet import read_wet, to_wet_records
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" alpha beta zeta")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    wet_rows = docs.select(
+        F.format_string("https://idx.test/d/%06d", F.col("doc_id")).alias("url"),
+        F.lit("2025-06-04T00:00:00Z").alias("warc_date"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="wet_index_") + "/segments"
+    to_wet_records(wet_rows.repartition(4)).write.mode("overwrite").text(out)
+    back = read_wet(spark, out).select(
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    idx = positional_postings(back, max_df=1_000_000)
+    return phrase_query(idx, ["alpha", "beta", "gamma"])
