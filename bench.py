@@ -139,6 +139,7 @@ HEADLINE_QUERIES = [
     "postings_merge",
     "phrase_query",
     "e2e_wet_index",
+    "postings_stats",
 ]
 
 

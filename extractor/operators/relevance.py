@@ -387,3 +387,32 @@ def phrase_query(
     return acc.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def postings_index_stats(postings: DataFrame) -> DataFrame:
+    """Observability over a :func:`build_postings` index: term and
+    posting mass per power-of-two document-frequency bucket —
+    ``(df_bucket, n_terms, n_postings, max_df)`` where ``df_bucket =
+    floor(log2(df))``.  This is the histogram an operator reads to
+    retune ``max_df`` before the next :func:`merge_postings` tier
+    compaction (the retrieval-tier analog of the incremental dedup
+    index's band stats): mass piling into the top buckets means the
+    stopword bar is about to start dropping terms queries still need.
+
+    The bucket is computed INTEGER-exactly as the bit length of df
+    minus one (base-2 string length — no float log2 whose last-ulp
+    rounding could flip a boundary bucket between engines).  Map-side
+    projection of (bucket, df) per index row, one aggregate; never
+    touches posting arrays or corpus text."""
+    bucket = (
+        F.length(F.conv(F.col("df").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        postings.select(bucket.alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+    )

@@ -6855,3 +6855,50 @@ def q_e2e_wet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = positional_postings(back, max_df=1_000_000)
     return phrase_query(idx, ["alpha", "beta", "gamma"])
+
+
+@register(
+    "postings_stats",
+    """
+    -- three planted df regimes make the histogram non-trivial at any
+    -- sf: marker classes at df ~ n/40, dup classes at df ~ n/8, and
+    -- the ~35-word synthetic vocabulary at df ~ n; bit-length
+    -- bucketing is integer-exact in both engines (no float log2)
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(
+               lower(text) || ' marker' || (doc_id % 40)
+                           || ' dup' || (doc_id % 8), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id AS doc, count(*)::BIGINT AS tf
+      FROM t WHERE token <> '' GROUP BY 1, 2
+    ), dfs AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    )
+    SELECT (length(bin(df)) - 1)::BIGINT AS df_bucket,
+           count(*)::BIGINT AS n_terms,
+           sum(df)::BIGINT AS n_postings,
+           max(df)::BIGINT AS max_df
+    FROM dfs GROUP BY 1
+    """,
+)
+def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index observability (operators.relevance
+    .postings_index_stats): the df histogram an operator reads to
+    retune max_df before the next index merge — the postings analog
+    of lsh_index_stats.  Built permissively (no cut) over a fixture
+    with three planted df regimes so every power-of-two band between
+    n/40 and n is populated."""
+    from extractor.operators.relevance import build_postings, postings_index_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" marker"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(" dup"), (F.col("doc_id") % 8).cast("string"),
+        ).alias("text"),
+    )
+    idx = build_postings(docs, max_df=1_000_000_000)
+    return postings_index_stats(idx)
