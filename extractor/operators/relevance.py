@@ -416,3 +416,52 @@ def postings_index_stats(postings: DataFrame) -> DataFrame:
             F.max("df").cast("long").alias("max_df"),
         )
     )
+
+
+def read_postings_index(
+    spark,
+    index_dir: str,
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Serve-time fold of an APPENDED postings index (per-batch
+    :func:`build_postings` snapshots written by the streaming bridge
+    or any batch orchestrator): returns exactly the
+    :func:`build_postings` schema over everything indexed, with the
+    global ``max_df`` stopword cut applied at read time.
+
+    At-least-once safe by construction: a crash-replayed batch
+    appends byte-identical (token, doc, tf) entries, and the fold's
+    (token, doc) aggregate collapses them — the same repair
+    discipline as the dedup index's ``compact_index`` (dedupe on the
+    natural key while folding), so no commit-window bookkeeping is
+    needed on the write side.
+
+    Scale shape: explode is O(index entries), the (token, doc) and
+    df aggregates run with map-side partials and hash state (never a
+    hot term's array), and only cut survivors reach the bounded
+    collect.  Corpus text is never re-read — indexes fold from index
+    rows alone.  Run it once per serving epoch and snapshot the
+    result if reads dominate (that IS tier compaction)."""
+    from extractor.writer import read_extracted
+
+    entries = (
+        read_extracted(spark, index_dir)
+        .select("token", F.explode("postings").alias("p"))
+        # replayed entries are identical → max == the one true tf
+        .groupBy("token", F.col("p.doc").alias("doc"))
+        .agg(F.max("p.tf").cast("long").alias("tf"))
+    )
+    dfs = (
+        entries.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    return (
+        entries.join(dfs, "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+            ).alias("postings")
+        )
+    )

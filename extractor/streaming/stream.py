@@ -379,3 +379,41 @@ def streaming_running_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_index_maintenance(
+    docs_stream: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_max_df: int = 1_000_000_000,
+):
+    """foreachBatch bridge for retrieval-index maintenance: each
+    micro-batch builds ITS OWN postings
+    (operators.relevance.build_postings — batch docs only, history
+    text never re-tokenized) and appends them as one committed
+    snapshot.  Serving reads
+    :func:`extractor.operators.relevance.read_postings_index`, which
+    folds the appended snapshots with the GLOBAL max_df cut —
+    ``batch_max_df`` stays permissive so a term's corpus-wide promotion
+    to stopword is decided at fold time, not per micro-batch.
+
+    Exactly-once is NOT required on this path (unlike the dedup
+    gates' two-step commits): a crash-replayed batch appends
+    byte-identical entries and the read-side (token, doc) fold
+    collapses them, so the bridge is a single snapshot append —
+    at-least-once is repaired on read, the same discipline as
+    compact_index.  Returns the handler for
+    ``stream.writeStream.foreachBatch(...)``."""
+    from extractor.operators.relevance import build_postings
+    from extractor.writer import write_snapshot
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = build_postings(
+            batch_df, id_col=id_col, text_col=text_col, max_df=batch_max_df
+        )
+        write_snapshot(idx, index_dir, key_col="token")
+
+    return handle

@@ -502,3 +502,59 @@ def test_streaming_exact_dedup_matches_batched(spark, tmp_path):
     assert got == want and len(got) == corpus.count()
     # an injected copy in batch 2 of a batch-1 doc is history-dup
     assert got[1_000_000][1] == "dup_of_history"
+
+
+def test_streaming_index_maintenance_matches_one_shot(spark, tmp_path):
+    """Index maintained by the foreachBatch bridge == one-shot
+    build_postings over everything ingested (global max_df applied at
+    fold time: the 'hot' block term survives each micro-batch but is
+    promoted to stopword by the read-side cut), and a crash-replayed
+    batch changes nothing (at-least-once repaired on read)."""
+    from extractor.operators.relevance import build_postings, read_postings_index
+    from extractor.streaming.stream import streaming_index_maintenance
+
+    docs = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lower("text"),
+                F.lit(" grp"), F.expr("doc_id div 13").cast("string"),
+                F.lit(" hot"), F.expr("doc_id div 50").cast("string"),
+            ).alias("text"),
+        )
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "pidx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    handler = streaming_index_maintenance(stream, index_dir)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (r["token"], r["df"], [(p["doc"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        )
+
+    folded = canon(read_postings_index(spark, index_dir, max_df=30))
+    one_shot = canon(build_postings(docs, max_df=30))
+    assert folded == one_shot and len(folded) > 0
+    toks = {t for t, _, _ in folded}
+    assert "hot0" not in toks and any(t.startswith("grp") for t in toks)
+
+    # crash replay: re-append one batch's rows; the fold must not move
+    handler(docs.filter(F.col("doc_id") % 2 == 0), 99)
+    assert canon(read_postings_index(spark, index_dir, max_df=30)) == one_shot
