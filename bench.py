@@ -140,6 +140,7 @@ HEADLINE_QUERIES = [
     "phrase_query",
     "e2e_wet_index",
     "postings_stats",
+    "ranked_query",
 ]
 
 

@@ -465,3 +465,56 @@ def read_postings_index(
             ).alias("postings")
         )
     )
+
+
+def ranked_query(
+    postings: DataFrame,
+    terms: list[str],
+    n_docs: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Disjunctive ranked retrieval over a :func:`build_postings`
+    index — the third leg of the minimal search surface beside
+    :func:`conjunctive_query` (boolean AND) and :func:`phrase_query`
+    (exact phrase): documents scored by
+    ``Σ_terms tf · (N div df)`` (the same integer-exact floored-IDF
+    weight :func:`tfidf_topk` ranks with — monotone in the textbook
+    tf·log(N/df), bit-exact against any SQL oracle) and cut to the
+    global top-``k``.  Returns (rank, doc, score), ties broken by
+    doc id, so results are deterministic.
+
+    ``n_docs`` is a one-row (n_docs) DataFrame — the corpus total
+    rides a broadcast nested-loop cross, the degenerate case where
+    BNLJ is the right plan (same note as tfidf_topk).
+
+    Plan: the index filters to the |terms| rows (pushed-down IN),
+    bounded postings explode, one doc-sum aggregate with map-side
+    partials, then the bounded two-level global top-k — no
+    single-reducer ORDER BY, no window."""
+    from extractor.operators.topk import grouped_topk_exploded
+
+    if not terms:
+        raise ValueError("ranked_query needs at least one term")
+    hits = (
+        postings.filter(F.col("token").isin(list(set(terms))))
+        .select("token", "df", F.explode("postings").alias("p"))
+        .crossJoin(F.broadcast(n_docs))  # one row
+        .select(
+            F.col("p.doc").alias("doc"),
+            (F.col("p.tf") * F.expr("n_docs div df")).cast("long").alias("s"),
+        )
+    )
+    scored = hits.groupBy("doc").agg(F.sum("s").cast("long").alias("score"))
+    ranked = grouped_topk_exploded(
+        scored.select(
+            F.struct((-F.col("score")).alias("neg"), "doc").alias("key")
+        ),
+        [],
+        F.col("key"),
+        k=k,
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("value")["doc"].alias("doc"),
+        (-F.col("value")["neg"]).cast("long").alias("score"),
+    )

@@ -6902,3 +6902,55 @@ def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_postings(docs, max_df=1_000_000_000)
     return postings_index_stats(idx)
+
+
+@register(
+    "ranked_query",
+    """
+    -- score re-derived by class arithmetic: qx rides every 3rd doc
+    -- (tf 3 on the %9 subset via the doubled tail), qy every 5th;
+    -- integer idf = N div df exactly as the engine computes it
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    dfx AS (SELECT count(*) AS df FROM documents WHERE doc_id % 3 = 0),
+    dfy AS (SELECT count(*) AS df FROM documents WHERE doc_id % 5 = 0),
+    sc AS (
+      SELECT d.doc_id AS doc,
+             (CASE WHEN d.doc_id % 3 = 0 THEN
+                (CASE WHEN d.doc_id % 9 = 0 THEN 3 ELSE 1 END)
+                * (n.n_docs // dfx.df) ELSE 0 END
+              + CASE WHEN d.doc_id % 5 = 0 THEN n.n_docs // dfy.df
+                     ELSE 0 END)::BIGINT AS score
+      FROM documents d, n, dfx, dfy
+      WHERE d.doc_id % 3 = 0 OR d.doc_id % 5 = 0
+    ),
+    rk AS (
+      SELECT doc, score,
+             row_number() OVER (ORDER BY score DESC, doc) AS rank
+      FROM sc
+    )
+    SELECT rank::BIGINT AS rank, doc, score FROM rk WHERE rank <= 10
+    """,
+)
+def q_ranked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive ranked retrieval through the engine's own index
+    (build_postings → ranked_query): global top-10 docs for a
+    two-term query under the integer tf·(N div df) weight.  The %9
+    subset carries the first term three times (tf weighting on the
+    hook), %15 docs match both terms (score addition on the hook),
+    and the oracle re-derives every score by pure class arithmetic —
+    the index is never replayed."""
+    from extractor.operators.relevance import build_postings, ranked_query
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" qx")).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit(" qx qx")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" qy")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = build_postings(docs, max_df=1_000_000)
+    n = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return ranked_query(idx, ["qx", "qy"], n, k=10)

@@ -1912,3 +1912,31 @@ def test_positional_postings_df_cut(spark):
     assert "the" not in toks          # df=3 docs > 2 (5 occurrences irrelevant)
     rare = [r for r in rows if r["token"] == "rare"]
     assert len(rare) == 1 and (rare[0]["doc"], rare[0]["pos"], rare[0]["df"]) == (1, 2, 1)
+
+
+def test_ranked_query_scoring_and_ties(spark):
+    """tf weighting, score addition across terms, integer idf, global
+    k cut and the doc-id tie-break, pinned on a hand fixture."""
+    import pytest as _pytest
+
+    from extractor.operators.relevance import build_postings, ranked_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q q common"),   # tf(q)=2
+            (2, "q r common"),   # both terms
+            (3, "r common"),     # r only
+            (4, "common"),       # no term
+            (5, "q common"),     # tie with doc 2? idf decides
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_postings(docs, max_df=100)
+    n = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # df(q)=3, df(r)=2, N=5 → idf(q)=1, idf(r)=2
+    # scores: d1=2, d2=1+2=3, d3=2, d5=1 → top3 = d2(3), d1(2), d3(2)
+    got = [(r["rank"], r["doc"], r["score"]) for r in
+           ranked_query(idx, ["q", "r"], n, k=3).collect()]
+    assert sorted(got) == [(1, 2, 3), (2, 1, 2), (3, 3, 2)]
+    with _pytest.raises(ValueError):
+        ranked_query(idx, [], n)

@@ -315,7 +315,8 @@ def test_postings_and_churn_plan_shapes(spark):
     partial aggregates and the conjunctive query pushes the term IN
     filter into the index scan side."""
     for name in ["extraction_churn", "build_postings",
-                 "postings_query", "postings_merge", "phrase_query"]:
+                 "postings_query", "postings_merge", "phrase_query",
+                 "postings_stats", "ranked_query"]:
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
         assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
         assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
