@@ -141,6 +141,7 @@ HEADLINE_QUERIES = [
     "e2e_wet_index",
     "postings_stats",
     "ranked_query",
+    "term_snippets",
 ]
 
 

@@ -518,3 +518,55 @@ def ranked_query(
         F.col("value")["doc"].alias("doc"),
         (-F.col("value")["neg"]).cast("long").alias("score"),
     )
+
+
+def term_snippets(
+    docs: DataFrame,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    max_per_doc: int = 2,
+) -> DataFrame:
+    """KWIC (keyword-in-context) snippets: for every occurrence of
+    ``term`` (case-folded, whole-word), the surrounding ``window``
+    words on each side — ``(doc, pos, snippet)`` with the 0-based
+    word offset.  The audit surface that pairs with retrieval: the
+    index says WHICH documents, this shows analysts the hits in
+    context without shipping whole documents.
+
+    ``max_per_doc`` caps output per document (positions array sliced
+    BEFORE snippets materialize), so a pathological page repeating
+    the term 10^6 times emits two rows, not a row explosion.
+
+    Map-only: the word array is a materialized projection (the HOF
+    re-evaluation trap), positions/slices/joins are all codegen
+    array expressions; zero Exchange — at 10^12 docs this runs at
+    scan speed, and the usual deployment filters docs by the index
+    first so the scan side is hits-only."""
+    w = int(window)
+    ws = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    )
+    pos = F.slice(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 1),
+                lambda i: F.when(
+                    F.get("ws", i) == F.lit(term.lower()), i
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        ),
+        1,
+        max_per_doc,
+    )
+    hit = ws.select("doc", "ws", F.explode(pos).alias("pos"))
+    start = F.greatest(F.lit(1), F.col("pos") + 1 - w)
+    end = F.least(F.size("ws"), F.col("pos") + 1 + w)
+    return hit.select(
+        "doc",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("ws", start, end - start + 1), " ").alias("snippet"),
+    )

@@ -6954,3 +6954,56 @@ def q_ranked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_postings(docs, max_df=1_000_000)
     n = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return ranked_query(idx, ["qx", "qy"], n, k=10)
+
+
+@register(
+    "term_snippets",
+    """
+    -- independent SQL reimplementation of the KWIC arithmetic over
+    -- the same planted tails: %6 docs one mid-tail hit, %35 docs
+    -- three hits capped to two, %210 docs both tails in order
+    WITH t AS (
+      SELECT doc_id,
+             lower(text
+               || CASE WHEN doc_id % 6 = 0
+                       THEN ' ctxa ctxb kwsnip ctxc ctxd' ELSE '' END
+               || CASE WHEN doc_id % 35 = 0
+                       THEN ' kwsnip x kwsnip y kwsnip' ELSE '' END) AS tx
+      FROM documents
+    ), w AS (
+      SELECT doc_id, string_split(tx, ' ') AS ws FROM t
+    ), p AS (
+      SELECT doc_id, ws,
+             unnest(list_filter(list_transform(generate_series(1, len(ws)),
+                      i -> CASE WHEN ws[i] = 'kwsnip' THEN i ELSE 0 END),
+                    x -> x > 0)[1:2]) AS ip
+      FROM w
+    )
+    SELECT doc_id AS doc, (ip - 1)::BIGINT AS pos,
+           array_to_string(ws[greatest(1, ip - 3):least(len(ws), ip + 3)],
+                           ' ') AS snippet
+    FROM p
+    """,
+)
+def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC context snippets (operators.relevance.term_snippets) for
+    a planted term: the %6 class puts the hit mid-tail (window spans
+    planted and corpus words), the %35 class repeats it three times
+    so the max_per_doc=2 cap is on the hook, and the %210 overlap
+    carries both tails in order.  The oracle reimplements the
+    position/window arithmetic in SQL over the same text — any
+    off-by-one in offsets, slicing, or the cap flips rows."""
+    from extractor.operators.relevance import term_snippets
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.lit(" ctxa ctxb kwsnip ctxc ctxd"))
+            .otherwise(F.lit("")),
+            F.when(d % 35 == 0, F.lit(" kwsnip x kwsnip y kwsnip"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return term_snippets(docs, "kwsnip", window=3, max_per_doc=2)

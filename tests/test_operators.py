@@ -1940,3 +1940,29 @@ def test_ranked_query_scoring_and_ties(spark):
     assert sorted(got) == [(1, 2, 3), (2, 1, 2), (3, 3, 2)]
     with _pytest.raises(ValueError):
         ranked_query(idx, [], n)
+
+
+def test_term_snippets_window_cap_and_edges(spark):
+    """Window clamping at both document edges, per-doc cap, 0-based
+    offsets and case folding, pinned by hand."""
+    from extractor.operators.relevance import term_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "KW a b c"),            # hit at 0: left edge clamps
+            (2, "a b c kw"),            # hit at 3: right edge clamps
+            (3, "x kw y kw z kw"),      # 3 hits, cap 2
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc"], r["pos"], r["snippet"])
+        for r in term_snippets(docs, "KW", window=2, max_per_doc=2).collect()
+    )
+    assert got == [
+        (1, 0, "kw a b"),
+        (2, 3, "b c kw"),
+        (3, 1, "x kw y kw"),
+        (3, 3, "kw y kw z kw"),
+    ]

@@ -316,7 +316,7 @@ def test_postings_and_churn_plan_shapes(spark):
     filter into the index scan side."""
     for name in ["extraction_churn", "build_postings",
                  "postings_query", "postings_merge", "phrase_query",
-                 "postings_stats", "ranked_query"]:
+                 "postings_stats", "ranked_query", "term_snippets"]:
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
         assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
         assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
