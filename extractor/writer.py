@@ -291,6 +291,15 @@ def read_extracted(
         manifests = [m for m in prefix if m["run_id"] not in replaced]
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {out_dir}")
+    gone = [m["run_id"] for m in manifests if m.get("expired")]
+    if gone:
+        # Loud failure beats silently answering from the wrong data:
+        # an as-of read whose live set includes an expired snapshot
+        # cannot be served (its files are deleted).
+        raise FileNotFoundError(
+            f"snapshot(s) {gone} under {out_dir} were expired by "
+            "expire_snapshots; this as-of point is no longer reachable"
+        )
     return spark.read.parquet(*[m["data"] for m in manifests])
 
 
@@ -408,3 +417,61 @@ def resume_filter(pages: DataFrame, out_dir: str) -> DataFrame:
         return pages
     done = read_extracted(spark, out_dir).select("url")
     return pages.join(done, "url", "left_anti")
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[str]:
+    """Delete REPLACED snapshots' data and lineage files (Iceberg
+    ``expire_snapshots`` analog) — the retention half of table
+    maintenance: :func:`compact_snapshots` keeps replaced snapshots
+    on disk so as-of time travel still reaches them, which on a
+    continuously-compacted table means storage grows with history,
+    not with data.
+
+    The retention unit is an AS-OF POINT, not an individual snapshot
+    (an as-of read at commit P serves the whole live set at P, so
+    deleting any member kills the point): the newest ``keep_last``
+    replaced commit points stay fully readable, and a snapshot
+    expires only when NO retained point and not the live view can
+    reach it.  LIVE snapshots are never touched (they ARE the
+    table).  Returns the expired run_ids (the full expired set — a
+    re-run re-reports and re-sweeps leftovers idempotently).
+
+    Crash discipline: each manifest is atomically rewritten with
+    ``expired: true`` BEFORE its files are removed, and already-
+    expired manifests get their leftover files re-removed on the next
+    run — a crash mid-expire leaks space until then, never
+    correctness.  Time travel to an expired point fails LOUDLY in
+    :func:`read_extracted` rather than silently answering from the
+    wrong snapshots."""
+    import shutil
+
+    cdir = os.path.join(out_dir, "_committed")
+    full = _committed_manifests(out_dir, include_replaced=True)
+    live_now = {m["run_id"] for m in _committed_manifests(out_dir)}
+
+    def live_at(idx: int) -> set[str]:
+        replaced: set[str] = set()
+        for m in full[: idx + 1]:
+            replaced.update(m.get("replaces", []))
+        return {
+            m["run_id"] for m in full[: idx + 1] if m["run_id"] not in replaced
+        }
+
+    replaced_ms = [m for m in full if m["run_id"] not in live_now]
+    needed = set(live_now)
+    retained = replaced_ms[-keep_last:] if keep_last > 0 else []
+    for m in retained:
+        needed |= live_at(next(i for i, f in enumerate(full) if f is m))
+    expired_ids = []
+    for m in replaced_ms:
+        if m["run_id"] in needed:
+            continue
+        if not m.get("expired"):
+            marked = dict(m)
+            marked["expired"] = True
+            _commit_manifest(cdir, m["run_id"], marked)
+        for path in (m.get("data"), m.get("lineage")):
+            if path:
+                shutil.rmtree(path, ignore_errors=True)
+        expired_ids.append(m["run_id"])
+    return expired_ids

@@ -344,3 +344,58 @@ def test_run_extract_strip_templates_flag(spark, tmp_path, monkeypatch):
         assert f"unique article body number {i}" in t
     # the single-page host keeps its banner (min_pages guard)
     assert "COOKIE BANNER" in got["https://other.test/p9.html"]
+
+
+def test_expire_snapshots_retention_and_loud_time_travel(spark, tmp_path):
+    """Retention is prefix-consistent: keep_last retains AS-OF POINTS
+    (whole live sets), expiry removes only snapshots no retained
+    point and not the live view can reach, expired points fail
+    loudly, and re-runs are idempotent re-sweeps."""
+    import os
+
+    import pytest as _pytest
+
+    from extractor.pipeline import run_extraction
+    from extractor.writer import compact_snapshots, expire_snapshots
+
+    out_dir = str(tmp_path / "retained")
+    pages = pages_df(spark, SF_TINY).cache()
+    n_total = pages.count()
+    half = pages.filter(F.col("url") < "https://example-42.test/m")
+    run1 = write_snapshot(run_extraction(spark, half, CFG), out_dir)
+    run2 = write_snapshot(
+        run_extraction(spark, resume_filter(pages, out_dir), CFG), out_dir
+    )
+    crun = compact_snapshots(spark, out_dir, target_partitions=2)
+    # second era: one more append (fresh urls), compacted again
+    run3 = write_snapshot(
+        run_extraction(spark, half, CFG).withColumn(
+            "url", F.concat(F.col("url"), F.lit("#r3"))
+        ),
+        out_dir,
+    )
+    crun2 = compact_snapshots(spark, out_dir, target_partitions=2)
+    assert crun2 is not None
+    n_live = read_extracted(spark, out_dir).count()
+
+    # keep_last=1 retains run3's point: its live set is {crun, run3},
+    # so only the first era (run1, run2) expires
+    gone = expire_snapshots(out_dir, keep_last=1)
+    assert set(gone) == {run1, run2}
+    assert committed_run_ids(out_dir) == [crun2]
+    assert read_extracted(spark, out_dir).count() == n_live
+    assert read_extracted(spark, out_dir, as_of=run3).count() == n_live
+    assert read_extracted(spark, out_dir, as_of=crun).count() == n_total
+    assert not os.path.isdir(os.path.join(out_dir, "snapshots", run1))
+    for dead in (run1, run2):
+        with _pytest.raises(FileNotFoundError, match="expired"):
+            read_extracted(spark, out_dir, as_of=dead)
+    # idempotent re-sweep, then keep_last=0 drops all history
+    assert set(expire_snapshots(out_dir, keep_last=1)) == {run1, run2}
+    assert set(expire_snapshots(out_dir, keep_last=0)) == {
+        run1, run2, crun, run3
+    }
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        read_extracted(spark, out_dir, as_of=run3)
+    # the live table itself is never expired
+    assert read_extracted(spark, out_dir).count() == n_live
