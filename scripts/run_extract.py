@@ -67,6 +67,12 @@ def main() -> int:
                          "after the write — the periodic maintenance a "
                          "continuously-appended table needs; no-op with "
                          "fewer than 2 live snapshots")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    metavar="N",
+                    help="after compaction, expire replaced snapshots "
+                         "(writer.expire_snapshots) keeping the newest N "
+                         "as-of points readable — the retention half of "
+                         "table maintenance (manifest backend only)")
     ap.add_argument("--writer-backend", default="manifest",
                     choices=("manifest", "iceberg"),
                     help="snapshot commit mechanism: the catalog-free "
@@ -141,11 +147,11 @@ def main() -> int:
 
         if not args.iceberg_table:
             raise SystemExit("--writer-backend iceberg requires --iceberg-table")
-        if args.compact_after:
+        if args.compact_after or args.expire_keep_last is not None:
             raise SystemExit(
-                "--compact-after applies only to the manifest backend; "
-                "Iceberg compaction is the catalog's rewrite_data_files "
-                "procedure, not this flag"
+                "--compact-after/--expire-keep-last apply only to the "
+                "manifest backend; Iceberg runs rewrite_data_files and "
+                "expire_snapshots as catalog procedures, not these flags"
             )
         if not _iceberg_catalog_names(spark):
             raise SystemExit(
@@ -242,6 +248,12 @@ def main() -> int:
         folded = compact_snapshots(spark, args.output)
         print(f"compacted into {folded}" if folded else "compaction skipped "
               "(fewer than 2 live snapshots)")
+    if args.expire_keep_last is not None:
+        from extractor.writer import expire_snapshots
+
+        gone = expire_snapshots(args.output, keep_last=args.expire_keep_last)
+        print(f"expired {len(gone)} snapshot(s): {gone}" if gone
+              else "expiry skipped (nothing outside retention)")
     spark.stop()
     return 0
 

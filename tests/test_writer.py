@@ -399,3 +399,41 @@ def test_expire_snapshots_retention_and_loud_time_travel(spark, tmp_path):
         read_extracted(spark, out_dir, as_of=run3)
     # the live table itself is never expired
     assert read_extracted(spark, out_dir).count() == n_live
+
+
+def test_run_extract_expire_flag(spark, tmp_path, monkeypatch, capsys):
+    """--expire-keep-last drives retention from the cluster entrypoint:
+    two appends + compaction + keep_last=0 leaves one live snapshot
+    and no readable history."""
+    import importlib
+    import sys
+
+    import pytest as _pytest
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        run_extract = importlib.import_module("run_extract")
+    finally:
+        sys.path.remove(scripts_dir)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    out_dir = str(tmp_path / "job_out")
+    base = ["run_extract.py", "--input", SF_TINY, "--output", out_dir,
+            "--synthesize"]
+    monkeypatch.setattr(sys, "argv", base)
+    assert run_extract.main() == 0
+    first = committed_run_ids(out_dir)[0]
+    monkeypatch.setattr(
+        sys, "argv", base + ["--compact-after", "--expire-keep-last", "0"]
+    )
+    assert run_extract.main() == 0
+    out = capsys.readouterr().out
+    assert "compacted into" in out and "expired 2 snapshot(s)" in out
+    assert len(committed_run_ids(out_dir)) == 1
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        read_extracted(spark, out_dir, as_of=first)
