@@ -297,29 +297,46 @@ def merge_postings(
     corpus index absorbs it here without ever re-tokenizing history.
 
     The ``max_df`` stopword guard is re-applied at merge time: a term
-    that was rare in each half but common in the union is dropped —
-    exactly how a growing corpus promotes terms to stopwords.  Output
-    schema == build_postings, so merges chain (LSM-style: merge crawl
-    indexes pairwise, compact tiers on whatever cadence write
-    amplification dictates).
+    rare in each half but common in the union is promoted to stopword
+    — exactly how a growing corpus behaves.  Promotion is recorded as
+    a TOMBSTONE row ``(token, df, postings=[])`` rather than by
+    dropping the row: the accumulated df is the promotion's memory,
+    so in a CHAIN of merges a term tombstoned at one tier can never
+    reappear with a partial posting list when a later batch carries
+    it again (dropping the row loses that memory — the resurfaced
+    term would serve only the new batch's postings, silently wrong;
+    caught by the seeded model test).  With tombstones the merge is
+    associative: any merge order yields the same index for the same
+    total corpus.  Query operators are tombstone-transparent (an
+    empty posting list explodes to nothing — the same "stopword is
+    simply not found" contract as build_postings); filter
+    ``size(postings) > 0`` for a serve view that matches one-shot
+    build_postings exactly.
+
+    Output schema == build_postings, so merges chain (LSM-style:
+    merge crawl indexes pairwise, compact tiers on whatever cadence
+    write amplification dictates).
 
     Scale shape: one union + one token groupBy — per-token reduce
     state is flatten + array_sort over lists each side already
-    bounded by its own max_df cut, and the merged cut keeps the
-    output row ≤ ``max_df`` entries.  Cost is O(index size), not
-    O(corpus text): token rows move once, raw text never moves.
-    Skew: a merged-hot token's state is at most 2·max_df entries
-    before the cut drops it — bounded by construction."""
+    bounded by its own cut or tombstoned empty, and the merged cut
+    keeps every output row ≤ ``max_df`` entries.  Cost is O(index
+    size), not O(corpus text): token rows move once, raw text never
+    moves."""
     both = old.select("token", "df", "postings").unionAll(
         new.select("token", "df", "postings")
     )
-    return (
-        both.groupBy("token")
-        .agg(
-            F.sum("df").cast("long").alias("df"),
-            F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
-        )
-        .filter(F.col("df") <= max_df)
+    merged = both.groupBy("token").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+    )
+    empty = F.array().cast("array<struct<doc:bigint,tf:bigint>>")
+    return merged.select(
+        "token",
+        "df",
+        F.when(F.col("df") <= max_df, F.col("postings"))
+        .otherwise(empty)
+        .alias("postings"),
     )
 
 

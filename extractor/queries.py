@@ -6758,7 +6758,11 @@ def q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     half_a = build_postings(docs.filter(d % 2 == 0), max_df=1_000_000)
     half_b = build_postings(docs.filter(d % 2 == 1), max_df=1_000_000)
-    merged = merge_postings(half_a, half_b, max_df=30)
+    # serve view: tombstone rows (stopword memory for chained merges)
+    # carry empty postings; the one-shot oracle has no tombstones
+    merged = merge_postings(half_a, half_b, max_df=30).filter(
+        F.size("postings") > 0
+    )
     return merged.select(
         "token",
         "df",

@@ -1844,8 +1844,11 @@ def test_conjunctive_query_semantics(spark):
 
 def test_merge_postings_lsm_chain_and_recut(spark):
     """Associative chaining: merging three disjoint batch indexes
-    (pairwise, LSM-style) equals the one-shot index, and the
-    merge-time max_df re-cut drops a term each half carried."""
+    (pairwise, LSM-style, intermediate cuts at the SAME threshold)
+    equals the one-shot index on the serve view, the merge-time
+    re-cut promotes a term each batch carried, and the promotion is
+    remembered as a TOMBSTONE (df kept, postings emptied) so a later
+    batch cannot resurface it with a partial list."""
     from extractor.operators.relevance import build_postings, merge_postings
 
     rows = [(i, f"common blk{i // 4}") for i in range(12)]
@@ -1862,11 +1865,18 @@ def test_merge_postings_lsm_chain_and_recut(spark):
             for r in df.collect()
         )
 
-    got, want = canon(merged), canon(one_shot)
-    assert got == want
+    got = canon(merged.filter(F.size("postings") > 0))
+    assert got == canon(one_shot)
     toks = {t for t, _, _ in got}
-    assert "common" not in toks        # df 12 > 8: re-cut at merge
+    assert "common" not in toks        # df 12 > 8: promoted at merge
     assert "blk0" in toks              # df 4: survives everywhere
+    # the promotion is a tombstone with the full accumulated df —
+    # "common" hit the cut at the FIRST merge (df 8 is kept; it
+    # crosses only when batch 2 joins), and the final row remembers
+    # the total
+    tomb = {r["token"]: r["df"] for r in
+            merged.filter(F.size("postings") == 0).collect()}
+    assert tomb == {"common": 12}
 
 
 def test_phrase_query_positions_and_overlaps(spark):
@@ -1966,3 +1976,48 @@ def test_term_snippets_window_cap_and_edges(spark):
         (3, 1, "x kw y kw"),
         (3, 3, "kw y kw z kw"),
     ]
+
+
+def test_build_postings_matches_naive_model_seeded(spark):
+    """Seeded randomized cross-check against an independent in-memory
+    model (Counter per token), including the df cut — and a random
+    3-way batch split folded through merge_postings must equal the
+    one-shot index over the same corpus."""
+    import random
+    from collections import Counter, defaultdict
+
+    from extractor.operators.relevance import build_postings, merge_postings
+
+    rnd = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 6))))
+        for i in range(40)
+    ]
+    tf: dict[str, Counter] = defaultdict(Counter)
+    for i, t in rows:
+        for w in t.split(" "):
+            if w:
+                tf[w][i] += 1
+    max_df = 4
+    want = sorted(
+        (tok, len(c), [(d, c[d]) for d in sorted(c)])
+        for tok, c in tf.items()
+        if len(c) <= max_df
+    )
+
+    def canon(df):
+        return sorted(
+            (r["token"], r["df"], [(p["doc"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert canon(build_postings(docs, max_df=max_df)) == want
+
+    batches = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    idxs = [build_postings(b, max_df=1_000) for b in batches]
+    merged = merge_postings(
+        merge_postings(idxs[0], idxs[1], max_df=max_df), idxs[2], max_df=max_df
+    ).filter(F.size("postings") > 0)
+    assert canon(merged) == want
