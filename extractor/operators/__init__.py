@@ -21,9 +21,14 @@
                     content moves, redirect resolution (pointer
                     doubling), soft-404 gate, recrawl priority,
                     sitemap fetch decisions, mirror-host detection,
-                    per-crawl novelty, canonical-URL consolidation
+                    per-crawl novelty, canonical-URL consolidation,
+                    extraction A/B churn canary
 * ``relevance``   — integer TF-IDF keyterms, inbound anchor-text
-                    profiles, exact-anchor spam concentration
+                    profiles, exact-anchor spam concentration,
+                    inverted-index build / LSM merge with stopword
+                    tombstones / streaming fold, conjunctive +
+                    phrase + ranked retrieval, KWIC snippets, df
+                    histogram index stats
 * ``funnel``      — K-step ordered funnels, retention cohorts
 * ``textstats``   — language-ID, quality scoring (Gopher rules,
                     unigram surprisal, CCNet terciles), token
