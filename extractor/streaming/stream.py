@@ -417,3 +417,97 @@ def streaming_index_maintenance(
         write_snapshot(idx, index_dir, key_col="token")
 
     return handle
+
+
+def streaming_crawl_pipeline(
+    pages_stream: DataFrame,
+    cls_dir: str,
+    digest_dir: str,
+    results_dir: str,
+    index_dir: str,
+    cfg=None,
+    url_col: str = "url",
+    payload_col: str = "html",
+    batch_max_df: int = 1_000_000_000,
+):
+    """The production crawl topology as ONE foreachBatch handler —
+    the composition the individual bridges exist for, in stage order:
+
+    1. membership gate FIRST, on raw payload bytes
+       (incremental_exact_dedup over md5(html) — re-crawls and
+       mirrors never reach extraction).  Byte-identical payloads
+       collapse to ONE representative regardless of url — including
+       quarantine classes (every empty capture shares a digest), so
+       the results table holds one row per distinct payload and the
+       cls table remembers every url's disposition; classifications
+       snapshot-committed to ``cls_dir`` (the batch's decision
+       record);
+    2. extraction of the ``new`` rows only (run_extraction — the
+       same batch stages the spark-submit job runs);
+    3. extracted results snapshot-committed to ``results_dir``;
+    4. digest index advanced (``commit_digests``) — AFTER the
+       results commit, so a crash between them replays the batch
+       against an unchanged index: results/classifications append a
+       second time (at-least-once; compact_snapshots with
+       dedupe_on=['url'] / ['id'] is the repair, as everywhere), but
+       nothing is ever lost or mis-gated;
+    5. per-batch postings appended to ``index_dir`` over the
+       successful html markdown (read via read_postings_index, which
+       repairs replays on fold — no ordering constraint at all).
+
+    Index doc ids are ``xxhash64(url)`` (postings doc columns are
+    longs; the hash is deterministic across batches and engines,
+    collision odds 2^-64 — record the (url, doc_id) mapping from the
+    results table when reverse lookup matters).
+
+    Returns the handler for ``stream.writeStream.foreachBatch(...)``.
+    """
+    from extractor.config import ExtractConfig
+    from extractor.operators.incremental import (
+        commit_digests,
+        incremental_exact_dedup,
+    )
+    from extractor.operators.relevance import build_postings
+    from extractor.pipeline import run_extraction
+    from extractor.writer import write_snapshot
+
+    cfg = cfg or ExtractConfig()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cls = incremental_exact_dedup(
+            batch_df,
+            digest_dir,
+            id_col=url_col,
+            text_col=payload_col,
+            commit=False,
+        ).localCheckpoint(eager=True)
+        write_snapshot(cls, cls_dir, key_col="id")
+        new_urls = cls.filter(F.col("status") == "new").select(
+            F.col("id").alias(url_col)
+        )
+        fresh = batch_df.join(new_urls, url_col)
+        if not fresh.isEmpty():
+            extracted = run_extraction(spark, fresh, cfg).localCheckpoint(
+                eager=True
+            )
+            write_snapshot(extracted, results_dir)
+        commit_digests(
+            cls.filter(F.col("status") == "new").select("digest", "id"),
+            digest_dir,
+        )
+        if fresh.isEmpty():
+            return
+        docs = extracted.filter(
+            (F.col("doc_type") == "html") & F.col("success")
+        ).select(F.xxhash64(url_col).alias("doc_id"), "text")
+        if not docs.isEmpty():
+            write_snapshot(
+                build_postings(docs, max_df=batch_max_df),
+                index_dir,
+                key_col="token",
+            )
+
+    return handle

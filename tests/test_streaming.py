@@ -558,3 +558,100 @@ def test_streaming_index_maintenance_matches_one_shot(spark, tmp_path):
     # crash replay: re-append one batch's rows; the fold must not move
     handler(docs.filter(F.col("doc_id") % 2 == 0), 99)
     assert canon(read_postings_index(spark, index_dir, max_df=30)) == one_shot
+
+
+def test_streaming_crawl_pipeline_topology(spark, tmp_path):
+    """The whole crawl topology through one foreachBatch: the gate
+    stops a cross-batch mirror before extraction, results are
+    byte-identical to the batch pipeline over the unique pages, and
+    the folded index equals one-shot postings over the extracted
+    markdown."""
+    from extractor.config import ExtractConfig
+    from extractor.operators.relevance import build_postings, read_postings_index
+    from extractor.pipeline import run_extraction
+    from extractor.streaming.stream import streaming_crawl_pipeline
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+    from extractor.writer import read_extracted
+
+    pages = pages_df(spark, SF_TINY).cache()
+    # cross-batch mirror: batch-2 url, byte-identical batch-1 payload
+    mirror = pages.filter(F.col("url") < "https://example-42.test/b").limit(2).select(
+        F.concat(F.lit("https://zzz-mirror.test/"), F.md5("url")).alias("url"),
+        *[c for c in pages.columns if c != "url"],
+    )
+    b1 = pages.filter(F.col("url") < "https://example-42.test/m")
+    b2 = pages.subtract(b1).unionByName(mirror)
+    src = str(tmp_path / "pages_src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    dirs = {k: str(tmp_path / k) for k in ("cls", "dig", "res", "idx")}
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_crawl_pipeline(
+                stream, dirs["cls"], dirs["dig"], dirs["res"], dirs["idx"],
+                cfg=cfg,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # the mirror was classified, not extracted
+    cls = {r["id"]: r["status"]
+           for r in read_extracted(spark, dirs["cls"]).collect()}
+    mirror_urls = [r["url"] for r in mirror.collect()]
+    assert all(cls[u] == "dup_of_history" for u in mirror_urls)
+    got = read_extracted(spark, dirs["res"])
+    assert got.filter(F.col("url").isin(mirror_urls)).count() == 0
+
+    # results byte-identical to the batch pipeline over the DIGEST-
+    # UNIQUE pages (the gate collapses byte-identical payloads — all
+    # empty/oversize quarantine pages share one digest, so exactly
+    # one representative per digest is extracted: first batch wins,
+    # min url within it)
+    seen: set = set()
+    expected_urls: set = set()
+    for b in (b1, b2):
+        firsts: dict = {}
+        for r in sorted(
+            b.select("url", F.md5("html").alias("d")).collect(),
+            key=lambda r: r["url"],
+        ):
+            if r["d"] not in seen and r["d"] not in firsts:
+                firsts[r["d"]] = r["url"]
+        expected_urls.update(firsts.values())
+        seen.update(firsts)
+    uniq = b1.unionByName(b2).filter(
+        F.col("url").isin(sorted(expected_urls))
+    )
+    want = run_extraction(spark, uniq, cfg)
+    g = {(r["url"], r["text"], r["success"]) for r in
+         got.select("url", "text", "success").collect()}
+    w = {(r["url"], r["text"], r["success"]) for r in
+         want.select("url", "text", "success").collect()}
+    assert g == w
+
+    # folded index == one-shot postings over the extracted markdown
+    # (want is already the digest-unique extraction)
+    docs = want.filter((F.col("doc_type") == "html") & F.col("success")).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+
+    def canon(df):
+        return sorted(
+            (r["token"], r["df"], [(p["doc"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        )
+
+    assert canon(read_postings_index(spark, dirs["idx"], max_df=10**9)) == canon(
+        build_postings(docs, max_df=10**9)
+    )
