@@ -142,6 +142,9 @@ HEADLINE_QUERIES = [
     "postings_stats",
     "ranked_query",
     "term_snippets",
+    # r4 continuation 5
+    "cdx_roundtrip",
+    "cdx_lookup",
 ]
 
 

@@ -7011,3 +7011,180 @@ def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return term_snippets(docs, "kwsnip", window=3, max_per_doc=2)
+
+
+# ---------------------------------------------------------------------------
+# Sources — crawl URL index (CDXJ)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdx_roundtrip",
+    """
+    -- expected rows restated by CLASS ARITHMETIC (never by re-running
+    -- the engine): mixed-case host/path classes must fold to one SURT,
+    -- the %13 path-less class keys at ')/' , the %4 class keeps its
+    -- (lowercased) query
+    SELECT 'org,site' || (doc_id % 37)::VARCHAR || ',www)' ||
+           CASE WHEN doc_id % 13 = 0 THEN '/'
+                WHEN doc_id % 4 = 0
+                  THEN '/docs/' || doc_id::VARCHAR || '?page='
+                       || (doc_id % 7)::VARCHAR
+                ELSE '/docs/' || doc_id::VARCHAR END AS surt,
+           '202506' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+             || '0000' || lpad((doc_id % 60)::VARCHAR, 2, '0') AS ts14,
+           'https://' ||
+           CASE WHEN doc_id % 5 = 0
+                THEN 'WWW.Site' || (doc_id % 37)::VARCHAR || '.ORG'
+                ELSE 'www.site' || (doc_id % 37)::VARCHAR || '.org' END ||
+           CASE WHEN doc_id % 13 = 0 THEN ''
+                WHEN doc_id % 4 = 0
+                  THEN '/Docs/' || doc_id::VARCHAR || '?Page='
+                       || (doc_id % 7)::VARCHAR
+                ELSE '/Docs/' || doc_id::VARCHAR END AS url,
+           CASE WHEN doc_id % 7 = 0 THEN 'application/pdf'
+                ELSE 'text/html' END AS mime,
+           CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS http_status,
+           md5(text) AS digest,
+           n_chars AS n_bytes
+    FROM documents
+    """,
+)
+def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ URL-index export + re-ingest (sources.cdx): captures →
+    ``to_cdxj_records`` (SURT key + ts14 + one ``to_json`` per row) →
+    range-partitioned sorted text write (the archive's global sort,
+    produced distributively — ``repartitionByRange`` +
+    ``sortWithinPartitions``, no single reducer) → ``read_cdx``
+    (newline-splittable scan, two ``substring_index`` cuts + ONE
+    ``from_json``).  The oracle restates SURT, timestamp and every
+    JSON field from class arithmetic, so a green row proves key
+    derivation (case fold, host reversal, path-less '/', query keep),
+    JSON escaping, and the sorted write all survive the file
+    round-trip byte-exactly."""
+    import tempfile
+
+    from extractor.sources.cdx import read_cdx, to_cdxj_records
+
+    d = F.col("doc_id")
+    h = (d % 37).cast("string")
+    host = F.when(d % 5 == 0, F.concat(F.lit("WWW.Site"), h, F.lit(".ORG"))).otherwise(
+        F.concat(F.lit("www.site"), h, F.lit(".org"))
+    )
+    path = (
+        F.when(d % 13 == 0, F.lit(""))
+        .when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("/Docs/"), d.cast("string"),
+                F.lit("?Page="), (d % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/Docs/"), d.cast("string")))
+    )
+    caps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        F.concat(
+            F.lit("202506"),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+            F.lit("0000"),
+            F.lpad((d % 60).cast("string"), 2, "0"),
+        ).alias("ts14"),
+        F.when(d % 7 == 0, "application/pdf").otherwise("text/html").alias("mime"),
+        F.when(d % 17 == 0, 404).otherwise(200).alias("http_status"),
+        F.md5(F.col("text")).alias("digest"),
+        F.col("n_chars").alias("n_bytes"),
+    )
+    out = tempfile.mkdtemp(prefix="cdx_rt_") + "/index"
+    (
+        to_cdxj_records(caps)
+        .repartitionByRange(4, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return read_cdx(spark, out).select(
+        "surt", "ts14", "url", "mime", "http_status", "digest", "n_bytes"
+    )
+
+
+@register(
+    "cdx_lookup",
+    """
+    -- the host 'www.site7.test' owns the doc_id % 37 = 7 class; each
+    -- doc has (doc_id % 3) + 1 captures (one per crawl day), each with
+    -- a distinct digest — the lookup returns the per-url capture count
+    -- and the LATEST capture's (ts14, digest)
+    SELECT 'https://www.site7.test/docs/' || doc_id::VARCHAR AS url,
+           ((doc_id % 3) + 1)::BIGINT AS n_captures,
+           '2025060' || ((doc_id % 3) + 1)::VARCHAR || '000000'
+             AS latest_ts14,
+           md5(text || (doc_id % 3)::VARCHAR) AS latest_digest
+    FROM documents
+    WHERE doc_id % 37 = 7
+    """,
+)
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host lookup over a freshly built CDXJ index
+    (sources.cdx.cdx_host_lookup): the query is a SURT key-prefix
+    ``startswith`` — codegen'd filter, no join against the capture
+    table, and against a range-partitioned index layout it prunes to
+    one partition's files.  Capture history consolidates with the
+    engine's latest-capture shape (one ``max(struct(ts14, digest))``
+    aggregate — crawl.latest_snapshot's constant-state reduce, no
+    window over a hot URL's history).  The oracle re-derives count,
+    latest timestamp and latest digest from class arithmetic."""
+    import tempfile
+
+    from extractor.sources.cdx import cdx_host_lookup, read_cdx, to_cdxj_records
+
+    d = F.col("doc_id")
+    caps = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), (d % 3).cast("int"))).alias("crawl"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://www.site"),
+                (d % 37).cast("string"),
+                F.lit(".test/docs/"),
+                d.cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("2025060"),
+                (F.col("crawl") + 1).cast("string"),
+                F.lit("000000"),
+            ).alias("ts14"),
+            F.lit("text/html").alias("mime"),
+            F.lit(200).alias("http_status"),
+            F.md5(F.concat(F.col("text"), F.col("crawl").cast("string"))).alias(
+                "digest"
+            ),
+            F.col("n_chars").alias("n_bytes"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="cdx_lk_") + "/index"
+    (
+        to_cdxj_records(caps)
+        .repartitionByRange(4, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    idx = read_cdx(spark, out)
+    latest = F.max(F.struct(F.col("ts14"), F.col("digest"))).alias("latest")
+    return (
+        cdx_host_lookup(idx, "www.site7.test")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_captures"), latest)
+        .select(
+            "url",
+            "n_captures",
+            F.col("latest.ts14").alias("latest_ts14"),
+            F.col("latest.digest").alias("latest_digest"),
+        )
+    )

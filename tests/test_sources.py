@@ -636,3 +636,147 @@ def test_wat_stream_equals_batch(spark, tmp_path):
         for r in read_wat(spark, str(d)).collect()
     }
     assert srows == brows and len(brows) == 3
+
+
+# ---------------------------------------------------------------------------
+# CDXJ URL index (sources/cdx.py)
+# ---------------------------------------------------------------------------
+
+
+def _cdx_fixture_df(spark):
+    return spark.createDataFrame(
+        [
+            ("https://WWW.Example.ORG/Path/One?Q=3", "20250601000000",
+             "text/html", 200, "sha1:AAA", 123),
+            ("https://example.org", "20250601000001", "text/html", 404,
+             "sha1:BBB", 7),
+            ("https://cdn.site2.test/img.PNG", "20250601000002",
+             "image/png", 200, "sha1:CCC", 55),
+            # JSON-escaping hook: a url with quotes-adjacent chars
+            ('https://example.org/a"b', "20250601000003", "text/html",
+             200, "sha1:DDD", 9),
+        ],
+        "url string, ts14 string, mime string, http_status int, "
+        "digest string, n_bytes long",
+    )
+
+
+def test_cdx_surt_key_folding(spark):
+    """SURT derivation corners: case fold (host AND path), host dot
+    reversal, path-less url keys at ')/', query kept (lowercased)."""
+    from extractor.sources.cdx import surt_key
+
+    df = _cdx_fixture_df(spark).select("url", surt_key("url").alias("surt"))
+    got = {r.url: r.surt for r in df.collect()}
+    assert got["https://WWW.Example.ORG/Path/One?Q=3"] == (
+        "org,example,www)/path/one?q=3"
+    )
+    assert got["https://example.org"] == "org,example)/"
+    assert got["https://cdn.site2.test/img.PNG"] == "test,site2,cdn)/img.png"
+
+
+def test_cdx_writer_reader_roundtrip(spark, tmp_path):
+    """File round-trip through the range-partitioned sorted write:
+    every field (incl. a JSON-escaped url) survives byte-exactly;
+    lines within each part file come out key-sorted."""
+    from extractor.sources.cdx import read_cdx, to_cdxj_records
+
+    out = str(tmp_path / "index")
+    (
+        to_cdxj_records(_cdx_fixture_df(spark))
+        .repartitionByRange(2, "value")
+        .sortWithinPartitions("value")
+        .write.text(out)
+    )
+    back = read_cdx(spark, out)
+    rows = {
+        (r.url, r.ts14, r.mime, r.http_status, r.digest, r.n_bytes)
+        for r in back.collect()
+    }
+    assert ('https://example.org/a"b', "20250601000003", "text/html", 200,
+            "sha1:DDD", 9) in rows
+    assert len(rows) == 4
+    # sorted-layout property: each part file is internally key-ordered
+    import glob
+
+    for part in glob.glob(out + "/part-*"):
+        with open(part) as fh:
+            keys = [ln.split(" ", 1)[0] for ln in fh if ln.strip()]
+        assert keys == sorted(keys)
+
+
+def test_cdx_malformed_lines_drop_not_kill(spark, tmp_path):
+    """Index corruption is row-level: truncated / non-JSON / url-less
+    lines drop; intact rows survive."""
+    from extractor.sources.cdx import read_cdx
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "idx.cdxj").write_text(
+        'org,ok)/a 20250601000000 {"url":"https://ok.org/a","mime":"text/html",'
+        '"status":"200","digest":"sha1:X","length":"5"}\n'
+        "org,trunc)/b 20250601000001\n"
+        "org,nojson)/c 20250601000002 not-a-json-dict\n"
+        'org,nourl)/d 20250601000003 {"mime":"text/html","status":"200"}\n'
+        "\n",
+        encoding="utf-8",
+    )
+    rows = read_cdx(spark, str(p)).collect()
+    assert [r.url for r in rows] == ["https://ok.org/a"]
+    assert rows[0].http_status == 200 and rows[0].n_bytes == 5
+
+
+def test_cdx_scan_is_splittable_and_python_free(spark, tmp_path):
+    """The reader is a plain text FileScan + expressions: no Python
+    eval anywhere in the plan (the per-record path stays JVM-side)."""
+    from extractor.sources.cdx import read_cdx, to_cdxj_records
+
+    out = str(tmp_path / "index")
+    to_cdxj_records(_cdx_fixture_df(spark)).write.text(out)
+    plan = read_cdx(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdx_host_lookup_prefix_semantics(spark, tmp_path):
+    """Host lookup matches the host exactly at the key grain: a
+    sibling host sharing a string prefix (site2 vs site22) must NOT
+    leak into the result — the ')' terminator in the prefix guards it."""
+    from extractor.sources.cdx import cdx_host_lookup, read_cdx, to_cdxj_records
+
+    df = spark.createDataFrame(
+        [
+            ("https://site2.test/a", "20250601000000", "text/html", 200, "d1", 1),
+            ("https://site22.test/b", "20250601000001", "text/html", 200, "d2", 2),
+            ("https://site2.test/c", "20250601000002", "text/html", 200, "d3", 3),
+        ],
+        "url string, ts14 string, mime string, http_status int, "
+        "digest string, n_bytes long",
+    )
+    out = str(tmp_path / "index")
+    to_cdxj_records(df).write.text(out)
+    got = {r.url for r in cdx_host_lookup(read_cdx(spark, out), "SITE2.test").collect()}
+    assert got == {"https://site2.test/a", "https://site2.test/c"}
+
+
+def test_cdx_stream_equals_batch(spark, tmp_path):
+    """Streaming CDX ingest (index shards landing in a drop dir) emits
+    exactly the batch reader's rows — shared parse_cdx_records."""
+    from extractor.sources.cdx import read_cdx, read_cdx_stream, to_cdxj_records
+
+    out = str(tmp_path / "drop")
+    to_cdxj_records(_cdx_fixture_df(spark)).repartition(3).write.text(out)
+    stream = read_cdx_stream(spark, out, max_files=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdx_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        tuple(r) for r in spark.sql("select * from cdx_stream_t").collect()
+    }
+    brows = {tuple(r) for r in read_cdx(spark, out).collect()}
+    assert srows == brows and len(brows) == 4
