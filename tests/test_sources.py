@@ -589,10 +589,12 @@ def test_wat_skips_warcinfo_and_feeds_graph(spark, tmp_path):
     # prepend a warcinfo record to one part file (drop the stale
     # Hadoop checksum sibling so the local FS re-reads the edit)
     part = next(p for p in out.iterdir() if p.name.startswith("part-"))
-    part.write_text(
-        "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Filename: seg\r\n\r\n"
-        "software: testgen\r\n\r\n" + part.read_text(encoding="utf-8"),
-        encoding="utf-8",
+    # byte-level prepend: read_text/write_text would universal-newline
+    # translate the existing records' CRLF framing to LF and corrupt
+    # whichever record shares the edited file (flaked by iterdir order)
+    part.write_bytes(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Filename: seg\r\n\r\n"
+        b"software: testgen\r\n\r\n" + part.read_bytes()
     )
     crc = part.parent / f".{part.name}.crc"
     if crc.exists():
