@@ -145,6 +145,7 @@ HEADLINE_QUERIES = [
     # r4 continuation 5
     "cdx_roundtrip",
     "cdx_lookup",
+    "bigram_surprisal",
 ]
 
 

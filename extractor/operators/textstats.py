@@ -257,3 +257,70 @@ def quality_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bigram_surprisal(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Integer-exact CONDITIONAL bigram fluency scoring — one model
+    order up from :func:`unigram_surprisal`, the same engine shape as
+    CCNet's LM-perplexity filter (Wenzek et al. 2020 §4.2): per-pair
+    surprisal is the inverse conditional probability
+    ``count_prefix(w1) div count(w1, w2)`` (how unexpected w2 is AFTER
+    w1 — floor division keeps every compared value an integer), and
+    the per-document score is the floored mean over its bigrams.
+    Unigram scoring cannot see scrambled word ORDER (a bag-of-words
+    permutation scores identically); conditional bigrams do — shuffled
+    text lands on rare transitions and scores high, which is exactly
+    the gibberish/boilerplate axis the quality cut thresholds on.
+
+    Scale shape: one explode to (w1, w2) pairs → bigram-count
+    aggregate (map-side partials — the only corpus-wide shuffle; rows
+    are (token, token, long), never text).  Prefix counts DERIVE from
+    the bigram counts (``groupBy(w1).sum`` over the already-reduced
+    vocabulary-sized table — occurrences of w1 as a non-final token),
+    so no second pass over the corpus.  Per-bigram surprisal is
+    computed once per bigram TYPE on the count table, then one
+    equi-join back to the exploded pairs and a per-doc sum.  Documents
+    with fewer than two tokens have no bigram and contribute no row
+    (stated contract, mirrored by the oracle).
+
+    Returns (doc_id, n_bigrams, surprisal_sum, mean_surprisal)."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+
+    ws = words_of(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bgs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        cb.join(
+            cb.groupBy("w1").agg(F.sum("cb").alias("cp")), "w1"
+        ).select("w1", "w2", F.expr("cp div cb").alias("s"))
+    )
+    return (
+        bgs.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprisal_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_sum",
+            F.expr("surprisal_sum div n_bigrams").cast("long").alias(
+                "mean_surprisal"
+            ),
+        )
+    )

@@ -7188,3 +7188,46 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("latest.digest").alias("latest_digest"),
         )
     )
+
+
+@register(
+    "bigram_surprisal",
+    """
+    -- conditional bigram surprisal, integer-exact: per-pair
+    -- cp(w1) // cb(w1,w2), per-doc floored mean; docs with < 2
+    -- tokens contribute no row
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, length(ws) - 1)) AS i
+      ) g
+      WHERE length(ws) >= 2
+    ), cb AS (
+      SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), cp AS (
+      SELECT w1, sum(cb) AS cp FROM cb GROUP BY 1
+    ), s AS (
+      SELECT w1, w2, cp // cb AS s FROM cb JOIN cp USING (w1)
+    ), pd AS (
+      SELECT bg.doc_id, count(*) AS nb, sum(s.s) AS ss
+      FROM bg JOIN s USING (w1, w2) GROUP BY 1
+    )
+    SELECT doc_id, nb::BIGINT AS n_bigrams, ss::BIGINT AS surprisal_sum,
+           (ss // nb)::BIGINT AS mean_surprisal
+    FROM pd
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram fluency scoring
+    (operators.textstats.bigram_surprisal) — one LM order above
+    unigram_surprisal, sensitive to word ORDER (a scrambled document
+    lands on rare transitions and scores high, where a bag-of-words
+    unigram score cannot move).  One bigram-count shuffle (map-side
+    partials, (token, token, long) rows); prefix counts derive from
+    the already-reduced count table, so the corpus is tokenized
+    exactly once."""
+    from extractor.operators.textstats import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir).select("doc_id", "text"))

@@ -2021,3 +2021,53 @@ def test_build_postings_matches_naive_model_seeded(spark):
         merge_postings(idxs[0], idxs[1], max_df=max_df), idxs[2], max_df=max_df
     ).filter(F.size("postings") > 0)
     assert canon(merged) == want
+
+
+def test_bigram_surprisal_naive_equivalence_and_order_sensitivity(spark):
+    """Seeded naive equivalence for the conditional bigram scoring,
+    plus the property unigram scoring cannot have: documents with the
+    SAME word multiset but scrambled order score strictly higher than
+    the fluent originals.  Docs with < 2 tokens contribute no row."""
+    import random
+
+    from extractor.operators.textstats import bigram_surprisal
+
+    rng = random.Random(7)
+    sentence = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = []
+    for i in range(30):
+        words = sentence * 4
+        if i % 3 == 0:  # scrambled class: same multiset, broken order
+            words = words[:]
+            rng.shuffle(words)
+        docs.append((i, " ".join(words)))
+    docs.append((100, "solo"))  # single token → no bigram → no row
+    docs.append((101, ""))  # empty → one empty token → no row
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    cb: dict = {}
+    for _, t in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    cp: dict = {}
+    for (a, _), c in cb.items():
+        cp[a] = cp.get(a, 0) + c
+    want = {}
+    for i, t in docs:
+        ws = t.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        s = sum(cp[a] // cb[(a, b)] for a, b in pairs)
+        want[i] = (len(pairs), s, s // len(pairs))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_sum"], r["mean_surprisal"])
+        for r in bigram_surprisal(df).collect()
+    }
+    assert got == want
+    assert 100 not in got and 101 not in got
+    scrambled = [v[2] for k, v in got.items() if k < 100 and k % 3 == 0]
+    fluent = [v[2] for k, v in got.items() if k < 100 and k % 3 != 0]
+    assert min(scrambled) > max(fluent)
