@@ -146,6 +146,7 @@ HEADLINE_QUERIES = [
     "cdx_roundtrip",
     "cdx_lookup",
     "bigram_surprisal",
+    "host_hits",
 ]
 
 

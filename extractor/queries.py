@@ -7231,3 +7231,113 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.operators.textstats import bigram_surprisal
 
     return bigram_surprisal(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+# One HITS iteration, unrolled for the oracle: auth from previous
+# hubs, L1-normalize, hubs from the NEW auths, L1-normalize — all
+# integer floor arithmetic, bit-identical to operators.webgraph.
+# hits_int.
+_HITS_ITER_SQL = """
+    ar{K} AS (
+      SELECT e.dst AS node, sum(e.w * h.hub) AS raw
+      FROM wedges e JOIN h{PREV} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{K} AS (
+      SELECT n.node,
+             coalesce(m.raw, 0) * 1000000 //
+               greatest((SELECT coalesce(sum(raw), 1) FROM ar{K}), 1) AS auth
+      FROM nodes n LEFT JOIN ar{K} m ON m.node = n.node
+    ),
+    hr{K} AS (
+      SELECT e.src AS node, sum(e.w * a.auth) AS raw
+      FROM wedges e JOIN a{K} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{K} AS (
+      SELECT n.node,
+             coalesce(m.raw, 0) * 1000000 //
+               greatest((SELECT coalesce(sum(raw), 1) FROM hr{K}), 1) AS hub
+      FROM nodes n LEFT JOIN hr{K} m ON m.node = n.node
+    )
+"""
+
+
+@register(
+    "host_hits",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id, 'h' || (doc_id % 7) || '.example-42.test' AS shost
+      FROM documents
+    ),
+    edges0 AS (
+      SELECT shost AS src,
+             'h' || ((doc_id + 1) % 7) || '.example-42.test' AS dst
+      FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 2) % 7) || '.example-42.test'
+      FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 3) % 7) || '.example-42.test'
+      FROM hosts
+      UNION ALL
+      -- a pure-hub directory host: links out, nothing links to it
+      SELECT 'dir.example-42.test', shost FROM hosts WHERE doc_id % 13 = 0
+      UNION ALL
+      -- a pure-authority host: everything cites it, it links nowhere
+      SELECT shost, 'wiki.example-42.test' FROM hosts WHERE doc_id % 17 = 0
+    ),
+    wedges AS (SELECT src, dst, count(*) AS w FROM edges0 GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+    {_HITS_ITER_SQL.format(K=1, PREV=0)},
+    {_HITS_ITER_SQL.format(K=2, PREV=1)}
+    SELECT a2.node, a2.auth::BIGINT AS auth, h2.hub::BIGINT AS hub
+    FROM a2 JOIN h2 USING (node)
+    """,
+)
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph HITS (operators.webgraph.hits_int): the hub/
+    authority split over the same 7-host synthetic graph as
+    host_pagerank, extended with a pure-hub directory host (out-edges
+    only — must end with auth exactly 0) and a pure-authority wiki
+    host (in-edges only — hub exactly 0).  The roles PageRank cannot
+    separate: a page's citedness vs its curation quality.  The oracle
+    unrolls both L1-normalized half-steps ×2 in integer floor
+    arithmetic — any drift in the join order, multiplicity weighting
+    or normalization flips every rank."""
+    from extractor.operators.webgraph import hits_int
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+
+    def h(j: int):
+        return F.concat(
+            F.lit("h"), ((d + j) % 7).cast("string"), F.lit(".example-42.test")
+        )
+
+    shost = h(0)
+    edges = (
+        docs.select(
+            F.explode(
+                F.array(
+                    F.struct(shost.alias("src"), h(1).alias("dst")),
+                    F.struct(shost.alias("src"), h(2).alias("dst")),
+                    F.struct(shost.alias("src"), h(3).alias("dst")),
+                    F.struct(
+                        F.when(d % 13 == 0, F.lit("dir.example-42.test")).alias(
+                            "src"
+                        ),
+                        shost.alias("dst"),
+                    ),
+                    F.struct(
+                        shost.alias("src"),
+                        F.when(d % 17 == 0, F.lit("wiki.example-42.test")).alias(
+                            "dst"
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    return hits_int(edges, iterations=2)

@@ -2071,3 +2071,47 @@ def test_bigram_surprisal_naive_equivalence_and_order_sensitivity(spark):
     scrambled = [v[2] for k, v in got.items() if k < 100 and k % 3 == 0]
     fluent = [v[2] for k, v in got.items() if k < 100 and k % 3 != 0]
     assert min(scrambled) > max(fluent)
+
+
+def test_hits_int_naive_equivalence_and_roles(spark):
+    """Integer HITS equals a driver-side replay of the exact same
+    floor recurrence on a hand graph with distinct roles: a pure hub
+    (out-edges only) ends with auth 0, a pure authority (in-edges
+    only) ends with hub 0, and the better-cited authority outranks
+    the lesser one.  A duplicate edge must count with multiplicity."""
+    from collections import Counter
+
+    from extractor.operators.webgraph import hits_int
+
+    edge_list = [
+        ("p1", "a1"), ("p1", "a2"), ("p1", "a3"),
+        ("p2", "a1"), ("p2", "a1"),  # multi-edge: weight 2
+        ("p2", "a2"),
+        ("m1", "p1"),  # p1 is both hub and (minor) authority
+    ]
+    scale, iters = 10**6, 3
+    w = Counter(edge_list)
+    nodes = sorted({u for u, _ in w} | {v for _, v in w})
+    hub = {n: scale for n in nodes}
+    for _ in range(iters):
+        araw = {n: 0 for n in nodes}
+        for (u, v), wt in w.items():
+            araw[v] += wt * hub[u]
+        atot = max(sum(araw.values()), 1)
+        auth = {n: araw[n] * scale // atot for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for (u, v), wt in w.items():
+            hraw[u] += wt * auth[v]
+        htot = max(sum(hraw.values()), 1)
+        hub = {n: hraw[n] * scale // htot for n in nodes}
+
+    df = spark.createDataFrame(edge_list, "src: string, dst: string")
+    got = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in hits_int(df, iterations=iters).collect()
+    }
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+    assert got["p2"][0] == 0  # pure hub: no in-edges → auth 0
+    assert got["a1"][1] == 0  # pure authority: no out-edges → hub 0
+    assert got["a1"][0] > got["a3"][0]  # more hub endorsement → more auth
+    assert got["p1"][1] > 0 and got["p2"][1] > 0
