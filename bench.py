@@ -147,6 +147,7 @@ HEADLINE_QUERIES = [
     "cdx_lookup",
     "bigram_surprisal",
     "host_hits",
+    "dup_span_strip",
 ]
 
 

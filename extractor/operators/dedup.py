@@ -1209,3 +1209,101 @@ def top_duplicated_ngrams(
         F.col("value")["ngram"].alias("ngram"),
         (-F.col("value")["neg"]).cast("long").alias("n_docs"),
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document duplicated spans from each document —
+    the SURGERY half of the ExactSubstr signal
+    (:func:`duplicated_span_stats` measures it; Lee et al. 2022 strip
+    it): license blocks, nav chrome and syndication banners that
+    document-level dedup keeps because the host documents differ.
+
+    Word-trigram grain, same hash family as the rest of the dedup
+    tier: a word position is covered iff ANY trigram occurrence
+    containing it (gram starts i−2..i, clamped) has document
+    frequency ≥ ``min_docs``.  The document is rebuilt from the
+    uncovered words in original order with original bytes; a fully
+    boilerplate document survives as ``''`` (the host-template-strip
+    precedent — dropping rows is the caller's policy).
+
+    Scale shape — no per-document quadratic anywhere: grams explode to
+    (id, pos, h) rows ((long,long,long) — text never rides the gram
+    shuffle); the dup-hash set is the distinct-projection df aggregate
+    of duplicated_span_stats (hot grams bounded by df, no self-join);
+    coverage expands each duplicated gram start to ≤ 3 (id, wpos) rows
+    and dedups; the rebuild is words posexploded once, one LEFT ANTI
+    equi-join on (id, wpos) against the covered set, and one
+    array_sort(collect_list(struct)) reassembly per doc — the
+    paragraph_dedup reconstruction shape, bounded by document length.
+
+    Returns (doc_id, clean_text, n_words, n_kept, n_removed)."""
+    src = df.select(
+        F.col(id_col).alias("id"),
+        words_of(F.col(text_col)).alias("ws"),
+        # projected, never inline: the HOF interpreter re-evaluates an
+        # inline array argument per element access (see
+        # shingle_hashes_from's O(words²·md5) warning)
+        word_hashes(F.col(text_col)).alias("wh"),
+    ).withColumn("nw", F.size("ws"))
+    grams = (
+        src.select(
+            "id",
+            "nw",
+            F.posexplode_outer(shingle_hashes_all(F.col("wh"))).alias("pos", "h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.least(F.col("pos") + 2, F.col("nw") - 1))
+            ).alias("wpos"),
+        )
+        .distinct()
+    )
+    words = src.select(
+        "id", F.posexplode("ws").alias("wpos", "w")
+    )
+    rebuilt = (
+        words.join(covered, ["id", "wpos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        src.select("id", "nw")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("nw").cast("long").alias("n_words"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("nw") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

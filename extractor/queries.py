@@ -7341,3 +7341,88 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     return hits_int(edges, iterations=2)
+
+
+@register(
+    "dup_span_strip",
+    """
+    -- ExactSubstr surgery: remove every word covered by a trigram
+    -- with document frequency >= 2; same planted boiler tail as
+    -- dup_span_stats, so the strip is exercised on a known span
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' all rights reserved contact the site administrator for license terms'
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
+               AS wh
+      FROM corpus
+    ), g AS (
+      SELECT doc_id, i AS pos, length(ws) AS nw,
+             (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+              coalesce(wh[i+3], 0)) % 2147483647 AS h
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(0, greatest(length(wh) - 3, 0))) AS i
+      ) t
+    ), dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+      GROUP BY h HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, p.wpos
+      FROM g JOIN dup USING (h), LATERAL (
+        SELECT unnest(generate_series(g.pos, least(g.pos + 2, g.nw - 1)))
+          AS wpos
+      ) p
+    ), words AS (
+      SELECT doc_id, i - 1 AS wpos, ws[i] AS w
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(1, length(ws))) AS i
+      ) t
+    ), reb AS (
+      SELECT w.doc_id,
+             string_agg(w.w, ' ' ORDER BY w.wpos) AS clean_text,
+             count(*) AS n_kept
+      FROM words w LEFT JOIN cov c
+        ON c.doc_id = w.doc_id AND c.wpos = w.wpos
+      WHERE c.wpos IS NULL
+      GROUP BY w.doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           length(b.ws)::BIGINT AS n_words,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           (length(b.ws) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators.dedup.
+    strip_duplicated_spans) — the surgery half of the ExactSubstr
+    signal dup_span_stats measures: words covered by any trigram
+    shared with another document are cut and the document is rebuilt
+    from the survivors in original order (original bytes; fully-
+    boilerplate docs survive as '').  Same planted tail as
+    dup_span_stats, so the strip acts on a known span plus whatever
+    the synthetic corpus shares organically.  The oracle re-derives
+    the whole chain — gram positions, df cut, ±2 coverage expansion,
+    anti-join rebuild — in SQL; any off-by-one in coverage clamping
+    or reassembly order flips the text bytes."""
+    from extractor.operators.dedup import strip_duplicated_spans
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " all rights reserved contact the site administrator for license terms"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_duplicated_spans(corpus)

@@ -2115,3 +2115,31 @@ def test_hits_int_naive_equivalence_and_roles(spark):
     assert got["a1"][1] == 0  # pure authority: no out-edges → hub 0
     assert got["a1"][0] > got["a3"][0]  # more hub endorsement → more auth
     assert got["p1"][1] > 0 and got["p2"][1] > 0
+
+
+def test_strip_duplicated_spans_surgery(spark):
+    """Hand fixture for the ExactSubstr strip: a 9-word boiler tail
+    shared by four docs is removed exactly (bodies keep original
+    bytes and order), a unique doc is untouched, a doc that is PURE
+    boilerplate survives as '', and within-doc repetition alone does
+    not trigger removal (df counts documents, not occurrences)."""
+    from extractor.operators.dedup import strip_duplicated_spans
+
+    boiler = "all rights reserved worldwide by the example legal dept"
+    docs = []
+    for i in range(4):
+        body = " ".join(f"body{i}w{j}" for j in range(10))
+        docs.append((i, body + " " + boiler))
+    docs.append((10, " ".join(f"only{j}" for j in range(12))))
+    docs.append((11, boiler))
+    docs.append((12, " ".join(["rep"] * 9)))  # internal repetition only
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    got = {r["doc_id"]: r for r in strip_duplicated_spans(df).collect()}
+    for i in range(4):
+        body = " ".join(f"body{i}w{j}" for j in range(10))
+        assert got[i]["clean_text"] == body
+        assert got[i]["n_removed"] == 9 and got[i]["n_kept"] == 10
+    assert got[10]["clean_text"] == docs[4][1] and got[10]["n_removed"] == 0
+    assert got[11]["clean_text"] == "" and got[11]["n_kept"] == 0
+    assert got[12]["clean_text"] == docs[6][1] and got[12]["n_removed"] == 0
