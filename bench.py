@@ -148,6 +148,7 @@ HEADLINE_QUERIES = [
     "bigram_surprisal",
     "host_hits",
     "dup_span_strip",
+    "bloom_gate",
 ]
 
 

@@ -7426,3 +7426,73 @@ def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return strip_duplicated_spans(corpus)
+
+
+@register(
+    "bloom_gate",
+    """
+    -- Bloom pre-gate arithmetic mirrored end-to-end: history = even
+    -- docs' content digests, batch = everyone; in_history is the
+    -- EXACT membership verdict so false positives are measurable
+    -- directly from the result (maybe_seen AND NOT in_history);
+    -- false negatives (in_history AND NOT maybe_seen) must be zero
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+    ), hp AS (
+      SELECT ('0x' || substr(md5(digest || ':' || j), 1, 15))::BIGINT
+               % 262144 AS pos
+      FROM hist, LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ), words AS (
+      SELECT (pos // 32)::INT AS word_idx,
+             bit_or(1::BIGINT << (pos % 32)::INT) AS word
+      FROM hp GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ), bp AS (
+      SELECT digest,
+             ('0x' || substr(md5(digest || ':' || j), 1, 15))::BIGINT
+               % 262144 AS pos
+      FROM (SELECT DISTINCT digest FROM batch),
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ), verdict AS (
+      SELECT digest,
+             min((coalesce(w.word, 0) & (1::BIGINT << (pos % 32)::INT)) <> 0)
+               AS maybe_seen
+      FROM bp LEFT JOIN words w ON w.word_idx = (pos // 32)::INT
+      GROUP BY digest
+    )
+    SELECT b.doc_id, b.digest, v.maybe_seen,
+           (b.digest IN (SELECT digest FROM hist)) AS in_history
+    FROM batch b JOIN verdict v USING (digest)
+    """,
+)
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-gate (operators.sketch): the even
+    docs' content digests build the words table in one pass
+    (explode → bit_or aggregate), then the WHOLE corpus probes it —
+    maybe_seen=false rows are definitively new and would skip the
+    exact digest-index join entirely; maybe_seen=true rows proceed to
+    the exact check.  in_history carries the exact verdict alongside,
+    so the driver row pins both the bit arithmetic (md5-derived
+    positions, 32-bit packing, all-k-bits test) and the no-false-
+    negative contract: any in_history row with maybe_seen=false would
+    hash-mismatch the oracle."""
+    from extractor.operators.sketch import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    hist = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    words = bloom_build(hist)
+    probed = bloom_probe(batch, words)
+    return probed.join(
+        hist.withColumn("in_history", F.lit(True)), "digest", "left"
+    ).select(
+        "doc_id",
+        "digest",
+        "maybe_seen",
+        F.coalesce(F.col("in_history"), F.lit(False)).alias("in_history"),
+    )

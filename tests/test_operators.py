@@ -2143,3 +2143,49 @@ def test_strip_duplicated_spans_surgery(spark):
     assert got[10]["clean_text"] == docs[4][1] and got[10]["n_removed"] == 0
     assert got[11]["clean_text"] == "" and got[11]["n_kept"] == 0
     assert got[12]["clean_text"] == docs[6][1] and got[12]["n_removed"] == 0
+
+
+def test_bloom_gate_no_false_negatives_and_low_fp(spark):
+    """The membership contract: every inserted digest probes
+    maybe_seen=true (false negatives impossible — a false negative
+    would silently drop a genuinely new document from the exact
+    check); disjoint digests probe mostly false with a small measured
+    false-positive rate at the default sizing."""
+    from extractor.operators.sketch import bloom_build, bloom_probe
+
+    hist = spark.range(1000).select(
+        F.md5(F.concat(F.lit("h"), F.col("id").cast("string"))).alias("digest")
+    )
+    fresh = spark.range(1000).select(
+        F.md5(F.concat(F.lit("n"), F.col("id").cast("string"))).alias("digest")
+    )
+    words = bloom_build(hist).localCheckpoint(eager=True)
+    seen = bloom_probe(hist, words).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("maybe_seen").cast("int")).alias("hits"),
+    ).collect()[0]
+    assert seen["hits"] == seen["n"] == 1000  # no false negatives
+    fp = bloom_probe(fresh, words).agg(
+        F.sum(F.col("maybe_seen").cast("int")).alias("fp")
+    ).collect()[0]["fp"]
+    # m=2^18, k=5, n=1000 → theoretical FP ~ (1-e^{-5000/262144})^5 ≈ 2e-9
+    assert fp <= 2
+
+
+def test_bloom_probe_equijoin_matches_broadcast(spark):
+    """broadcast_words=False (the words-table-outgrew-the-driver
+    path) must give identical verdicts to the broadcast probe."""
+    from extractor.operators.sketch import bloom_build, bloom_probe
+
+    hist = spark.range(200).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    batch = spark.range(400).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    words = bloom_build(hist).localCheckpoint(eager=True)
+    a = {r["digest"]: r["maybe_seen"]
+         for r in bloom_probe(batch, words, broadcast_words=True).collect()}
+    b = {r["digest"]: r["maybe_seen"]
+         for r in bloom_probe(batch, words, broadcast_words=False).collect()}
+    assert a == b and len(a) == 400
