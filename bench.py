@@ -149,6 +149,7 @@ HEADLINE_QUERIES = [
     "host_hits",
     "dup_span_strip",
     "bloom_gate",
+    "text_normalize",
 ]
 
 

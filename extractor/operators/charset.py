@@ -168,3 +168,60 @@ def normalize_pages_encoding(pages: DataFrame, html_col: str = "html") -> DataFr
             yield out
 
     return pages.mapInPandas(fn, schema=schema)
+
+
+# Post-decode text hygiene: the control/combining residue a decode
+# pass leaves behind.  Strip set is explicit (" \t\r\n") so the SQL
+# oracle's trim() and Python's strip agree character-for-character.
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_HWS_RE = re.compile("[ \t]+")
+_STRIP_CHARS = " \t\r\n"
+
+
+def normalize_unicode(s: str | None) -> str | None:
+    """NFC-compose, strip C0 controls (except tab/newline/CR, which
+    the whitespace rules own) and DEL, collapse horizontal-whitespace
+    runs to one space, trim outer [ \\t\\r\\n].  None → None."""
+    import unicodedata
+
+    if s is None:
+        return None
+    s = unicodedata.normalize("NFC", s)
+    s = _CTRL_RE.sub("", s)
+    s = _HWS_RE.sub(" ", s)
+    return s.strip(_STRIP_CHARS)
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, norm_text, changed) per document — the hygiene pass
+    between charset decode and everything digest-based: NFC
+    composition (the same grapheme in composed vs decomposed form
+    would otherwise md5 to different digests, splitting exact dedup,
+    paragraph dedup and the template index on a byte-encoding
+    artifact), control-char strip (tracking pixels, PDF extractor
+    residue), horizontal-whitespace collapse, outer trim.
+
+    Unicode normalization has no JVM expression, so this is one
+    Arrow-batched map-only pass (same shape as decode_pages — rides
+    the scan, zero Exchange); everything downstream stays JVM-side.
+    ``changed`` marks documents the pass actually touched, so an
+    incremental deployment can re-digest only those."""
+
+    def fn(batches):
+        for pdf in batches:
+            norm = pdf[text_col].map(normalize_unicode)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "norm_text": norm,
+                    "changed": norm.ne(pdf[text_col])
+                    & ~(norm.isna() & pdf[text_col].isna()),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, schema=f"id {df.schema[id_col].dataType.simpleString()}, "
+        "norm_text string, changed boolean"
+    )

@@ -7496,3 +7496,59 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maybe_seen",
         F.coalesce(F.col("in_history"), F.lit(False)).alias("in_history"),
     )
+
+
+@register(
+    "text_normalize",
+    """
+    -- post-decode hygiene mirrored via DuckDB's own NFC: planted
+    -- classes carry a decomposed accent (%6), a control residue
+    -- (%5), horizontal-whitespace runs (%4); every doc gets outer
+    -- whitespace so the explicit trim set is exercised
+    WITH src AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 6 = 0
+                  THEN ' caf' || 'e' || chr(769) ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'bell' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN '  tabs' || chr(9) || chr(9) || 'here' ELSE '' END ||
+             '  ' || chr(10) AS text
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                  '[ ' || chr(9) || ']+', ' ', 'g'),
+                  ' ' || chr(9) || chr(13) || chr(10)) AS norm_text
+      FROM src
+    )
+    SELECT doc_id, norm_text, (norm_text <> text) AS changed FROM norm
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace hygiene (operators.charset.normalize_text):
+    NFC composition, C0/DEL strip, horizontal-run collapse, explicit
+    outer trim — the pass between charset decode and every
+    digest-based stage (a composed-vs-decomposed grapheme split would
+    silently break exact dedup and the template index).  The oracle
+    runs DuckDB's own nfc_normalize against Python's unicodedata —
+    two INDEPENDENT Unicode implementations agreeing byte-for-byte on
+    the planted decomposed/control/whitespace classes, a stronger
+    check than mirroring one library."""
+    from extractor.operators.charset import normalize_text
+
+    d = F.col("doc_id")
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.lit(" caf" + "é")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\x07bell")).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit("  tabs\t\there")).otherwise(F.lit("")),
+            F.lit("  \n"),
+        ).alias("text"),
+    )
+    return normalize_text(src).select(
+        F.col("id").alias("doc_id"), "norm_text", "changed"
+    )

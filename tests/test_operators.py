@@ -2189,3 +2189,35 @@ def test_bloom_probe_equijoin_matches_broadcast(spark):
     b = {r["digest"]: r["maybe_seen"]
          for r in bloom_probe(batch, words, broadcast_words=False).collect()}
     assert a == b and len(a) == 400
+
+
+def test_normalize_text_semantics(spark):
+    """Normalization corners: decomposed accents compose to the same
+    bytes as the precomposed form (the dedup-splitting artifact the
+    pass exists for), controls vanish, runs collapse, outer trim uses
+    the explicit strip set, nulls pass through, untouched docs report
+    changed=false."""
+    from extractor.operators.charset import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "café menu"),          # decomposed → 'café menu'
+            (1, "café menu"),           # precomposed — must equal #0
+            (2, "a\x00b\x07c"),              # controls stripped
+            (3, "x  \t\t y"),                # runs collapse
+            (4, "  padded \n"),              # outer trim
+            (5, "already clean"),            # unchanged
+            (6, None),                        # null in → null out
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(df).collect()}
+    assert got[0] == ("café menu", True)
+    assert got[1] == ("café menu", False)
+    assert got[0][0] == got[1][0]
+    assert got[2] == ("abc", True)
+    assert got[3] == ("x y", True)
+    assert got[4] == ("padded", True)
+    assert got[5] == ("already clean", False)
+    assert got[6] == (None, False)
