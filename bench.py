@@ -150,6 +150,7 @@ HEADLINE_QUERIES = [
     "dup_span_strip",
     "bloom_gate",
     "text_normalize",
+    "e2e_cdx_crawl",
 ]
 
 

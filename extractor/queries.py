@@ -7552,3 +7552,121 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(src).select(
         F.col("id").alias("doc_id"), "norm_text", "changed"
     )
+
+
+@register(
+    "e2e_cdx_crawl",
+    """
+    -- the archive-lifecycle chain: crawl-2's capture of every url is
+    -- the latest by construction, so the oracle can restate the
+    -- expected rows arithmetically — but the ENGINE must recover them
+    -- through real CDX files (export → sorted write → splittable
+    -- re-ingest → max(struct) consolidation) and the bloom gate; a
+    -- framing, parse, consolidation or bit-arithmetic bug flips rows
+    WITH docs2 AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 5 = 0 THEN text || 'v2' ELSE text END AS c2
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM docs2 WHERE doc_id % 4 <> 3
+    ), latest AS (
+      SELECT 'https://crawl.test/p/' || doc_id::VARCHAR AS url,
+             '20250602000000' AS latest_ts14, md5(c2) AS digest
+      FROM docs2
+    ), hp AS (
+      SELECT ('0x' || substr(md5(digest || ':' || j), 1, 15))::BIGINT
+               % 262144 AS pos
+      FROM hist, LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ), words AS (
+      SELECT (pos // 32)::INT AS word_idx,
+             bit_or(1::BIGINT << (pos % 32)::INT) AS word
+      FROM hp GROUP BY 1
+    ), bp AS (
+      SELECT digest,
+             ('0x' || substr(md5(digest || ':' || j), 1, 15))::BIGINT
+               % 262144 AS pos
+      FROM (SELECT DISTINCT digest FROM latest),
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ), verdict AS (
+      SELECT digest,
+             min((coalesce(w.word, 0) & (1::BIGINT << (pos % 32)::INT)) <> 0)
+               AS maybe_seen
+      FROM bp LEFT JOIN words w ON w.word_idx = (pos // 32)::INT
+      GROUP BY digest
+    )
+    SELECT l.url, l.latest_ts14,
+           CASE WHEN NOT v.maybe_seen THEN 'new_content'
+                WHEN l.digest IN (SELECT digest FROM hist)
+                  THEN 'dup_of_history'
+                ELSE 'bloom_fp' END AS status
+    FROM latest l JOIN verdict v USING (digest)
+    """,
+)
+def q_e2e_cdx_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end archive lifecycle: two crawls' captures (crawl 1
+    covers 3/4 of urls; crawl 2 re-captures everything, every 5th
+    doc's content changed) are exported as REAL sorted CDXJ shards,
+    re-ingested through the block-splittable reader, consolidated to
+    the latest capture per url (one max(struct) aggregate —
+    crawl.latest_snapshot's shape over the index, not the page
+    bytes), then gated: the bloom pre-filter built from crawl-1's
+    digests classifies definitively-new content without touching
+    history, and only maybe-seen rows proceed to the exact digest
+    check — every stage the engine's own operator, driven from
+    bytes on disk."""
+    import tempfile
+
+    from extractor.operators.sketch import bloom_build, bloom_probe
+    from extractor.sources.cdx import read_cdx, to_cdxj_records
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("https://crawl.test/p/"), d.cast("string"))
+    c2 = F.when(d % 5 == 0, F.concat(F.col("text"), F.lit("v2"))).otherwise(
+        F.col("text")
+    )
+
+    def caps(ts: str, content, flt):
+        return docs.filter(flt).select(
+            url.alias("url"),
+            F.lit(ts).alias("ts14"),
+            F.lit("text/html").alias("mime"),
+            F.lit(200).alias("http_status"),
+            F.md5(content).alias("digest"),
+            F.length(content).cast("long").alias("n_bytes"),
+        )
+
+    all_caps = caps("20250601000000", F.col("text"), d % 4 != 3).unionAll(
+        caps("20250602000000", c2, F.lit(True))
+    )
+    out = tempfile.mkdtemp(prefix="cdx_e2e_") + "/index"
+    (
+        to_cdxj_records(all_caps)
+        .repartitionByRange(4, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    idx = read_cdx(spark, out)
+    latest = (
+        idx.groupBy("url")
+        .agg(F.max(F.struct(F.col("ts14"), F.col("digest"))).alias("l"))
+        .select("url", F.col("l.ts14").alias("latest_ts14"), F.col("l.digest").alias("digest"))
+    )
+    hist = (
+        idx.filter(F.col("ts14") == "20250601000000")
+        .select("digest")
+        .distinct()
+        .localCheckpoint(eager=True)  # history: built once, probed twice
+    )
+    probed = bloom_probe(latest, bloom_build(hist))
+    return probed.join(
+        hist.withColumn("in_history", F.lit(True)), "digest", "left"
+    ).select(
+        "url",
+        "latest_ts14",
+        F.when(~F.col("maybe_seen"), F.lit("new_content"))
+        .when(F.col("in_history"), F.lit("dup_of_history"))
+        .otherwise(F.lit("bloom_fp"))
+        .alias("status"),
+    )
