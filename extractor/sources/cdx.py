@@ -161,3 +161,29 @@ def cdx_host_lookup(index: DataFrame, host: str) -> DataFrame:
     partition's files); the capture table is never joined."""
     prefix = ",".join(reversed(host.lower().split("."))) + ")"
     return index.filter(F.col("surt").startswith(F.lit(prefix)))
+
+
+def cdx_latest(index: DataFrame) -> DataFrame:
+    """Current-web view of a CDX index: the LATEST capture per url via
+    one ``max(struct)`` aggregate (crawl.latest_snapshot's
+    constant-state reduce — no window over a hot URL's capture
+    history).  Tie/replay safety: byte-identical replayed lines
+    produce identical structs, so an at-least-once maintained index
+    folds clean here; capture-COUNT consumers must ``distinct()``
+    first (stated, not hidden)."""
+    return (
+        index.groupBy("url")
+        .agg(
+            F.max(
+                F.struct("ts14", "digest", "mime", "http_status", "n_bytes")
+            ).alias("l")
+        )
+        .select(
+            "url",
+            F.col("l.ts14").alias("ts14"),
+            F.col("l.mime").alias("mime"),
+            F.col("l.http_status").alias("http_status"),
+            F.col("l.digest").alias("digest"),
+            F.col("l.n_bytes").alias("n_bytes"),
+        )
+    )

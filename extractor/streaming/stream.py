@@ -511,3 +511,37 @@ def streaming_crawl_pipeline(
             )
 
     return handle
+
+
+def streaming_cdx_maintenance(
+    captures_stream: DataFrame, index_dir: str, shards: int = 4
+):
+    """foreachBatch bridge for CDX URL-index maintenance: each
+    micro-batch of captures is formatted by
+    ``sources.cdx.to_cdxj_records`` and appended as key-sorted index
+    shards (``repartitionByRange`` + ``sortWithinPartitions`` within
+    the batch — every shard individually keeps the archive's sort
+    property; a periodic compaction merges shard ranges, exactly like
+    real CDX pipelines merge per-crawl indexes).
+
+    Exactly-once is NOT required (same discipline as
+    ``streaming_index_maintenance``): a crash-replayed batch appends
+    byte-identical lines, and the read side —
+    ``sources.cdx.cdx_latest``'s max(struct) fold, or a ``distinct()``
+    for capture-count consumers — collapses them; at-least-once
+    repaired on read.  Returns the handler for
+    ``stream.writeStream.foreachBatch(...)``."""
+    from extractor.sources.cdx import to_cdxj_records
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            to_cdxj_records(batch_df)
+            .repartitionByRange(shards, "value")
+            .sortWithinPartitions("value")
+            .write.mode("append")
+            .text(index_dir)
+        )
+
+    return handle
