@@ -330,3 +330,32 @@ def test_postings_and_churn_plan_shapes(spark):
     # the AND-query filters the index to its K terms before exploding
     q = optimized_of(REGISTRY["postings_query"].spark(spark, SF_SMALL))
     assert "kwalpha" in q and "kwbeta" in q, q[:2000]
+
+
+def test_r4_continuation5_plan_shapes(spark):
+    """Continuation-5 additions keep their claimed shapes: the scoring
+    and graph operators stay JVM-side with no window and no cartesian
+    (HITS' one-row L1 totals ride broadcast nested-loop crosses — the
+    degenerate case where BNLJ is the right plan); the bloom probe
+    broadcasts the words table; the span strip's rebuild carries no
+    window (anti-join + aggregate reassembly); text_normalize is the
+    one deliberate Arrow stage (NFC has no JVM expression) and its
+    plan must contain exactly a map-only Python eval — no Exchange
+    before it."""
+    for name in ["bigram_surprisal", "host_hits", "dup_span_strip",
+                 "bloom_gate", "cdx_lookup"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:1500]}"
+    plan = plan_of(REGISTRY["bloom_gate"].spark(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # text_normalize: one Arrow stage, zero Exchange
+    from extractor.operators.charset import normalize_text
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(normalize_text(docs))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
