@@ -151,6 +151,7 @@ HEADLINE_QUERIES = [
     "bloom_gate",
     "text_normalize",
     "e2e_cdx_crawl",
+    "cdc_dedup",
 ]
 
 

@@ -7670,3 +7670,79 @@ def q_e2e_cdx_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("bloom_fp"))
         .alias("status"),
     )
+
+
+@register(
+    "cdc_dedup",
+    """
+    -- content-defined chunking: boundaries where the word hash is
+    -- = 0 mod 8 (the synthetic corpus's 31-word vocabulary has three
+    -- boundary words at mod 8 and none at the operator's default 32
+    -- - a degenerate one-chunk-per-doc fixture would test nothing),
+    -- so the %9 copies with one word INSERTED at the front realign
+    -- with their originals from the first boundary on
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'insertedword ' || text
+      FROM documents WHERE doc_id % 9 = 0
+    ), base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
+               AS wh
+      FROM corpus
+    ), st AS (
+      SELECT doc_id, ws,
+             list_prepend(0, list_filter(
+               generate_series(1, length(ws) - 1),
+               i -> wh[i + 1] % 8 = 0)) AS starts
+      FROM base
+    ), ch AS (
+      SELECT doc_id, j - 1 AS chunk_idx, starts[j] AS s,
+             coalesce(starts[j + 1], length(ws)) AS e,
+             array_to_string(
+               ws[starts[j] + 1 : coalesce(starts[j + 1], length(ws))],
+               ' ') AS txt
+      FROM st, LATERAL (
+        SELECT unnest(generate_series(1, length(starts))) AS j
+      ) t
+    ), rows_ AS (
+      SELECT doc_id, chunk_idx, s AS start_word, (e - s) AS n_words,
+             md5(txt) AS chunk_md5
+      FROM ch
+    ), dup AS (
+      SELECT chunk_md5
+      FROM (SELECT DISTINCT doc_id, chunk_md5 FROM rows_)
+      GROUP BY chunk_md5 HAVING count(*) >= 2
+    )
+    SELECT r.doc_id, r.chunk_idx::INT AS chunk_idx,
+           r.start_word::INT AS start_word, r.n_words::INT AS n_words,
+           r.chunk_md5,
+           (r.chunk_md5 IN (SELECT chunk_md5 FROM dup)) AS shared
+    FROM rows_ r
+    """,
+)
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking with cross-document sharing
+    (operators.chunking.cdc_shared_chunks): the shift-resistant
+    chunk-grain dedup fixed-size chunking cannot do — every 9th doc
+    gets a copy with ONE word inserted at the front, and because
+    boundaries are content-anchored (word hash ≡ 0 mod avg_words) the
+    copy's chunks realign with the original from the first boundary
+    on, surfacing as shared=true rows.  Boundary detection, chunk
+    assembly and digesting are all array expressions in one
+    projection (zero Exchange, plan-tested via the tier's HOF
+    conventions); only (doc, idx, digest) rows shuffle for the df
+    cut.  The oracle replays the identical boundary arithmetic in
+    SQL."""
+    from extractor.operators.chunking import cdc_shared_chunks
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("insertedword "), F.col("text")).alias("text"),
+        )
+    )
+    return cdc_shared_chunks(corpus, avg_words=8)

@@ -2221,3 +2221,73 @@ def test_normalize_text_semantics(spark):
     assert got[4] == ("padded", True)
     assert got[5] == ("already clean", False)
     assert got[6] == (None, False)
+
+
+def _naive_cdc(texts, avg_words=32):
+    """Driver-side replay of the CDC boundary/assembly rule."""
+    import hashlib
+
+    out = {}
+    for doc_id, text in texts:
+        ws = text.split(" ")
+        wh = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 2147483647
+            for w in ws
+        ]
+        starts = [0] + [i for i in range(1, len(ws)) if wh[i] % avg_words == 0]
+        chunks = []
+        for j, s in enumerate(starts):
+            e = starts[j + 1] if j + 1 < len(starts) else len(ws)
+            txt = " ".join(ws[s:e])
+            chunks.append(
+                (j, s, e - s, hashlib.md5(txt.encode()).hexdigest())
+            )
+        out[doc_id] = chunks
+    return out
+
+
+def test_cdc_chunks_naive_equivalence_and_shift_resistance(spark):
+    """Content-defined chunking equals a driver-side replay, chunks
+    tile each document exactly, and — the property fixed-size
+    chunking lacks — a one-word INSERTION at the front leaves every
+    chunk after the first boundary shared with the original."""
+    import random
+
+    from extractor.operators.chunking import cdc_chunks, cdc_shared_chunks
+
+    rng = random.Random(11)
+    vocab = [f"w{n}" for n in range(400)]
+    base = [vocab[rng.randrange(400)] for _ in range(150)]
+    texts = [
+        (0, " ".join(base)),
+        (1, "insertedzzz " + " ".join(base)),  # front insertion
+        (2, " ".join(vocab[rng.randrange(400)] for _ in range(90))),
+    ]
+    want = _naive_cdc(texts)
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got: dict = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_word"], r["n_words"], r["chunk_md5"])
+        )
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    # tiling: spans are contiguous and cover [0, n_words)
+    for doc_id, text in texts:
+        spans = sorted((s, s + n) for _, s, n, _ in got[doc_id])
+        assert spans[0][0] == 0 and spans[-1][1] == len(text.split(" "))
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # shift resistance: original and inserted copy share every chunk
+    # from the first content boundary on
+    d0 = {m for _, s, _, m in want[0] if s > 0}
+    d1 = {m for _, s, _, m in want[1]}
+    assert d0 and d0 <= d1
+    shared = {
+        (r["doc_id"], r["chunk_idx"]): r["shared"]
+        for r in cdc_shared_chunks(df).collect()
+    }
+    for idx, s, n, m in want[0]:
+        if s > 0:
+            assert shared[(0, idx)]
+    assert not any(shared[(2, i)] for i, _, _, _ in want[2])
