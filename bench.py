@@ -152,6 +152,7 @@ HEADLINE_QUERIES = [
     "text_normalize",
     "e2e_cdx_crawl",
     "cdc_dedup",
+    "collocations",
 ]
 
 

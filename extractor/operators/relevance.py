@@ -587,3 +587,96 @@ def term_snippets(
         F.col("pos").cast("long").alias("pos"),
         F.array_join(F.slice("ws", start, end - start + 1), " ").alias("snippet"),
     )
+
+
+def collocations_topk(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    scale: int = 10**6,
+):
+    """Corpus-wide top-k collocations by integer Dice score
+    ``2·count(w1,w2)·scale div (count(w1) + count(w2))`` — the
+    association measure behind phrase induction (word2vec-style
+    phrase merging ranks candidate bigrams by exactly this family of
+    count scores) and the "what multi-word terms does this corpus
+    contain" report an operator reads before tokenizer training.
+
+    Dice over PMI, deliberately: PMI's ``cb·N/(c1·c2)`` carries an
+    N·cb product that overflows 64-bit integers on a web-scale token
+    count, and its max-score-for-hapax pathology needs patching
+    anyway; Dice is scale-free (no N), bounded (≤ scale), integer-
+    exact with every intermediate ≤ 2·scale·N < 2^63, and the
+    ``min_count`` cut is the standard noise floor.
+
+    Scale shape: one bigram-count shuffle with map-side partials (the
+    same (token, token, long) rows as bigram_surprisal — the corpus
+    tokenizes once), unigram counts join onto the ALREADY-REDUCED
+    bigram vocabulary (never back to the corpus), and the global
+    top-k is the bounded two-level grouped_topk with an empty group
+    list — per-bucket state ≤ B·k, no single-reducer ORDER BY.
+    Deterministic tie-break on (w1, w2).
+
+    Returns (rank, w1, w2, n_pair, n_w1, n_w2, dice_x1e6)."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+    from extractor.operators.topk import grouped_topk_exploded
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t_"))
+    ws = words_of(F.col("t_"))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bgs = src.select(F.explode(pairs).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    toks = src.select(F.explode(words_of(F.col("t_"))).alias("t"))
+    cb = (
+        bgs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    c = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        cb.join(c.select(F.col("t").alias("w1"), F.col("c").alias("n_w1")), "w1")
+        .join(c.select(F.col("t").alias("w2"), F.col("c").alias("n_w2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.expr(f"2 * n_pair * {scale} div (n_w1 + n_w2)").alias("dice_x1e6"),
+        )
+    )
+    ranked = grouped_topk_exploded(
+        scored,
+        [],
+        F.struct(
+            (-F.col("dice_x1e6")).alias("nd"),
+            F.col("w1"),
+            F.col("w2"),
+            F.col("dice_x1e6"),
+            F.col("n_pair"),
+            F.col("n_w1"),
+            F.col("n_w2"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "rank",
+        F.col("value.w1").alias("w1"),
+        F.col("value.w2").alias("w2"),
+        F.col("value.n_pair").alias("n_pair"),
+        F.col("value.n_w1").alias("n_w1"),
+        F.col("value.n_w2").alias("n_w2"),
+        F.col("value.dice_x1e6").alias("dice_x1e6"),
+    )

@@ -7746,3 +7746,62 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdc_shared_chunks(corpus, avg_words=8)
+
+
+@register(
+    "collocations",
+    """
+    -- integer Dice associations; the planted ' pairleft pairright'
+    -- tail on every 4th doc is a perfect collocation (each word
+    -- occurs ONLY in the pair) and must rank first at dice = 10^6
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN ' pairleft pairright' ELSE '' END AS text
+      FROM documents
+    ), toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM corpus
+    ), c AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), w AS (
+      SELECT string_split(text, ' ') AS ws FROM corpus
+    ), bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, length(ws) - 1)) AS i
+      ) g
+    ), cb AS (
+      SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), s AS (
+      SELECT w1, w2, n_pair, a.c AS n_w1, b.c AS n_w2,
+             (2 * n_pair * 1000000) // (a.c + b.c) AS dice_x1e6
+      FROM cb JOIN c a ON a.t = cb.w1 JOIN c b ON b.t = cb.w2
+    )
+    SELECT row_number() OVER (ORDER BY dice_x1e6 DESC, w1, w2)::INT AS rank,
+           w1, w2, n_pair, n_w1, n_w2, dice_x1e6
+    FROM s QUALIFY rank <= 50
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations (operators.relevance.collocations_topk):
+    top-50 bigram associations by integer Dice — the phrase-induction
+    signal read before tokenizer training.  Dice over PMI by design
+    (no corpus-size product to overflow at web scale, no
+    hapax-pathology to patch); the global cut is the bounded
+    two-level top-k with an empty group list, never a single-reducer
+    ORDER BY.  The planted pair (every 4th doc) is a perfect
+    collocation and must land rank 1 at exactly dice = 10^6; the
+    oracle is the window formulation over the same integer
+    arithmetic."""
+    from extractor.operators.relevance import collocations_topk
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" pairleft pairright"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return collocations_topk(corpus, k=50)

@@ -2291,3 +2291,24 @@ def test_cdc_chunks_naive_equivalence_and_shift_resistance(spark):
         if s > 0:
             assert shared[(0, idx)]
     assert not any(shared[(2, i)] for i, _, _, _ in want[2])
+
+
+def test_collocations_topk_planted_pair_and_floor(spark):
+    """A pair whose words occur nowhere else is a perfect collocation
+    (dice exactly 10^6, rank 1); a frequent-but-promiscuous pairing
+    scores lower; below-min_count pairs never appear."""
+    from extractor.operators.relevance import collocations_topk
+
+    rows = []
+    for i in range(40):
+        base = f"common{i % 3} filler{i % 7} common{(i + 1) % 3}"
+        tail = " exact match" if i % 2 == 0 else ""
+        rare = " lone wolf" if i < 3 else ""  # n_pair 3 < min_count
+        rows.append((i, base + tail + rare))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["w1"], r["w2"]): r for r in collocations_topk(df, k=20).collect()}
+    assert ("exact", "match") in got
+    top = got[("exact", "match")]
+    assert top["dice_x1e6"] == 10**6 and top["rank"] == 1
+    assert ("lone", "wolf") not in got
+    assert all(r["n_pair"] >= 5 for r in got.values())
