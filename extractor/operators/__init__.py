@@ -6,15 +6,20 @@
                     bands), connected-components cluster resolution,
                     quality-aware canonicals, paragraph-grain dedup
                     with reconstruction, host-template discovery +
-                    strip, duplicated-span coverage, top duplicated
-                    n-grams, benchmark n-gram decontamination
+                    strip, duplicated-span coverage + removal, top
+                    duplicated n-grams, benchmark n-gram
+                    decontamination
+* ``sketch``      — Bloom membership pre-gate (no-false-negative
+                    probe of dedup history without re-reading it)
+* ``chunking``    — content-defined chunking (shift-resistant
+                    chunk-grain dedup across captures)
 * ``similarity``  — brute-force cosine top-k, SRP-LSH-bucketed and
                     IVF approximate top-k, measured recall
 * ``webgraph``    — outlink edge extraction, fixed-iteration integer
-                    PageRank (dangling modes) + seeded TrustRank,
-                    host-graph rollup + link stats, robots.txt
-                    parsing + Disallow gate, frontier scoring,
-                    politeness fetch scheduling
+                    PageRank (dangling modes) + seeded TrustRank +
+                    HITS hub/authority, host-graph rollup + link
+                    stats, robots.txt parsing + Disallow gate,
+                    frontier scoring, politeness fetch scheduling
 * ``incremental`` — crawl-batch fuzzy dedup against a committed
                     band-signature index (history never recomputed)
 * ``crawl``       — cross-crawl delta / latest-wins resolution /
@@ -28,13 +33,15 @@
                     inverted-index build / LSM merge with stopword
                     tombstones / streaming fold, conjunctive +
                     phrase + ranked retrieval, KWIC snippets, df
-                    histogram index stats
+                    histogram index stats, Dice collocation mining
 * ``funnel``      — K-step ordered funnels, retention cohorts
 * ``textstats``   — language-ID, quality scoring (Gopher rules,
-                    unigram surprisal, CCNet terciles), token
-                    counting, document fingerprinting
+                    unigram + conditional-bigram surprisal, CCNet
+                    terciles), token counting, document
+                    fingerprinting
 * ``metadata``    — head-field extraction (title/canonical/lang/og)
-* ``charset``     — WHATWG charset sniff + per-row decode
+* ``charset``     — WHATWG charset sniff + per-row decode, NFC/
+                    control/whitespace text normalization
 * ``packing``     — shard-parallel sequence packing, deterministic
                     training shards
 * ``topk``        — bounded per-group top-k (the window-free
