@@ -153,6 +153,7 @@ HEADLINE_QUERIES = [
     "e2e_cdx_crawl",
     "cdc_dedup",
     "collocations",
+    "cdc_incremental",
 ]
 
 

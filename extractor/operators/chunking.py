@@ -122,3 +122,100 @@ def cdc_shared_chunks(
         "chunk_md5",
         F.coalesce(F.col("shared"), F.lit(False)).alias("shared"),
     )
+
+
+def incremental_cdc_dedup(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_words: int = CDC_AVG_WORDS,
+    commit: bool = True,
+) -> DataFrame:
+    """Chunk-grain storage dedup against a committed chunk-digest
+    index — the recrawl-delta store: because CDC boundaries are
+    content-anchored, a re-captured page with one edit produces the
+    SAME chunk digests everywhere except around the edit, so the
+    batch stores only the changed chunks and references history for
+    the rest.  Per batch chunk: ``(doc_id, chunk_idx, start_word,
+    n_words, chunk_md5, status)`` with status
+
+    * ``dup_of_history`` — digest committed by any earlier batch
+      (history text never re-read, only its digests probe);
+    * ``new``            — first occurrence in this batch, absent
+      from history (the chunks actually stored);
+    * ``dup_in_batch``   — a later in-batch copy (min (doc, idx)
+      wins, deterministically, via an encoded integer key).
+
+    Same commit discipline as the exact/LSH incremental indexes:
+    ``commit=True`` checkpoints results FIRST, then appends the new
+    digests (with their first-occurrence coordinates) as one atomic
+    snapshot; ``commit=False`` + :func:`commit_chunks` is the
+    exactly-once two-step; at-least-once repair is compaction with
+    ``dedupe_on=['chunk_md5']``.  Batched runs classify exactly as a
+    one-shot first-occurrence pass with the batch boundary drawn in
+    (driver-checked invariant).
+
+    Scale shape: the chunk pass is the map-only array projection of
+    :func:`cdc_chunks`; one groupBy(chunk_md5) min-aggregate
+    (map-side partials) and one left equi-join of the batch's
+    DISTINCT digests against the committed index — per-crawl cost
+    O(|batch chunks|), independent of corpus size."""
+    from extractor.writer import _committed_manifests, read_extracted
+
+    spark = new_docs.sparkSession
+    chunks = (
+        cdc_chunks(new_docs, id_col, text_col, avg_words)
+        .withColumn(
+            "key", F.col("doc_id") * 1000000 + F.col("chunk_idx")
+        )
+        .localCheckpoint(eager=True)
+    )
+    firsts = chunks.groupBy("chunk_md5").agg(
+        F.min(F.struct("key", "doc_id", "chunk_idx", "n_words")).alias("m")
+    )
+    if _committed_manifests(index_dir):
+        hist = (
+            read_extracted(spark, index_dir)
+            .select("chunk_md5")
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+        firsts = firsts.join(hist, "chunk_md5", "left")
+    else:
+        firsts = firsts.withColumn("_hist", F.lit(None).cast("boolean"))
+    firsts = firsts.localCheckpoint(eager=True)  # statuses + commit reuse
+    status = (
+        F.when(F.col("_hist"), F.lit("dup_of_history"))
+        .when(F.col("key") == F.col("m.key"), F.lit("new"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    out = chunks.join(firsts, "chunk_md5").select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        "n_words",
+        "chunk_md5",
+        status.alias("status"),
+    )
+    if commit:
+        out = out.localCheckpoint(eager=True)
+        commit_chunks(
+            firsts.filter(F.col("_hist").isNull()).select(
+                "chunk_md5",
+                F.col("m.doc_id").alias("doc_id"),
+                F.col("m.chunk_idx").alias("chunk_idx"),
+                F.col("m.n_words").alias("n_words"),
+            ),
+            index_dir,
+        )
+    return out
+
+
+def commit_chunks(new_chunks: DataFrame, index_dir: str) -> str:
+    """Append a batch's first-occurrence chunk digests to the index
+    as one atomic snapshot (the exactly-once second step — persist
+    the classified results first, then advance the index)."""
+    from extractor.writer import write_snapshot
+
+    return write_snapshot(new_chunks, index_dir, key_col="chunk_md5")

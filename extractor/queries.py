@@ -7805,3 +7805,100 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return collocations_topk(corpus, k=50)
+
+
+@register(
+    "cdc_incremental",
+    """
+    -- batched chunk-grain dedup == one-shot first-occurrence
+    -- classification with the batch boundary drawn in; batch 2
+    -- re-captures everything with every 5th doc edited at the front,
+    -- so its 'new' rows are only the head chunks CDC could not
+    -- realign (plus first-seen odd docs)
+    WITH corpus AS (
+      SELECT 1 AS batch, doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 2, doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'insertedword ' || text
+                  ELSE text END
+      FROM documents
+    ), base AS (
+      SELECT batch, doc_id, string_split(text, ' ') AS ws,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
+               AS wh
+      FROM corpus
+    ), st AS (
+      SELECT batch, doc_id, ws,
+             list_prepend(0, list_filter(
+               generate_series(1, length(ws) - 1),
+               i -> wh[i + 1] % 8 = 0)) AS starts
+      FROM base
+    ), ch AS (
+      SELECT batch, doc_id, j - 1 AS chunk_idx, starts[j] AS s,
+             coalesce(starts[j + 1], length(ws)) AS e,
+             array_to_string(
+               ws[starts[j] + 1 : coalesce(starts[j + 1], length(ws))],
+               ' ') AS txt
+      FROM st, LATERAL (
+        SELECT unnest(generate_series(1, length(starts))) AS j
+      ) t
+    ), rows_ AS (
+      SELECT batch, doc_id, chunk_idx, s AS start_word,
+             (e - s) AS n_words, md5(txt) AS chunk_md5,
+             doc_id * 1000000 + chunk_idx AS key
+      FROM ch
+    ), mins AS (
+      SELECT chunk_md5,
+             min(CASE WHEN batch = 1 THEN key END) AS k1,
+             min(CASE WHEN batch = 2 THEN key END) AS k2
+      FROM rows_ GROUP BY chunk_md5
+    )
+    SELECT r.batch, r.doc_id, r.chunk_idx::INT AS chunk_idx,
+           r.start_word::INT AS start_word, r.n_words::INT AS n_words,
+           r.chunk_md5,
+           CASE
+             WHEN r.batch = 2 AND m.k1 IS NOT NULL THEN 'dup_of_history'
+             WHEN r.batch = 1 AND r.key = m.k1 THEN 'new'
+             WHEN r.batch = 2 AND r.key = m.k2 THEN 'new'
+             ELSE 'dup_in_batch'
+           END AS status
+    FROM rows_ r JOIN mins m USING (chunk_md5)
+    """,
+)
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-grain dedup
+    (operators.chunking.incremental_cdc_dedup): the recrawl-delta
+    store — batch 1 (even docs) commits its chunk digests; batch 2
+    re-captures the whole corpus with every 5th doc edited at the
+    front, and because CDC boundaries realign after the edit, batch
+    2 stores only the head chunks the edit actually changed plus
+    first-seen odd docs.  History text is never re-read; per-crawl
+    cost is O(batch chunks).  The oracle is the one-shot
+    first-occurrence classification with the batch boundary drawn in
+    — the same driver-checked invariant as the exact and LSH
+    incremental indexes, now at chunk grain."""
+    import tempfile
+
+    from extractor.operators.chunking import incremental_cdc_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("insertedword "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    idx = tempfile.mkdtemp(prefix="cdc_inc_") + "/index"
+    r1 = incremental_cdc_dedup(b1, idx, avg_words=8).withColumn(
+        "batch", F.lit(1)
+    )
+    r2 = incremental_cdc_dedup(b2, idx, avg_words=8).withColumn(
+        "batch", F.lit(2)
+    )
+    return r1.unionAll(r2).select(
+        "batch", "doc_id", "chunk_idx", "start_word", "n_words",
+        "chunk_md5", "status",
+    )

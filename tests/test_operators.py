@@ -2312,3 +2312,54 @@ def test_collocations_topk_planted_pair_and_floor(spark):
     assert top["dice_x1e6"] == 10**6 and top["rank"] == 1
     assert ("lone", "wolf") not in got
     assert all(r["n_pair"] >= 5 for r in got.values())
+
+
+def test_incremental_cdc_dedup_recrawl_delta(spark, tmp_path):
+    """The recrawl-delta property: after batch 1 commits, an
+    UNCHANGED re-captured doc classifies 100% dup_of_history; a doc
+    with one word inserted at the front stores only the chunks the
+    naive replay says changed (realignment from the first anchor); a
+    brand-new doc's chunks are new; and a replayed batch against the
+    advanced index is all dup_of_history (idempotent re-crawl)."""
+    import random
+
+    from extractor.operators.chunking import incremental_cdc_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{n}" for n in range(400)]
+
+    def words(n):
+        return " ".join(vocab[rng.randrange(400)] for _ in range(n))
+
+    b1_texts = [(i, words(150)) for i in range(4)]
+    b2_texts = [
+        (0, "insertedzzz " + b1_texts[0][1]),  # front insertion
+        (1, b1_texts[1][1]),  # unchanged
+        (4, words(120)),  # brand-new doc
+    ]
+    idx = str(tmp_path / "cdc_idx")
+    b1 = spark.createDataFrame(b1_texts, "doc_id: long, text: string")
+    b2 = spark.createDataFrame(b2_texts, "doc_id: long, text: string")
+    r1 = incremental_cdc_dedup(b1, idx)
+    assert not any(r["status"] == "dup_of_history" for r in r1.collect())
+    r2 = {(r["doc_id"], r["chunk_idx"]): r for r in
+          incremental_cdc_dedup(b2, idx).collect()}
+
+    want1 = _naive_cdc(b1_texts)
+    want2 = _naive_cdc(b2_texts)
+    hist = {m for chunks in want1.values() for _, _, _, m in chunks}
+    # unchanged doc: everything known
+    assert all(r2[(1, i)]["status"] == "dup_of_history"
+               for i, _, _, _ in want2[1])
+    # inserted doc: exactly the replay-predicted delta is new
+    for i, _, _, m in want2[0]:
+        expect = "dup_of_history" if m in hist else "new"
+        assert r2[(0, i)]["status"] == expect
+    n_new0 = sum(1 for i, _, _, m in want2[0] if m not in hist)
+    assert 0 < n_new0 < len(want2[0])  # a delta, not a full re-store
+    # brand-new doc: new except chunks colliding with history
+    for i, _, _, m in want2[4]:
+        assert r2[(4, i)]["status"] == ("dup_of_history" if m in hist else "new")
+    # idempotent re-crawl: batch 2 replayed is all dup_of_history
+    r3 = incremental_cdc_dedup(b2, idx, commit=False)
+    assert all(r["status"] == "dup_of_history" for r in r3.collect())
