@@ -154,6 +154,7 @@ HEADLINE_QUERIES = [
     "cdc_dedup",
     "collocations",
     "cdc_incremental",
+    "length_quantiles",
 ]
 
 

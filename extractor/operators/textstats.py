@@ -324,3 +324,47 @@ def bigram_surprisal(
             ),
         )
     )
+
+
+def grouped_quantiles(
+    df,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    quantiles_bp: tuple = (2500, 5000, 7500, 9500),
+):
+    """Integer-exact grouped quantiles — the corpus length/size
+    profile read before fixing context budgets, chunk sizes or
+    truncation rules.  Quantile q (in basis points) of a group is the
+    SMALLEST value v whose cumulative count reaches q·n/10000 —
+    type-7-free, tie-stable, identical in any engine (no float
+    interpolation, no percentile_approx sketch variance).
+
+    Scale shape (quality_buckets' histogram trick generalized): the
+    corpus reduces to a (group, value) HISTOGRAM first — integer
+    values, so |groups|·|distinct values| rows, thousands at 100 TB —
+    and the only window runs over that aggregated table partitioned
+    by group; thresholds come from one conditional-min aggregate.
+    The corpus itself shuffles once, into the histogram's map-side
+    partial counts.
+
+    Returns one row per group: (group, n_docs, q<bp> per requested
+    quantile, min_v, max_v)."""
+    from pyspark.sql import Window, functions as F
+
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy(group_col).agg(F.sum("c").alias("n"))
+    aggs = [F.sum("c").cast("long").alias("n_docs")]
+    for bp in quantiles_bp:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 10000 >= F.lit(bp) * F.col("n"),
+                    F.col(value_col),
+                )
+            ).cast("long").alias(f"q{bp}")
+        )
+    aggs.append(F.min(value_col).cast("long").alias("min_v"))
+    aggs.append(F.max(value_col).cast("long").alias("max_v"))
+    return cum.join(n, group_col).groupBy(group_col).agg(*aggs)

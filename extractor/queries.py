@@ -7902,3 +7902,47 @@ def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch", "doc_id", "chunk_idx", "start_word", "n_words",
         "chunk_md5", "status",
     )
+
+
+@register(
+    "length_quantiles",
+    """
+    -- integer-exact per-language length quantiles from the (lang,
+    -- n_chars) histogram: quantile q = smallest v with cum(v)*10000
+    -- >= q*n — no float interpolation, no approx sketch
+    WITH hist AS (
+      SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, n_chars, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+      FROM hist
+    ), n AS (
+      SELECT lang, sum(c) AS n FROM hist GROUP BY lang
+    )
+    SELECT c.lang, n.n::BIGINT AS n_docs,
+           min(CASE WHEN c.cum * 10000 >= 2500 * n.n THEN c.n_chars END)::BIGINT
+             AS q2500,
+           min(CASE WHEN c.cum * 10000 >= 5000 * n.n THEN c.n_chars END)::BIGINT
+             AS q5000,
+           min(CASE WHEN c.cum * 10000 >= 7500 * n.n THEN c.n_chars END)::BIGINT
+             AS q7500,
+           min(CASE WHEN c.cum * 10000 >= 9500 * n.n THEN c.n_chars END)::BIGINT
+             AS q9500,
+           min(c.n_chars)::BIGINT AS min_v, max(c.n_chars)::BIGINT AS max_v
+    FROM cum c JOIN n USING (lang)
+    GROUP BY c.lang, n.n
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles
+    (operators.textstats.grouped_quantiles): the profile read before
+    fixing a context budget or truncation rule.  Integer-exact
+    cumulative-threshold quantiles over the (lang, n_chars)
+    histogram — the only window runs over the aggregated
+    thousands-row table, tie-stable where percentile_approx is
+    sketch-variant and float interpolation is engine-dependent."""
+    from extractor.operators.textstats import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(spark, sf_dir).select("lang", "n_chars")
+    )

@@ -2363,3 +2363,38 @@ def test_incremental_cdc_dedup_recrawl_delta(spark, tmp_path):
     # idempotent re-crawl: batch 2 replayed is all dup_of_history
     r3 = incremental_cdc_dedup(b2, idx, commit=False)
     assert all(r["status"] == "dup_of_history" for r in r3.collect())
+
+
+def test_grouped_quantiles_naive_equivalence(spark):
+    """Quantiles equal the definition replayed driver-side (smallest
+    value whose cumulative count reaches q*n/10000), including the
+    all-equal-values and two-value edge groups."""
+    import random
+
+    from extractor.operators.textstats import grouped_quantiles
+
+    rng = random.Random(5)
+    rows = [("a", rng.randrange(1, 1000)) for _ in range(337)]
+    rows += [("b", 42)] * 10  # degenerate: every quantile is 42
+    rows += [("c", 1), ("c", 2)]
+    df = spark.createDataFrame(rows, "lang: string, n_chars: long")
+
+    def naive(vals, bp):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, 1):
+            if i * 10000 >= bp * n:
+                return v
+
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    got = {r["lang"]: r for r in grouped_quantiles(df).collect()}
+    for g, vals in by_g.items():
+        r = got[g]
+        assert r["n_docs"] == len(vals)
+        for bp in (2500, 5000, 7500, 9500):
+            assert r[f"q{bp}"] == naive(vals, bp), (g, bp)
+        assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
+    assert got["b"]["q2500"] == got["b"]["q9500"] == 42
+    assert got["c"]["q5000"] == 1 and got["c"]["q7500"] == 2
