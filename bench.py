@@ -155,6 +155,7 @@ HEADLINE_QUERIES = [
     "collocations",
     "cdc_incremental",
     "length_quantiles",
+    "lang_mismatch",
 ]
 
 

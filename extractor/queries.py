@@ -7946,3 +7946,70 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantiles(
         _docs(spark, sf_dir).select("lang", "n_chars")
     )
+
+
+@register(
+    "lang_mismatch",
+    """
+    -- declared (html lang attribute) vs detected (stopword-profile
+    -- n-gram ID): every 6th doc declares 'en' regardless of its
+    -- actual language — the lying-label class a crawl-QA report
+    -- surfaces before the declared value feeds routing decisions
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN 'en' ELSE lang END AS declared_lang,
+           (list_sort([@LANG@]))[1].l AS detected_lang,
+           lang AS stored_lang,
+           (CASE WHEN doc_id % 6 = 0 THEN 'en' ELSE lang END)
+             <> (list_sort([@LANG@]))[1].l AS mismatch
+    FROM toks
+    """.replace("@LANG@", _LANG_STRUCTS),
+)
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language cross-check: the html ``lang``
+    attribute travels through REAL synthesized page bytes and the
+    Arrow metadata parser (operators.metadata.page_metadata), the
+    detected label through the stopword-profile n-gram ID
+    (textstats.predict_lang) — the crawl-QA signal that catches
+    template-inherited and lying lang declarations before they feed
+    routing.  Every 6th doc declares 'en' regardless of content;
+    agreement rows pin the honest path.  The oracle re-derives the
+    declared label from class arithmetic, so a regression in the
+    html round-trip, the head parser, or the language profiles flips
+    rows."""
+    from extractor.operators.metadata import page_metadata
+    from extractor.operators.textstats import predict_lang
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    declared = F.when(d % 6 == 0, F.lit("en")).otherwise(F.col("lang"))
+    url = F.concat(F.lit("https://qa.test/p/"), d.cast("string"))
+    pages = docs.select(
+        url.alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html lang="'), declared,
+                F.lit('"><head><title>t</title></head><body>'),
+                F.col("text"), F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    meta = page_metadata(pages).select(
+        "url", F.col("lang").alias("declared_lang")
+    )
+    scored = docs.select(
+        "doc_id",
+        url.alias("url"),
+        predict_lang(F.col("text")).alias("detected_lang"),
+        F.col("lang").alias("stored_lang"),
+    )
+    return scored.join(meta, "url").select(
+        "doc_id",
+        "declared_lang",
+        "detected_lang",
+        "stored_lang",
+        (F.col("declared_lang") != F.col("detected_lang")).alias("mismatch"),
+    )
