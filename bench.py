@@ -156,6 +156,7 @@ HEADLINE_QUERIES = [
     "cdc_incremental",
     "length_quantiles",
     "lang_mismatch",
+    "host_sections",
 ]
 
 

@@ -703,3 +703,53 @@ def hits_int(
             .localCheckpoint(eager=True)
         )
     return auths.join(hubs, "node")
+
+
+def host_path_profiles(
+    urls: DataFrame, url_col: str = "url", min_urls: int = 1
+) -> DataFrame:
+    """URL-structure profile per host: for each (host, first path
+    segment) — the site SECTION ('/wiki/…', '/product/…', '/tag/…') —
+    the url count and its share of the host's urls in basis points.
+    The crawl-budget / section-routing view: tag- and search-page
+    sections that dominate a host's URL space are crawler traps; a
+    section's share decides whether its urls enter the frontier at
+    full priority.  Root urls profile as section '/'.
+
+    Map-only host/segment extraction (the tier's standard
+    no-scheme/substring_index expressions — no parse_url, mirrored in
+    the SQL oracle), ONE (host, section) count aggregate with
+    map-side partials, and a hosts-sized total joined back — a
+    10^10-url frontier profiles in one shuffle of (host, section,
+    long) rows."""
+    no_scheme = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3)"
+    )
+    host = F.lower(F.substring_index(no_scheme, "/", 1))
+    path = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3 + "
+        f"length(substring_index(substring({url_col}, "
+        f"instr({url_col}, '://') + 3), '/', 1)))"
+    )
+    section = F.when(
+        F.length(path) <= 1, F.lit("/")
+    ).otherwise(F.concat(F.lit("/"), F.substring_index(F.substring(path, 2, 1 << 30), "/", 1)))
+    counts = (
+        urls.select(host.alias("host"), F.lower(section).alias("section"))
+        .groupBy("host", "section")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    # totals BEFORE the min_urls cut — shares are of the host's whole
+    # url space, filtering only trims the reported tail
+    totals = counts.groupBy("host").agg(F.sum("n_urls").alias("host_urls"))
+    return (
+        counts.filter(F.col("n_urls") >= min_urls)
+        .join(totals, "host")
+        .select(
+            "host",
+            "section",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("host_urls").cast("long").alias("host_urls"),
+            F.expr("n_urls * 10000 div host_urls").cast("long").alias("share_bp"),
+        )
+    )

@@ -8013,3 +8013,54 @@ def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stored_lang",
         (F.col("declared_lang") != F.col("detected_lang")).alias("mismatch"),
     )
+
+
+@register(
+    "host_sections",
+    """
+    -- URL-structure profile: per (host, first path segment) url
+    -- count + share of the host's url space; classes plant a
+    -- case-folded section, a path-less root, and a nested section
+    WITH urls AS (
+      SELECT doc_id,
+             'h' || (doc_id % 11) || '.site.test' AS host,
+             CASE doc_id % 4 WHEN 0 THEN '/wiki'
+                             WHEN 1 THEN '/tag'
+                             WHEN 2 THEN '/'
+                             ELSE '/product' END AS section
+      FROM documents
+    ), c AS (
+      SELECT host, section, count(*) AS n_urls FROM urls GROUP BY 1, 2
+    ), t AS (
+      SELECT host, sum(n_urls) AS host_urls FROM c GROUP BY 1
+    )
+    SELECT c.host, c.section, c.n_urls::BIGINT AS n_urls,
+           t.host_urls::BIGINT AS host_urls,
+           (c.n_urls * 10000 // t.host_urls)::BIGINT AS share_bp
+    FROM c JOIN t USING (host)
+    """,
+)
+def q_host_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-section profile (operators.webgraph.
+    host_path_profiles): the crawl-budget view — which site sections
+    ('/wiki', '/tag', '/product', root) own what share of a host's
+    URL space, the signal that flags tag/search crawler traps before
+    they flood the frontier.  Fixture classes exercise the
+    section case fold ('/Tag/' → '/tag'), the path-less root
+    ('https://host' → '/'), and nested paths ('/product/x/…' →
+    '/product'); the oracle restates sections by class arithmetic so
+    any extraction off-by-one flips shares."""
+    from extractor.operators.webgraph import host_path_profiles
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 11).cast("string"), F.lit(".site.test"))
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/wiki/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/Tag/"), d.cast("string")))
+        .when(d % 4 == 2, F.lit(""))
+        .otherwise(F.concat(F.lit("/product/x/"), d.cast("string")))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return host_path_profiles(urls)

@@ -2398,3 +2398,30 @@ def test_grouped_quantiles_naive_equivalence(spark):
         assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
     assert got["b"]["q2500"] == got["b"]["q9500"] == 42
     assert got["c"]["q5000"] == 1 and got["c"]["q7500"] == 2
+
+
+def test_host_path_profiles_sections_and_floor(spark):
+    """Section extraction corners (root, nested, case fold), share
+    arithmetic against the host's WHOLE url space, and the min_urls
+    cut trimming reported rows without distorting shares."""
+    from extractor.operators.webgraph import host_path_profiles
+
+    urls = [
+        "https://a.test/wiki/1", "https://a.test/wiki/2",
+        "https://a.test/Wiki/3",  # case-folds into /wiki
+        "https://a.test/tag/x/y",  # nested → /tag
+        "https://a.test",  # root → /
+        "https://b.test/only",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    got = {(r["host"], r["section"]): r
+           for r in host_path_profiles(df).collect()}
+    assert got[("a.test", "/wiki")]["n_urls"] == 3
+    assert got[("a.test", "/wiki")]["share_bp"] == 6000
+    assert got[("a.test", "/tag")]["n_urls"] == 1
+    assert got[("a.test", "/")]["n_urls"] == 1
+    assert got[("b.test", "/only")]["share_bp"] == 10000
+    cut = {(r["host"], r["section"]): r
+           for r in host_path_profiles(df, min_urls=2).collect()}
+    assert set(cut) == {("a.test", "/wiki")}
+    assert cut[("a.test", "/wiki")]["share_bp"] == 6000  # denominator intact
