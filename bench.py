@@ -157,6 +157,7 @@ HEADLINE_QUERIES = [
     "length_quantiles",
     "lang_mismatch",
     "host_sections",
+    "mixture_drift",
 ]
 
 

@@ -594,3 +594,60 @@ def extraction_churn(
         "variant_bytes",
         (F.col("variant_bytes") - F.col("base_bytes")).alias("delta_bytes"),
     )
+
+
+def mixture_drift(
+    docs: DataFrame,
+    crawl_col: str = "crawl_id",
+    source_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Per-crawl source-mixture shares and their drift against the
+    previous crawl — the monitoring view over the mixture that
+    source_mixture_sample ENFORCES: a source whose share jumps
+    (a crawler unblocked, a host exploded with generated pages) or
+    collapses (robots change, site death) shifts the training
+    distribution silently unless something watches the shares.
+
+    ``weight`` is any additive size measure (token count, byte count,
+    doc count via ``lit(1)``).  Output per (crawl, source):
+    ``(crawl_id, source, weight, share_bp, prev_share_bp, drift_bp)``
+    — prev/drift NULL for a crawl's first appearance of a source
+    (explicitly distinguishable from a zero drift); a source absent
+    from the current crawl emits no row (its disappearance shows as
+    the other shares' positive drift — stated, not hidden).
+
+    Scale shape: one (crawl, source) aggregate with map-side partials
+    (the only pass over the corpus), crawls-sized totals joined back,
+    and the drift join is an equi-join of two |crawls|·|sources|-row
+    tables on (crawl−1, source) — bounded by the mixture card, never
+    the corpus."""
+    agg = (
+        docs.select(
+            F.col(crawl_col).alias("crawl_id"),
+            F.col(source_col).alias("source"),
+            F.col(weight_col).alias("w"),
+        )
+        .groupBy("crawl_id", "source")
+        .agg(F.sum("w").alias("weight"))
+    )
+    tot = agg.groupBy("crawl_id").agg(F.sum("weight").alias("tw"))
+    shares = agg.join(tot, "crawl_id").select(
+        "crawl_id",
+        "source",
+        F.col("weight").cast("long").alias("weight"),
+        F.expr("weight * 10000 div tw").cast("long").alias("share_bp"),
+    )
+    prev = shares.select(
+        (F.col("crawl_id") + 1).alias("crawl_id"),
+        "source",
+        F.col("share_bp").alias("prev_share_bp"),
+    )
+    return shares.join(prev, ["crawl_id", "source"], "left").select(
+        "crawl_id",
+        "source",
+        "weight",
+        "share_bp",
+        "prev_share_bp",
+        (F.col("share_bp") - F.col("prev_share_bp")).alias("drift_bp"),
+    )

@@ -8064,3 +8064,62 @@ def q_host_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), host, path).alias("url")
     )
     return host_path_profiles(urls)
+
+
+@register(
+    "mixture_drift",
+    """
+    -- staggered corpus entry (doc enters at crawl doc_id % 4, stays)
+    -- shifts source shares crawl over crawl; drift vs the previous
+    -- crawl via the window-lag formulation, NULL at first appearance
+    WITH caps AS (
+      SELECT c.crawl AS crawl_id, d.source, d.n_chars AS w
+      FROM documents d, LATERAL (
+        SELECT unnest(generate_series(d.doc_id % 4, 3)) AS crawl
+      ) c
+    ), agg AS (
+      SELECT crawl_id, source, sum(w) AS weight
+      FROM caps GROUP BY 1, 2
+    ), tot AS (
+      SELECT crawl_id, sum(weight) AS tw FROM agg GROUP BY 1
+    ), sh AS (
+      SELECT a.crawl_id, a.source, a.weight::BIGINT AS weight,
+             (a.weight * 10000 // t.tw)::BIGINT AS share_bp
+      FROM agg a JOIN tot t USING (crawl_id)
+    )
+    SELECT crawl_id, source, weight, share_bp,
+           lag(share_bp) OVER (PARTITION BY source ORDER BY crawl_id)
+             AS prev_share_bp,
+           share_bp - lag(share_bp)
+             OVER (PARTITION BY source ORDER BY crawl_id) AS drift_bp
+    FROM sh
+    """,
+)
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture drift (operators.crawl.mixture_drift): the
+    monitor over the shares source_mixture_sample enforces — per
+    (crawl, source) weight share in basis points and its delta vs
+    the previous crawl.  Staggered corpus entry (a doc enters at
+    crawl doc_id % 4) makes every source's share shift each crawl;
+    the engine computes drift with a bounded (crawl−1, source)
+    equi-join, the oracle independently with a window lag — the two
+    formulations must agree row-for-row, including the NULL
+    first-appearance contract.  (The lag formulation is valid here
+    because every source appears in every crawl; the equi-join form
+    is also correct under gaps, where lag would reach back across a
+    missing crawl — documented difference, not exercised.)"""
+    from extractor.operators.crawl import mixture_drift
+
+    caps = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(
+            F.sequence((F.col("doc_id") % 4).cast("int"), F.lit(3))
+        ).alias("crawl_id"),
+    ).select(
+        F.col("crawl_id").cast("long").alias("crawl_id"),
+        "source",
+        F.col("n_chars").alias("weight"),
+    )
+    return mixture_drift(caps, weight_col="weight")

@@ -2425,3 +2425,25 @@ def test_host_path_profiles_sections_and_floor(spark):
            for r in host_path_profiles(df, min_urls=2).collect()}
     assert set(cut) == {("a.test", "/wiki")}
     assert cut[("a.test", "/wiki")]["share_bp"] == 6000  # denominator intact
+
+
+def test_mixture_drift_gap_semantics(spark):
+    """A source that skips a crawl reappears with NULL prev/drift —
+    the equi-join form does NOT reach back across the gap (a window
+    lag would); shares are of each crawl's own total."""
+    from extractor.operators.crawl import mixture_drift
+
+    rows = [
+        (0, "s1", 10), (0, "s2", 30),
+        (1, "s1", 40),
+        (2, "s1", 10), (2, "s2", 30),
+    ]
+    df = spark.createDataFrame(rows, "crawl_id: long, source: string, weight: long")
+    got = {(r["crawl_id"], r["source"]): r
+           for r in mixture_drift(df).collect()}
+    assert got[(0, "s1")]["share_bp"] == 2500
+    assert got[(0, "s1")]["prev_share_bp"] is None
+    assert got[(1, "s1")]["share_bp"] == 10000
+    assert got[(1, "s1")]["drift_bp"] == 7500
+    assert got[(2, "s2")]["prev_share_bp"] is None  # gap: no reach-back
+    assert got[(2, "s1")]["drift_bp"] == 2500 - 10000
