@@ -158,6 +158,7 @@ HEADLINE_QUERIES = [
     "lang_mismatch",
     "host_sections",
     "mixture_drift",
+    "robots_sitemaps",
 ]
 
 

@@ -753,3 +753,40 @@ def host_path_profiles(
             F.expr("n_urls * 10000 div host_urls").cast("long").alias("share_bp"),
         )
     )
+
+
+def robots_sitemaps(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) rows from raw robots.txt bodies — the
+    discovery hook that connects the politeness tier to
+    ``sources.sitemap``: RFC 9309 makes ``Sitemap:`` lines
+    group-INDEPENDENT (they apply regardless of user-agent groups),
+    so this is a pure line filter, deliberately separate from
+    :func:`parse_robots`' group scan.  Field name case-insensitive,
+    comments cut, value whitespace-trimmed with URL case PRESERVED
+    (paths are case-sensitive); files without sitemap lines emit no
+    rows.  One map-only expression pass, zero Exchange — same scan
+    economics as parse_robots."""
+    line_clean = "regexp_replace(l0, '#.*', '')"
+    vals = F.expr(
+        rf"""
+        filter(
+          transform(
+            split(regexp_replace(coalesce(_body, ''), '\r', ''), '\n'),
+            l0 -> CASE
+              WHEN instr({line_clean}, ':') > 0
+               AND lower(trim(substring_index({line_clean}, ':', 1)))
+                   = 'sitemap'
+              THEN trim(substring({line_clean},
+                        instr({line_clean}, ':') + 1))
+              ELSE '' END),
+          v -> v <> '')
+        """
+    )
+    return (
+        bodies.select(
+            F.col(host_col).alias("host"), F.col(body_col).alias("_body")
+        )
+        .select("host", F.explode(vals).alias("sitemap_url"))
+    )

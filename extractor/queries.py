@@ -8123,3 +8123,75 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("weight"),
     )
     return mixture_drift(caps, weight_col="weight")
+
+
+@register(
+    "robots_sitemaps",
+    """
+    -- Sitemap discovery from raw robots bodies, group-independent
+    -- per RFC 9309; classes: single line (%4=0), two lines with a
+    -- lowercase key + indentation (%4=1), none (%4=2), trailing
+    -- comment (%4=3) — expected rows restated by arithmetic, never
+    -- by parsing
+    WITH hosts AS (
+      SELECT DISTINCT (doc_id % 40) AS h FROM documents
+    )
+    SELECT 'h' || h || '.robots.test' AS host,
+           'https://h' || h || '.robots.test' || sfx AS sitemap_url
+    FROM hosts, LATERAL (
+      SELECT unnest(CASE h % 4
+        WHEN 0 THEN ['/sitemap.xml']
+        WHEN 1 THEN ['/sitemap.xml', '/sitemap2.xml']
+        WHEN 3 THEN ['/sitemap.xml']
+        ELSE [] END) AS sfx
+    ) s
+    """,
+)
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (operators.webgraph.robots_sitemaps): the
+    line every crawler reads first — ``Sitemap:`` entries are
+    group-independent, so the extractor is a pure line filter beside
+    parse_robots' group scan.  Raw bodies are synthesized per host
+    with grammar corners (mixed-case field name, indentation, a
+    second sitemap line, trailing comments, sitemap-less files that
+    must emit nothing, Disallow noise around every line); the oracle
+    restates the expected (host, url) rows from class arithmetic —
+    any comment/trim/case bug flips rows."""
+    from extractor.operators.webgraph import robots_sitemaps
+
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 40).alias("h")
+    ).distinct()
+    hostname = F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".robots.test"))
+    base = F.concat(F.lit("https://"), hostname)
+    body = (
+        F.when(
+            F.col("h") % 4 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nSitemap: "),
+                base, F.lit("/sitemap.xml\n"),
+            ),
+        )
+        .when(
+            F.col("h") % 4 == 1,
+            F.concat(
+                F.lit("sitemap: "), base, F.lit("/sitemap.xml\r\n"),
+                F.lit("User-agent: bot\nDisallow: /x\n"),
+                F.lit("  SITEMAP:   "), base, F.lit("/sitemap2.xml  \n"),
+            ),
+        )
+        .when(
+            F.col("h") % 4 == 2,
+            F.lit("User-agent: *\nDisallow: /\n# no sitemap here\n"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Sitemap: "), base,
+                F.lit("/sitemap.xml # primary index\n"),
+            )
+        )
+    )
+    bodies = hosts.select(
+        hostname.alias("host"), body.alias("robots_txt")
+    )
+    return robots_sitemaps(bodies)
