@@ -159,6 +159,7 @@ HEADLINE_QUERIES = [
     "host_sections",
     "mixture_drift",
     "robots_sitemaps",
+    "e2e_discovery",
 ]
 
 

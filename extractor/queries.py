@@ -8195,3 +8195,147 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         hostname.alias("host"), body.alias("robots_txt")
     )
     return robots_sitemaps(bodies)
+
+
+@register(
+    "e2e_discovery",
+    """
+    -- the discovery loop end-to-end, restated by class arithmetic:
+    -- hosts h%4 in {0,3} discover one sitemap (/p/), h%4=1 two
+    -- (/p/ and /q/), h%4=2 none; each sitemap lists 5 urls with
+    -- lastmod on even k; captures exist for sitemap-having hosts
+    -- (p/0 fresh, p/1 no_hint, p/2 stale, /gone unlisted); all
+    -- uncaptured listings are new
+    WITH hosts AS (
+      SELECT DISTINCT (doc_id % 40) AS h FROM documents
+    ), sm AS (
+      SELECT h, unnest(CASE h % 4 WHEN 1 THEN ['/p/', '/q/']
+                                  WHEN 2 THEN []
+                                  ELSE ['/p/'] END) AS pfx
+      FROM hosts
+    ), listed AS (
+      SELECT 'https://h' || h || '.robots.test' || pfx || k AS url,
+             CASE WHEN k % 2 = 0 THEN '2025-06-10' END AS lastmod
+      FROM sm, LATERAL (SELECT unnest(generate_series(0, 4)) AS k) g
+    ), caps AS (
+      SELECT 'https://h' || h || '.robots.test' || q.p.path AS url,
+             q.p.ts AS ts
+      FROM hosts, LATERAL (SELECT unnest([
+        {'path': '/p/0', 'ts': '2025-06-15'},
+        {'path': '/p/1', 'ts': '2025-06-03'},
+        {'path': '/p/2', 'ts': '2025-06-01'},
+        {'path': '/gone', 'ts': '2025-05-01'}]) AS p) q
+      WHERE h % 4 <> 2
+    ), j AS (
+      SELECT coalesce(l.url, c.url) AS url,
+             l.url IS NOT NULL AS listed, l.lastmod, c.ts
+      FROM listed l FULL OUTER JOIN caps c ON c.url = l.url
+    )
+    SELECT url,
+           CASE WHEN NOT listed THEN 'unlisted'
+                WHEN ts IS NULL THEN 'new'
+                WHEN lastmod IS NULL THEN 'no_hint'
+                WHEN lastmod > ts THEN 'stale'
+                ELSE 'fresh' END AS status,
+           (CASE WHEN NOT listed THEN 'unlisted'
+                 WHEN ts IS NULL THEN 'new'
+                 WHEN lastmod IS NULL THEN 'no_hint'
+                 WHEN lastmod > ts THEN 'stale'
+                 ELSE 'fresh' END) IN ('new', 'stale', 'no_hint') AS fetch
+    FROM j
+    """,
+)
+def q_e2e_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end discovery loop: RAW robots bodies →
+    ``robots_sitemaps`` (group-independent Sitemap lines) → REAL
+    sitemap files written and re-ingested through the
+    block-splittable reader → ``sitemap_frontier`` fetch decisions
+    against a capture history — every stage the engine's own
+    operator, driven from bytes on disk.  The oracle restates the
+    whole chain from class arithmetic, so a regression in the robots
+    line filter, the sitemap round-trip (XML escaping, lastmod
+    framing), or the decision join flips rows."""
+    import tempfile
+
+    from extractor.operators.crawl import sitemap_frontier
+    from extractor.operators.webgraph import robots_sitemaps
+    from extractor.sources.sitemap import read_sitemap, to_sitemap_records
+
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 40).alias("h")
+    ).distinct()
+    hostname = F.concat(
+        F.lit("h"), F.col("h").cast("string"), F.lit(".robots.test")
+    )
+    base = F.concat(F.lit("https://"), hostname)
+    body = (
+        F.when(
+            F.col("h") % 4 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nSitemap: "),
+                base, F.lit("/sitemap.xml\n"),
+            ),
+        )
+        .when(
+            F.col("h") % 4 == 1,
+            F.concat(
+                F.lit("sitemap: "), base, F.lit("/sitemap.xml\r\n"),
+                F.lit("User-agent: bot\nDisallow: /x\n"),
+                F.lit("  SITEMAP:   "), base, F.lit("/sitemap2.xml  \n"),
+            ),
+        )
+        .when(
+            F.col("h") % 4 == 2,
+            F.lit("User-agent: *\nDisallow: /\n# no sitemap here\n"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Sitemap: "), base,
+                F.lit("/sitemap.xml # primary index\n"),
+            )
+        )
+    )
+    disc = robots_sitemaps(
+        hosts.select(hostname.alias("host"), body.alias("robots_txt"))
+    )
+    pfx = F.when(
+        F.col("sitemap_url").endswith("sitemap2.xml"), F.lit("/q/")
+    ).otherwise(F.lit("/p/"))
+    entries = (
+        disc.select(
+            "host",
+            pfx.alias("pfx"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.col("pfx"),
+                F.col("k").cast("string"),
+            ).alias("loc"),
+            F.when(F.col("k") % 2 == 0, F.lit("2025-06-10")).alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("long").alias("priority_bp"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="disc_") + "/maps"
+    to_sitemap_records(entries).write.mode("overwrite").text(out)
+    parsed = read_sitemap(spark, out)
+    caps = (
+        hosts.filter(F.col("h") % 4 != 2)
+        .select(
+            base.alias("base"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("/p/0").alias("p"), F.lit("2025-06-15").alias("t")),
+                    F.struct(F.lit("/p/1").alias("p"), F.lit("2025-06-03").alias("t")),
+                    F.struct(F.lit("/p/2").alias("p"), F.lit("2025-06-01").alias("t")),
+                    F.struct(F.lit("/gone").alias("p"), F.lit("2025-05-01").alias("t")),
+                )
+            ).alias("c"),
+        )
+        .select(
+            F.concat(F.col("base"), F.col("c.p")).alias("url"),
+            F.col("c.t").alias("last_ts"),
+        )
+    )
+    return sitemap_frontier(parsed, caps)
