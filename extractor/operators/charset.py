@@ -179,14 +179,18 @@ _STRIP_CHARS = " \t\r\n"
 
 
 def normalize_unicode(s: str | None) -> str | None:
-    """NFC-compose, strip C0 controls (except tab/newline/CR, which
-    the whitespace rules own) and DEL, collapse horizontal-whitespace
-    runs to one space, trim outer [ \\t\\r\\n].  None → None."""
+    """NFC-compose, normalize line endings (CRLF and lone CR → LF —
+    decode leaves Windows/Mac endings that would split line-grain
+    dedup on an ending artifact), strip C0 controls (except
+    tab/newline, which the whitespace rules own) and DEL, collapse
+    horizontal-whitespace runs to one space, trim outer
+    [ \\t\\r\\n].  None → None.  Idempotent (hypothesis-pinned)."""
     import unicodedata
 
     if s is None:
         return None
     s = unicodedata.normalize("NFC", s)
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _CTRL_RE.sub("", s)
     s = _HWS_RE.sub(" ", s)
     return s.strip(_STRIP_CHARS)

@@ -7513,11 +7513,16 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'bell' ELSE '' END ||
              CASE WHEN doc_id % 4 = 0
                   THEN '  tabs' || chr(9) || chr(9) || 'here' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' crA' || chr(13) || 'crB' || chr(13) || chr(10)
+                       || 'crC' ELSE '' END ||
              '  ' || chr(10) AS text
       FROM documents
     ), norm AS (
       SELECT doc_id, text,
-             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                  nfc_normalize(text),
+                  chr(13) || chr(10) || '?', chr(10), 'g'),
                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
                   '[ ' || chr(9) || ']+', ' ', 'g'),
                   ' ' || chr(9) || chr(13) || chr(10)) AS norm_text
@@ -7546,6 +7551,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 6 == 0, F.lit(" caf" + "é")).otherwise(F.lit("")),
             F.when(d % 5 == 0, F.lit("\x07bell")).otherwise(F.lit("")),
             F.when(d % 4 == 0, F.lit("  tabs\t\there")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" crA\rcrB\r\ncrC")).otherwise(F.lit("")),
             F.lit("  \n"),
         ).alias("text"),
     )

@@ -2206,6 +2206,7 @@ def test_normalize_text_semantics(spark):
             (2, "a\x00b\x07c"),              # controls stripped
             (3, "x  \t\t y"),                # runs collapse
             (4, "  padded \n"),              # outer trim
+            (7, "a\rb\r\nc"),                  # CR / CRLF -> LF
             (5, "already clean"),            # unchanged
             (6, None),                        # null in → null out
         ],
@@ -2221,6 +2222,7 @@ def test_normalize_text_semantics(spark):
     assert got[4] == ("padded", True)
     assert got[5] == ("already clean", False)
     assert got[6] == (None, False)
+    assert got[7] == ("a\nb\nc", True)
 
 
 def _naive_cdc(texts, avg_words=32):

@@ -246,3 +246,32 @@ def test_html_outlinks_nofollow_column_filters_rank_edges(spark):
     from pyspark.sql import functions as F
 
     assert [r.href for r in edges.filter(~F.col("nofollow")).collect()] == ["/y"]
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_normalize_unicode_idempotent(s):
+    """Running the hygiene pass twice changes nothing — the property
+    that makes it safe to apply at multiple pipeline stages."""
+    from extractor.operators.charset import normalize_unicode
+
+    once = normalize_unicode(s)
+    assert normalize_unicode(once) == once
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_normalize_unicode_output_invariants(s):
+    """Arbitrary input → output never contains C0 controls (other
+    than LF), DEL, CR, horizontal tab, or a double space, and carries
+    no leading/trailing strip-set characters."""
+    from extractor.operators.charset import normalize_unicode
+
+    out = normalize_unicode(s)
+    assert out is not None
+    assert not any(
+        ord(c) < 32 and c != "\n" for c in out
+    ) and "\x7f" not in out
+    assert "  " not in out and "\t" not in out and "\r" not in out
+    if out:
+        assert out[0] not in " \t\r\n" and out[-1] not in " \t\r\n"
