@@ -160,6 +160,7 @@ HEADLINE_QUERIES = [
     "mixture_drift",
     "robots_sitemaps",
     "e2e_discovery",
+    "degree_histogram",
 ]
 
 

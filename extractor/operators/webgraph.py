@@ -790,3 +790,48 @@ def robots_sitemaps(
         )
         .select("host", F.explode(vals).alias("sitemap_url"))
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree distribution of the link graph in power-of-two buckets,
+    per direction — the observability read BEFORE trusting rank mass
+    (the web-graph analog of the retrieval tier's postings_stats):
+    mass piling into the top out-degree buckets means link farms /
+    nav explosions are about to dominate PageRank's edge table, and
+    the in-degree tail is where AQE skew handling and the hot-key
+    caps earn their keep.
+
+    Distinct edges (multi-edges are rank WEIGHT, not graph structure
+    — stated; weight stats live with pagerank's collapse), degrees in
+    one grouped union pass, bucket = bit length of the degree minus
+    one (base-2 string length — integer-exact in both engines, no
+    float log2 boundary risk).  Returns (direction, deg_bucket,
+    n_nodes, total_edges, max_degree)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumn("direction", F.lit("out"))
+        .unionAll(
+            e.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .withColumn("direction", F.lit("in"))
+        )
+    )
+    bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).cast(
+        "long"
+    )
+    return (
+        deg.select("direction", bucket.alias("deg_bucket"), "deg")
+        .groupBy("direction", "deg_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("total_edges"),
+            F.max("deg").cast("long").alias("max_degree"),
+        )
+    )

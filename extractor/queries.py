@@ -8345,3 +8345,42 @@ def q_e2e_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sitemap_frontier(parsed, caps)
+
+
+@register(
+    "degree_histogram",
+    f"""
+    WITH {_BOILER_EDGES_SQL},
+    edges AS (
+      SELECT b.url AS src, '/x/' || (b.doc_id + f.doff) || '/' || i.i AS dst
+      FROM boiler b, farm f,
+           LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    ), de AS (
+      SELECT DISTINCT src, dst FROM edges
+    ), deg AS (
+      SELECT 'out' AS direction, src AS node, count(*) AS deg
+      FROM de GROUP BY src
+      UNION ALL
+      SELECT 'in', dst, count(*) FROM de GROUP BY dst
+    )
+    SELECT direction, (length(bin(deg)) - 1)::BIGINT AS deg_bucket,
+           count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS total_edges,
+           max(deg)::BIGINT AS max_degree
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree distribution (operators.webgraph.
+    degree_histogram) over the extracted page-level outlink graph —
+    the observability read before trusting rank mass (link farms and
+    nav explosions surface as mass in the top out-degree buckets).
+    Distinct edges (the boiler fixture's overlapping farm lists plant
+    real duplicate (src, dst) pairs the distinct must collapse),
+    degrees in one grouped union pass, power-of-two buckets via
+    base-2 string length — integer-exact in both engines."""
+    from extractor.operators.webgraph import degree_histogram
+
+    edges = q_html_outlinks(spark, sf_dir).select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    )
+    return degree_histogram(edges)
