@@ -161,6 +161,7 @@ HEADLINE_QUERIES = [
     "robots_sitemaps",
     "e2e_discovery",
     "degree_histogram",
+    "ann_quantized",
 ]
 
 

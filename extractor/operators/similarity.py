@@ -269,3 +269,110 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization:
+    ``q_i = floor(x_i · levels / max_abs)`` with the per-vector scale
+    kept alongside — the 4× memory cut that decides whether a
+    10^9-vector ANN index fits executor memory (float32 64-dim =
+    256 B/vec; int8 = 64 B + one double).  Cosine is INVARIANT to the
+    per-vector scale, so quantized search ranks by the integer
+    vectors' own cosine — no dequantization in the hot loop; the
+    scale column exists for consumers that need magnitudes back.
+
+    Deterministic across engines: float→double widening is exact,
+    the ``·levels / max_abs`` arithmetic and ``floor`` are IEEE
+    operations both engines implement identically (no round-half
+    mode to disagree on — the reason floor, not round).  All-zero
+    vectors quantize to zeros (guarded division).
+
+    Returns (id, scale double, qvec array<int>); map-only, rides the
+    scan."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = emb.select(F.col(id_col).alias("id"), v.alias("v")).select(
+        "id",
+        "v",
+        # projected before the per-element lambda uses it (HOF
+        # re-evaluation trap: inline array_max re-runs per element)
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * F.lit(levels) / F.col("scale")).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    return src.select("id", "scale", q.alias("qvec"))
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    base_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Brute-force top-k by the cosine of the QUANTIZED vectors —
+    the int8 search path whose agreement with float search
+    ``ann_quantized`` measures.  Same shape as cosine_topk: the query
+    side broadcasts, the base scans once, integer dot/norms fold in
+    codegen, the float division and sqrt touch only the final
+    per-pair score.  Returns (query_id, rank, neighbor_id, qsim)."""
+    from pyspark.sql import Window
+
+    qt = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col, levels=levels)
+    qt = qt.select(
+        "id",
+        "qvec",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("qvec"), lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    base = qt.filter(base_pred) if base_pred is not None else qt
+    queries = emb.filter(query_pred).select(F.col(id_col).alias("qid"))
+    q_side = qt.join(queries, qt.id == queries.qid).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("n2").alias("q_n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_qvec"), F.col("qvec"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q_side)
+        .crossJoin(base)
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.when(
+                (F.col("q_n2") > 0) & (F.col("n2") > 0),
+                dot / F.sqrt(F.col("q_n2").cast("double") * F.col("n2")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("qsim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("qsim", 6).alias("qsim"))
+    )

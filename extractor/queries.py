@@ -8384,3 +8384,98 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("src"), F.col("href").alias("dst")
     )
     return degree_histogram(edges)
+
+
+@register(
+    "ann_quantized",
+    """
+    -- int8 search agreement vs float search on the same pinned base
+    -- (vec_id % 2): per query, |top5_float ∩ top5_int8| — the
+    -- measurement that justifies the 4x memory cut
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qt AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v
+    ), qv AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> floor(x * 127 / scale)::INT)
+                  ELSE list_transform(v, x -> 0) END AS q
+      FROM qt
+    ), qn AS (
+      SELECT vec_id, q,
+             list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+      FROM qv
+    ), fb AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM v WHERE vec_id % 2 = 0
+    ), fq AS (
+      SELECT vec_id AS query_id, v AS qvv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM v WHERE vec_id % 50 = 0
+    ), fr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               list_dot_product(qvv, v) / (qn * nrm) DESC, vec_id) AS rank
+      FROM fq, fb WHERE vec_id <> query_id
+    ), qb AS (
+      SELECT vec_id, q, n2 FROM qn WHERE vec_id % 2 = 0
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS qqv, n2 AS qn2
+      FROM qn WHERE vec_id % 50 = 0
+    ), qr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN qn2 > 0 AND n2 > 0
+                    THEN list_dot_product(qqv::DOUBLE[], q::DOUBLE[])
+                         / sqrt(qn2 * n2)
+                    ELSE 0 END DESC, vec_id) AS rank
+      FROM qq, qb WHERE vec_id <> query_id
+    )
+    SELECT f.query_id,
+           count(q.neighbor_id)::BIGINT AS n_hits,
+           (count(q.neighbor_id) * 10000 // 5)::BIGINT AS recall_bp
+    FROM (SELECT * FROM fr WHERE rank <= 5) f
+    LEFT JOIN (SELECT * FROM qr WHERE rank <= 5) q
+      ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized ANN agreement
+    (operators.similarity.quantize_embeddings /
+    quantized_cosine_topk): per-vector symmetric quantization —
+    floor arithmetic, no round-half mode for engines to disagree on
+    — then top-5 by the integer vectors' own cosine (scale cancels),
+    compared against float top-5 on the SAME pinned half-corpus base
+    (the ann_recall de-weak discipline: exact legs never scan the
+    unfiltered corpus).  Per-query overlap in basis points is the
+    number that justifies shipping a 4× smaller index; both rankings
+    and the quantization itself are re-derived in SQL."""
+    from extractor.operators.similarity import cosine_topk, quantized_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qp = F.col("vec_id") % 50 == 0
+    exact = cosine_topk(
+        emb, qp, k=5, base_filter=F.col("vec_id") % 2 == 0
+    ).select("query_id", "neighbor_id")
+    quant = quantized_cosine_topk(
+        emb, qp, k=5, base_pred=F.col("id") % 2 == 0
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(quant, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("coalesce(n_hits, 0) * 10000 div 5").cast("long").alias(
+                "recall_bp"
+            ),
+        )
+    )

@@ -2449,3 +2449,26 @@ def test_mixture_drift_gap_semantics(spark):
     assert got[(1, "s1")]["drift_bp"] == 7500
     assert got[(2, "s2")]["prev_share_bp"] is None  # gap: no reach-back
     assert got[(2, "s1")]["drift_bp"] == 2500 - 10000
+
+
+def test_quantize_embeddings_invariants(spark):
+    """Quantization bounds and edge cases: components land in
+    [-127, 127] with the max-magnitude side hitting ±127 (floor takes
+    the negative extreme to exactly -127, the positive to 127 or 126),
+    zero vectors quantize to zeros with scale 0, and quantized cosine
+    of a vector with ITSELF is 1 (scale invariance)."""
+    from extractor.operators.similarity import quantize_embeddings
+
+    rows = [
+        (0, [0.5, -1.0, 0.25]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [2.0, 1.0, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {r["id"]: (r["scale"], list(r["qvec"]))
+           for r in quantize_embeddings(df).collect()}
+    assert got[0] == (1.0, [63, -127, 31])
+    assert got[1] == (0.0, [0, 0, 0])
+    assert got[2] == (2.0, [127, 63, -32])
+    for _, q in got.values():
+        assert all(-127 <= x <= 127 for x in q)
