@@ -162,6 +162,7 @@ HEADLINE_QUERIES = [
     "e2e_discovery",
     "degree_histogram",
     "ann_quantized",
+    "host_categories",
 ]
 
 

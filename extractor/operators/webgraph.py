@@ -835,3 +835,81 @@ def degree_histogram(
             F.max("deg").cast("long").alias("max_degree"),
         )
     )
+
+
+def label_propagation_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    iterations: int = 2,
+) -> DataFrame:
+    """Categorical label propagation over the (undirected) host graph
+    (Zhu/Ghahramani-style propagation with clamped seeds; Raghavan's
+    LPA made deterministic): a hand-audited seed set carries known
+    categories (news / reference / commerce / spam …), and each
+    iteration every non-seed node adopts the category with the
+    largest incoming link weight from labeled neighbors — the
+    host-scale topic tagger that complements TrustRank's scalar
+    trust with a categorical axis.
+
+    Determinism (the engine contract): votes are integer edge-weight
+    sums; argmax breaks ties by label ASC (via one
+    ``min(struct(-votes, label))`` aggregate — no window, no
+    nondeterministic first()); seeds are CLAMPED (their label never
+    changes); nodes with no labeled neighbor stay unlabeled and are
+    absent from the output.  Links count as evidence in BOTH
+    directions (edges are symmetrized once, multi-edges collapse to
+    weights).
+
+    Scale shape: the symmetric edge table builds once (one
+    distinct-collapse shuffle); per iteration ONE equi-join of the
+    current (node, label) table against edges + one (node, label)
+    vote aggregate with map-side partials + the argmax aggregate —
+    the Pregel-as-joins shape of pagerank_int with labels instead of
+    mass; lineage truncated per round.  Returns (node, label,
+    votes) — seeds carry votes = 0 (their label is an input, not an
+    inference; stated)."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    seed_tbl = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    ).localCheckpoint(eager=True)
+    labels = seed_tbl.withColumn("votes", F.lit(0).cast("long"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("a"), "label"), "a"
+            )
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.sum("w").alias("v"))
+        )
+        arg = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("v")).alias("nv"), F.col("label"))
+                ).alias("m")
+            )
+            .select(
+                "node",
+                F.col("m.label").alias("label"),
+                (-F.col("m.nv")).cast("long").alias("votes"),
+            )
+        )
+        labels = (
+            seed_tbl.withColumn("votes", F.lit(0).cast("long"))
+            .unionAll(arg.join(seed_tbl.select("node"), "node", "left_anti"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

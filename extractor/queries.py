@@ -8479,3 +8479,87 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LP_ITER_SQL = """
+    v{K} AS (
+      SELECT s.b AS node, l.label, sum(s.w) AS v
+      FROM sym s JOIN l{PREV} l ON l.node = s.a GROUP BY 1, 2
+    ),
+    a{K} AS (
+      SELECT node, label, v AS votes FROM (
+        SELECT node, label, v,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY v DESC, label) AS rn
+        FROM v{K}) t WHERE rn = 1
+    ),
+    l{K} AS (
+      SELECT node, label, 0::BIGINT AS votes FROM seeds
+      UNION ALL
+      SELECT a.node, a.label, a.votes::BIGINT FROM a{K} a
+      WHERE a.node NOT IN (SELECT node FROM seeds)
+    )
+"""
+
+
+@register(
+    "host_categories",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id, doc_id % 11 AS a FROM documents
+    ), e0 AS (
+      SELECT 'h' || a AS src, 'h' || ((a + 1) % 11) AS dst FROM hosts
+      UNION ALL
+      SELECT 'h' || a, 'h' || ((a + 3) % 11) FROM hosts
+    ), sym AS (
+      SELECT a, b, count(*) AS w FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0
+      ) u WHERE a <> b GROUP BY 1, 2
+    ), seeds AS (
+      SELECT 'h0' AS node, 'news' AS label
+      UNION ALL SELECT 'h5', 'shop'
+    ), l0 AS (
+      SELECT node, label, 0::BIGINT AS votes FROM seeds
+    ),
+    {_LP_ITER_SQL.format(K=1, PREV=0)},
+    {_LP_ITER_SQL.format(K=2, PREV=1)}
+    SELECT node, label, votes FROM l2
+    """,
+)
+def q_host_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-category propagation
+    (operators.webgraph.label_propagation_int): two seed hosts
+    ('news', 'shop') spread over an 11-host ring-with-chords graph by
+    weighted majority vote — the categorical topic axis beside
+    TrustRank's scalar trust; clamped seeds, label-ascending tie
+    break, integer votes.  The oracle unrolls both iterations with
+    the window-argmax formulation — any drift in symmetrization,
+    weighting, clamping or the tie rule flips labels."""
+    from extractor.operators.webgraph import label_propagation_int
+
+    d = F.col("doc_id")
+    a = (d % 11).cast("string")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("h"), a).alias("src"),
+                    F.concat(F.lit("h"), ((d + 1) % 11).cast("string")).alias(
+                        "dst"
+                    ),
+                ),
+                F.struct(
+                    F.concat(F.lit("h"), a).alias("src"),
+                    F.concat(F.lit("h"), ((d + 3) % 11).cast("string")).alias(
+                        "dst"
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    seeds = docs.sparkSession.createDataFrame(
+        [("h0", "news"), ("h5", "shop")], "node string, label string"
+    )
+    return label_propagation_int(edges, seeds, iterations=2)

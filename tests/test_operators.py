@@ -2472,3 +2472,53 @@ def test_quantize_embeddings_invariants(spark):
     assert got[2] == (2.0, [127, 63, -32])
     for _, q in got.values():
         assert all(-127 <= x <= 127 for x in q)
+
+
+def test_label_propagation_naive_and_semantics(spark):
+    """Hand graph: weighted votes win, ties break label-ascending,
+    seeds are clamped against contrary neighbors, unreachable nodes
+    stay unlabeled; exact equality with a driver-side replay of the
+    same recurrence for 3 iterations."""
+    from extractor.operators.webgraph import label_propagation_int
+
+    edge_list = [
+        ("s1", "a"), ("a", "b"),
+        ("s2", "c"),
+        ("s1", "x"), ("s1", "x"), ("s2", "x"),  # x: news 2 vs shop 1
+        ("s1", "t"), ("s2", "t"),               # t: tie → 'news' (asc)
+        ("s2", "s1"), ("s2", "s1"),             # seed clamp pressure
+        ("z1", "z2"),                            # unlabeled island
+    ]
+    seeds = {"s1": "news", "s2": "shop"}
+    iters = 3
+
+    from collections import Counter
+
+    sym = Counter()
+    for u, v in edge_list:
+        if u != v:
+            sym[(u, v)] += 1
+            sym[(v, u)] += 1
+    labels = {n: (l, 0) for n, l in seeds.items()}
+    for _ in range(iters):
+        votes: dict = {}
+        for (a, b), w in sym.items():
+            if a in labels:
+                votes.setdefault(b, Counter())[labels[a][0]] += w
+        new = {}
+        for n, c in votes.items():
+            best = min(((-v, l) for l, v in c.items()))
+            new[n] = (best[1], -best[0])
+        for n, l in seeds.items():
+            new[n] = (l, 0)
+        labels = new
+
+    df = spark.createDataFrame(edge_list, "src: string, dst: string")
+    sd = spark.createDataFrame(list(seeds.items()), "node: string, label: string")
+    got = {r["node"]: (r["label"], r["votes"])
+           for r in label_propagation_int(df, sd, iterations=iters).collect()}
+    assert got == labels
+    assert got["s1"] == ("news", 0)          # clamped
+    assert got["x"][0] == "news"             # weight wins
+    assert got["t"][0] == "news"             # tie → label asc
+    assert "z1" not in got and "z2" not in got
