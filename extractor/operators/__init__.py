@@ -14,12 +14,16 @@
 * ``chunking``    — content-defined chunking (shift-resistant
                     chunk-grain dedup across captures)
 * ``similarity``  — brute-force cosine top-k, SRP-LSH-bucketed and
-                    IVF approximate top-k, measured recall
+                    IVF approximate top-k, measured recall, int8
+                    quantization with measured search agreement
 * ``webgraph``    — outlink edge extraction, fixed-iteration integer
                     PageRank (dangling modes) + seeded TrustRank +
-                    HITS hub/authority, host-graph rollup + link
-                    stats, robots.txt parsing + Disallow gate,
-                    frontier scoring, politeness fetch scheduling
+                    HITS hub/authority + categorical label
+                    propagation, host-graph rollup + link stats +
+                    degree histograms + URL-section profiles,
+                    robots.txt parsing (rules + sitemap discovery) +
+                    Disallow gate, frontier scoring, politeness
+                    fetch scheduling
 * ``incremental`` — crawl-batch fuzzy dedup against a committed
                     band-signature index (history never recomputed)
 * ``crawl``       — cross-crawl delta / latest-wins resolution /
@@ -27,7 +31,8 @@
                     doubling), soft-404 gate, recrawl priority,
                     sitemap fetch decisions, mirror-host detection,
                     per-crawl novelty, canonical-URL consolidation,
-                    extraction A/B churn canary
+                    extraction A/B churn canary, source-mixture
+                    drift monitoring
 * ``relevance``   — integer TF-IDF keyterms, inbound anchor-text
                     profiles, exact-anchor spam concentration,
                     inverted-index build / LSM merge with stopword
