@@ -163,6 +163,7 @@ HEADLINE_QUERIES = [
     "degree_histogram",
     "ann_quantized",
     "host_categories",
+    "quality_percentiles",
 ]
 
 

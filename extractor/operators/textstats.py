@@ -368,3 +368,36 @@ def grouped_quantiles(
     aggs.append(F.min(value_col).cast("long").alias("min_v"))
     aggs.append(F.max(value_col).cast("long").alias("max_v"))
     return cum.join(n, group_col).groupBy(group_col).agg(*aggs)
+
+
+def grouped_percentiles(
+    df,
+    group_col: str = "lang",
+    value_col: str = "mean_surprisal",
+):
+    """Percentile-normalize a score within its group:
+    ``percentile_bp = 10000 · |{v' ≤ v}| div n`` — the cross-group
+    comparability layer quality mixing needs (a 'good' surprisal in a
+    high-resource language is a different raw number than in a
+    low-resource one; percentiles put every language on one axis,
+    CCNet's tercile split at basis-point resolution).
+
+    Integer-exact and tie-stable: equal scores share a percentile
+    (the cumulative count through the value), no ntile row-splitting,
+    no float cume_dist.  Scale shape: the corpus reduces to a
+    (group, value) histogram; the only window runs over that
+    aggregated table; the per-row assignment is one equi-join back on
+    (group, value) — histogram-sized build side, Catalyst picks the
+    strategy.  Returns the input columns + ``percentile_bp``."""
+    from pyspark.sql import Window, functions as F
+
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy(group_col).agg(F.sum("c").alias("n"))
+    pct = cum.join(n, group_col).select(
+        group_col,
+        value_col,
+        F.expr("cum * 10000 div n").cast("long").alias("percentile_bp"),
+    )
+    return df.join(pct, [group_col, value_col])

@@ -8563,3 +8563,58 @@ def q_host_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("h0", "news"), ("h5", "shop")], "node string, label string"
     )
     return label_propagation_int(edges, seeds, iterations=2)
+
+
+@register(
+    "quality_percentiles",
+    """
+    -- per-language percentile of the unigram-surprisal quality score:
+    -- 10000 * (cumulative docs through the score) div n, tie-stable
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS n FROM cnt
+    ), scored AS (
+      SELECT toks.doc_id, toks.lang,
+             (sum(tot.n // cnt.c) // count(*))::BIGINT AS mean_surprisal
+      FROM toks JOIN cnt ON cnt.t = toks.t, tot
+      GROUP BY toks.doc_id, toks.lang
+    ), hist AS (
+      SELECT lang, mean_surprisal, count(*) AS c FROM scored GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, mean_surprisal, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY mean_surprisal) AS cum
+      FROM hist
+    ), n AS (
+      SELECT lang, sum(c) AS n FROM hist GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.mean_surprisal,
+           (cm.cum * 10000 // n.n)::BIGINT AS percentile_bp
+    FROM scored s
+    JOIN cum cm ON cm.lang = s.lang
+               AND cm.mean_surprisal = s.mean_surprisal
+    JOIN n ON n.lang = s.lang
+    """,
+)
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-normalized quality
+    (operators.textstats.grouped_percentiles over unigram_surprisal):
+    puts every language's fluency scores on one 0–10000 axis — the
+    comparability layer a cross-lingual mixture thresholds on, where
+    raw surprisal is incomparable across vocabulary sizes.  The only
+    window runs over the (lang, score) histogram; per-doc assignment
+    is an equi-join back on (lang, score).  Tie-stable: equal scores
+    share a percentile in both engines."""
+    from extractor.operators.textstats import (
+        grouped_percentiles,
+        unigram_surprisal,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    scored = unigram_surprisal(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "mean_surprisal")
+    return grouped_percentiles(scored)
