@@ -164,6 +164,7 @@ HEADLINE_QUERIES = [
     "ann_quantized",
     "host_categories",
     "quality_percentiles",
+    "events_spikes",
 ]
 
 

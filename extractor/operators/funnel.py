@@ -129,3 +129,68 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def rate_spikes(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_hours: int = 3,
+    min_count: int = 10,
+    spike_ratio_bp: int = 30000,
+) -> DataFrame:
+    """Hourly burst detection per event type — the monitoring view
+    that catches a crawler loop, a bot flood, or an ingest backlog
+    flush the moment one hour's rate leaves the recent baseline.
+
+    Definitions (integer-exact, engine-agnostic): events bucket to
+    ``hour_idx = epoch_seconds div 3600``; the baseline for an hour
+    is the SUM of the previous ``window_hours`` hours' counts divided
+    (floor) by ``window_hours`` — absent hours count as zero rate (a
+    RANGE window over the integer hour index, so gaps are real
+    zeros, not skipped rows); ``ratio_bp = n·10000 div
+    max(baseline, 1)``; ``is_spike`` requires n ≥ min_count, ratio ≥
+    spike_ratio_bp AND a non-empty baseline (the first hours of a
+    type have no history and must not all flag).
+
+    Scale shape: the corpus reduces to the (type, hour) COUNT table
+    first (one aggregate with map-side partials); the window runs
+    over that aggregate — |types|·|hours| rows, thousands per year —
+    never over raw events.  Returns (event_type, hour_idx, n_events,
+    baseline, ratio_bp, is_spike)."""
+    from pyspark.sql import Window, functions as F
+
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.expr(f"unix_timestamp({ts_col}) div 3600").alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-window_hours, -1)
+    )
+    trailing = F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    out = hourly.withColumn("_tr", trailing).select(
+        "event_type",
+        "hour_idx",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(f"_tr div {window_hours}").cast("long").alias("baseline"),
+        F.expr(
+            f"n_events * 10000 div greatest(_tr div {window_hours}, 1L)"
+        ).cast("long").alias("ratio_bp"),
+        (
+            (F.col("n_events") >= min_count)
+            & (F.col("_tr") > 0)
+            & (
+                F.expr(
+                    f"n_events * 10000 div greatest(_tr div {window_hours}, 1L)"
+                )
+                >= spike_ratio_bp
+            )
+        ).alias("is_spike"),
+    )
+    return out

@@ -8618,3 +8618,57 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "mean_surprisal")
     return grouped_percentiles(scored)
+
+
+@register(
+    "events_spikes",
+    """
+    -- hourly burst detection: every 7th event is teleported into one
+    -- fixed hour, so that hour spikes for every type while ordinary
+    -- hours ride their trailing baseline; RANGE window over the
+    -- integer hour index makes absent hours real zeros
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN TIMESTAMP '2024-01-04 12:30:00' ELSE ts END AS ts
+      FROM events
+    ), hourly AS (
+      SELECT event_type,
+             epoch_ms(ts) // 3600000 AS hour_idx,
+             count(*) AS n_events
+      FROM ev GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, hour_idx, n_events,
+             coalesce(sum(n_events) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS _tr
+      FROM hourly
+    )
+    SELECT event_type, hour_idx, n_events::BIGINT AS n_events,
+           (_tr // 3)::BIGINT AS baseline,
+           (n_events * 10000 // greatest(_tr // 3, 1))::BIGINT AS ratio_bp,
+           (n_events >= 10 AND _tr > 0
+            AND n_events * 10000 // greatest(_tr // 3, 1) >= 30000)
+             AS is_spike
+    FROM tr
+    """,
+)
+def q_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly burst detection (operators.funnel.rate_spikes): every
+    7th event teleports into one fixed hour, planting a burst for
+    every event type on top of the stream's natural variation; the
+    trailing-3-hour baseline is a RANGE window over the integer hour
+    index (gaps are zeros), run over the (type, hour) count table —
+    never the raw stream.  First-hours-without-history must not
+    flag; the oracle mirrors the integer baseline/ratio arithmetic
+    exactly."""
+    from extractor.operators.funnel import rate_spikes
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.lit("2024-01-04 12:30:00").cast("timestamp"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    return rate_spikes(ev)
