@@ -165,6 +165,7 @@ HEADLINE_QUERIES = [
     "host_categories",
     "quality_percentiles",
     "events_spikes",
+    "query_traps",
 ]
 
 

@@ -651,3 +651,53 @@ def mixture_drift(
         "prev_share_bp",
         (F.col("share_bp") - F.col("prev_share_bp")).alias("drift_bp"),
     )
+
+
+def query_variant_stats(
+    urls: DataFrame, url_col: str = "url", min_variants: int = 1
+) -> DataFrame:
+    """Query-parameter trap detection: per (host, path), how many
+    DISTINCT query-string variants the frontier carries and how many
+    carry any query at all — faceted-search and session-id URL spaces
+    (``?sort=…&page=…&sid=…``) explode a single path into unbounded
+    URL variants; url_canonicalize collapses them AFTER fetch, this
+    stat is what keeps them from being fetched in the first place
+    (cap or canonicalize-before-enqueue when variants ≫ 1).
+
+    Map-only host/path/query split (the tier's standard expressions:
+    host between ``://`` and ``/``, query after the first ``?``), one
+    (host, path) aggregate with map-side partials counting distinct
+    queries via the exact distinct-projection shape.  Returns
+    (host, path, n_urls, n_variants, with_query) with
+    ``n_variants`` = distinct query strings (the empty query counts
+    as one variant when a bare-path url exists)."""
+    no_scheme = F.expr(f"substring({url_col}, instr({url_col}, '://') + 3)")
+    host = F.lower(F.substring_index(no_scheme, "/", 1))
+    rest = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3 + "
+        f"length(substring_index(substring({url_col}, "
+        f"instr({url_col}, '://') + 3), '/', 1)))"
+    )
+    path = F.substring_index(rest, "?", 1)
+    query = F.when(
+        rest.contains("?"),
+        F.expr(
+            f"substring({url_col}, instr({url_col}, '?') + 1)"
+        ),
+    ).otherwise(F.lit(""))
+    base = urls.select(
+        host.alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path"),
+        query.alias("query"),
+    )
+    return (
+        base.groupBy("host", "path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("query").cast("long").alias("n_variants"),
+            F.sum(F.when(F.col("query") != "", 1).otherwise(0))
+            .cast("long")
+            .alias("with_query"),
+        )
+        .filter(F.col("n_variants") >= min_variants)
+    )

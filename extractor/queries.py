@@ -8672,3 +8672,61 @@ def q_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("ts")).alias("ts"),
     )
     return rate_spikes(ev)
+
+
+@register(
+    "query_traps",
+    """
+    -- faceted/session-id URL-space explosion per (host, path): the
+    -- %3=0 path carries doc-distinct query variants (the trap), the
+    -- %3=1 path repeats ONE query (benign), the rest are bare
+    WITH u AS (
+      SELECT doc_id,
+             'h' || (doc_id % 9) AS hn,
+             doc_id % 3 AS cls
+      FROM documents
+    ), rows_ AS (
+      SELECT hn || '.shop.test' AS host,
+             CASE cls WHEN 0 THEN '/search' WHEN 1 THEN '/list'
+                      ELSE '/about' END AS path,
+             CASE cls WHEN 0 THEN 'q=' || doc_id::VARCHAR || '&page='
+                                  || (doc_id % 5)::VARCHAR
+                      WHEN 1 THEN 'sort=price' ELSE '' END AS query
+      FROM u
+    )
+    SELECT host, path, count(*)::BIGINT AS n_urls,
+           count(DISTINCT query)::BIGINT AS n_variants,
+           sum(CASE WHEN query <> '' THEN 1 ELSE 0 END)::BIGINT
+             AS with_query
+    FROM rows_ GROUP BY 1, 2
+    """,
+)
+def q_query_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter trap detection
+    (operators.crawl.query_variant_stats): per (host, path), distinct
+    query-string variants — the '/search?q=…&page=…' URL-space
+    explosion that floods a frontier with one page's worth of
+    content; the %3=0 class plants doc-distinct variants (the trap
+    signature: n_variants ≈ n_urls), the %3=1 class repeats one
+    query (benign: n_variants = 1), bare paths count the empty
+    variant.  Map-only split, one aggregate; the oracle restates the
+    classes arithmetically."""
+    from extractor.operators.crawl import query_variant_stats
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 9).cast("string"), F.lit(".shop.test"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("/search?q="), d.cast("string"),
+                F.lit("&page="), (d % 5).cast("string"),
+            ),
+        )
+        .when(d % 3 == 1, F.lit("/list?sort=price"))
+        .otherwise(F.lit("/about")),
+    )
+    urls = _docs(spark, sf_dir).select(url.alias("url"))
+    return query_variant_stats(urls)
