@@ -166,6 +166,7 @@ HEADLINE_QUERIES = [
     "quality_percentiles",
     "events_spikes",
     "query_traps",
+    "lang_mix",
 ]
 
 

@@ -401,3 +401,88 @@ def grouped_percentiles(
         F.expr("cum * 10000 div n").cast("long").alias("percentile_bp"),
     )
     return df.join(pct, [group_col, value_col])
+
+
+def segment_lang_mix(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 30,
+):
+    """Within-document language mixing: split each document into
+    fixed word-count segments, language-ID each segment with the same
+    stopword profiles as the document-level :func:`predict_lang`, and
+    report the mix — mixed-language documents (machine-translated
+    spam, code-switched boilerplate, scraped multilingual nav chrome)
+    score as one language at document grain and poison monolingual
+    corpora; the segment view catches them.
+
+    Returns (doc_id, n_segments, n_switches, top_lang, top_share_bp,
+    second_lang, second_share_bp) — second_* NULL for single-language
+    docs; n_switches counts adjacent segment pairs whose labels
+    differ (document order).
+
+    Scale shape: segments explode to (doc, idx, text) rows (the one
+    pass that touches text — segment LID is the same codegen'd
+    expression family as lang_id), then ONE groupBy(doc) rebuilds the
+    ordered label array and every statistic (switches, per-language
+    counts, top-2) is array arithmetic over ≤ n_segments elements —
+    no second shuffle, no window."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+
+    S = segment_words
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words_of(F.col(text_col)).alias("ws")
+    )
+    n_seg = F.expr(f"(size(ws) + {S} - 1) div {S}")
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(F.col("ws"), i * S + 1, S), " "),
+            )
+        ).alias("i", "seg"),
+    )
+    sl = segs.select("doc_id", "i", predict_lang(F.col("seg")).alias("lang"))
+    per = sl.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lang"))),
+            lambda x: x["lang"],
+        ).alias("langs")
+    )
+    langs = F.col("langs")
+    n = F.size(langs)
+    switches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda j: F.element_at(langs, j + 1) != F.element_at(langs, j),
+        )
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.array_distinct(langs),
+            lambda l: F.struct(
+                (-F.size(F.filter(langs, lambda x: x == l))).alias("negc"),
+                l.alias("l"),
+            ),
+        )
+    )
+    stats = per.select("doc_id", "langs", ranked.alias("rk"))
+    return stats.select(
+        "doc_id",
+        n.cast("long").alias("n_segments"),
+        F.when(n >= 2, switches).otherwise(F.lit(0)).cast("long").alias(
+            "n_switches"
+        ),
+        F.expr("element_at(rk, 1).l").alias("top_lang"),
+        F.expr("(-element_at(rk, 1).negc) * 10000 div size(langs)")
+        .cast("long")
+        .alias("top_share_bp"),
+        F.expr("try_element_at(rk, 2).l").alias("second_lang"),
+        F.expr("(-try_element_at(rk, 2).negc) * 10000 div size(langs)")
+        .cast("long")
+        .alias("second_share_bp"),
+    )

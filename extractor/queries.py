@@ -8730,3 +8730,74 @@ def q_query_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     urls = _docs(spark, sf_dir).select(url.alias("url"))
     return query_variant_stats(urls)
+
+
+_FR_BLOCK = " ".join(["le les des et une est dans"] * 8 + ["le les des et"])
+
+
+@register(
+    "lang_mix",
+    """
+    -- segment-grain language mixing: every 8th doc gets a 60-word
+    -- French stopword block appended, so its tail segments LID as
+    -- 'fr' while the head stays the doc's own language — the
+    -- code-switching signature document-level LID cannot see
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 8 = 0
+                          THEN ' @FR@' ELSE '' END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+    ), seg AS (
+      SELECT doc_id, i,
+             ws[i * 30 + 1 : least((i + 1) * 30, length(ws))] AS w
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(0, (length(ws) + 29) // 30 - 1)) AS i
+      ) g
+    ), sl AS (
+      SELECT doc_id, i, (list_sort([@LANG@]))[1].l AS lang FROM seg
+    ), arr AS (
+      SELECT doc_id, list(lang ORDER BY i) AS langs FROM sl GROUP BY doc_id
+    ), rk AS (
+      SELECT doc_id, langs, length(langs) AS n,
+             list_sort(list_transform(list_distinct(langs),
+               l -> {'negc': -length(list_filter(langs, x -> x = l)),
+                     'l': l})) AS rk
+      FROM arr
+    )
+    SELECT doc_id, n::BIGINT AS n_segments,
+           (CASE WHEN n >= 2 THEN length(list_filter(
+              generate_series(1, n - 1), j -> langs[j + 1] <> langs[j]))
+            ELSE 0 END)::BIGINT AS n_switches,
+           rk[1].l AS top_lang,
+           ((-rk[1].negc) * 10000 // n)::BIGINT AS top_share_bp,
+           rk[2].l AS second_lang,
+           CASE WHEN length(rk) >= 2
+                THEN ((-rk[2].negc) * 10000 // n)::BIGINT END
+             AS second_share_bp
+    FROM rk
+    """.replace("@LANG@", _LANG_STRUCTS).replace("@FR@", _FR_BLOCK),
+)
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-grain language mixing
+    (operators.textstats.segment_lang_mix): 30-word segments each
+    LID'd with the shared stopword profiles, rebuilt per doc into the
+    ordered label array, mix statistics as array arithmetic — no
+    second shuffle, no window.  Every 8th doc carries an appended
+    60-word French block: its tail segments flip to 'fr' (n_switches
+    ≥ 1, second_lang populated) while document-level LID sees only
+    the majority — the code-switched-spam signature this operator
+    exists to surface."""
+    from extractor.operators.textstats import segment_lang_mix
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 8 == 0, F.lit(" " + _FR_BLOCK)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return segment_lang_mix(corpus)
