@@ -167,6 +167,7 @@ HEADLINE_QUERIES = [
     "events_spikes",
     "query_traps",
     "lang_mix",
+    "vocab_coverage",
 ]
 
 

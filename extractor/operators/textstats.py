@@ -486,3 +486,67 @@ def segment_lang_mix(
         .cast("long")
         .alias("second_share_bp"),
     )
+
+
+def vocab_coverage(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_k: int = 20,
+):
+    """Vocabulary coverage per language: build the corpus-wide top-K
+    token vocabulary (count desc, token asc ties — the deterministic
+    cut a frequency-built tokenizer vocabulary makes), then measure
+    what fraction of each language's token OCCURRENCES fall outside
+    it — the OOV rate that decides vocabulary size and byte-fallback
+    policy before tokenizer training, per language because coverage
+    skews are exactly how low-resource languages get silently
+    over-segmented.
+
+    Scale shape: the corpus tokenizes once into (lang, token) counts
+    (map-side partials — the only corpus-wide shuffle); the global
+    vocabulary comes from the token-marginal counts via the bounded
+    two-level top-k (empty group list, no single-reducer ORDER BY);
+    the coverage rollup joins the REDUCED per-language count table
+    against the K-sized vocabulary — never the corpus.  Returns
+    (lang, n_tokens, oov_tokens, oov_bp)."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+    from extractor.operators.topk import grouped_topk_exploded
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(words_of(F.col(text_col))).alias("t"),
+        )
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # vocab build + coverage reuse
+    )
+    marginal = counts.groupBy("t").agg(F.sum("c").alias("tc"))
+    vocab = grouped_topk_exploded(
+        marginal,
+        [],
+        F.struct((-F.col("tc")).alias("nc"), F.col("t")),
+        vocab_k,
+    ).select(F.col("value.t").alias("t"), F.lit(True).alias("_in_vocab"))
+    return (
+        counts.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("oov_tokens * 10000 div n_tokens").cast("long").alias(
+                "oov_bp"
+            ),
+        )
+    )

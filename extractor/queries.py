@@ -8801,3 +8801,43 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return segment_lang_mix(corpus)
+
+
+@register(
+    "vocab_coverage",
+    """
+    -- top-20 global vocabulary (count desc, token asc), per-language
+    -- OOV occurrence share in basis points
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ), counts AS (
+      SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2
+    ), marginal AS (
+      SELECT t, sum(c) AS tc FROM counts GROUP BY t
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY tc DESC, t) AS rn
+        FROM marginal) x WHERE rn <= 20
+    )
+    SELECT c.lang, sum(c.c)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.t IS NULL THEN c.c ELSE 0 END)::BIGINT
+             AS oov_tokens,
+           (sum(CASE WHEN v.t IS NULL THEN c.c ELSE 0 END) * 10000
+             // sum(c.c))::BIGINT AS oov_bp
+    FROM counts c LEFT JOIN vocab v ON v.t = c.t
+    GROUP BY c.lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary coverage
+    (operators.textstats.vocab_coverage): the OOV-rate report read
+    before fixing a tokenizer vocabulary size — the global top-20
+    token vocabulary (deterministic count-desc/token-asc cut via the
+    bounded two-level top-k) covers each language unevenly, and the
+    uncovered occurrence share per language is exactly where
+    low-resource text gets over-segmented.  The coverage rollup
+    touches only the reduced (lang, token) count table; the oracle
+    is the window formulation."""
+    from extractor.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
