@@ -168,6 +168,7 @@ HEADLINE_QUERIES = [
     "query_traps",
     "lang_mix",
     "vocab_coverage",
+    "robots_precedence",
 ]
 
 

@@ -157,9 +157,9 @@ def robots_frontier_filter(
     ``rules`` is (host, path_prefix) Disallow rows, one per directive.
     A URL is dropped when ANY rule for its host is a prefix of its
     path.  Simplification (documented, not hidden): prefix Disallow
-    only — no wildcards, no Allow-overrides-longer-match precedence;
-    that covers the overwhelming share of real robots directives, and
-    a full matcher slots in by replacing the ``startswith`` residual.
+    only — no wildcards; for the RFC's Allow/Disallow LONGEST-MATCH
+    precedence use :func:`robots_match`, which this gate remains the
+    cheap conservative subset of.
 
     Scale shape: rules are |hosts|-sized — millions of rows on a real
     crawl, so NOT assumed broadcast-safe.  The anti-join's equi key is
@@ -216,9 +216,10 @@ def parse_robots(
       ``agent`` exactly (case-insensitive token equality), only those
       groups apply; otherwise the ``*`` groups do — rules are NOT
       unioned across specificity tiers;
-    * empty ``Disallow:`` (allow-all) emits nothing; substring
-      wildcards/``Allow`` precedence are out of scope here, matching
-      the prefix-only contract of :func:`robots_frontier_filter`.
+    * empty ``Disallow:`` (allow-all) emits nothing; ``Allow`` rows
+      ARE emitted (kind 'allow') for :func:`robots_match`'s
+      longest-match precedence; substring wildcards stay out of
+      scope (stated).
 
     Scale shape: ONE map-only pass, pure column expressions — the
     group scan is an array ``aggregate`` over each file's own lines
@@ -287,7 +288,7 @@ def parse_robots(
         """
         filter(_z, z -> z._gid > 0 AND array_contains(_app, z._gid)
                AND z._kv.v <> ''
-               AND z._kv.k IN ('disallow', 'crawl-delay'))
+               AND z._kv.k IN ('disallow', 'allow', 'crawl-delay'))
         """
     )
     return df.select(
@@ -296,6 +297,7 @@ def parse_robots(
     ).select(
         "host",
         F.when(F.col("_r._kv.k") == "disallow", F.lit("disallow"))
+        .when(F.col("_r._kv.k") == "allow", F.lit("allow"))
         .otherwise(F.lit("crawl_delay"))
         .alias("kind"),
         F.col("_r._kv.v").alias("value"),
@@ -913,3 +915,66 @@ def label_propagation_int(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def robots_match(
+    frontier: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """RFC 9309 longest-match robots verdict per frontier URL —
+    the full precedence :func:`robots_frontier_filter`'s
+    conservative prefix gate deliberately skips: among a host's
+    matching rules the MOST SPECIFIC (longest path prefix) wins, and
+    on an exact length tie ``Allow`` wins.  The
+    ``Disallow: /private`` + ``Allow: /private/public`` pattern —
+    ubiquitous in real robots files — only works under this rule.
+
+    ``rules`` is (host, kind ∈ {'allow','disallow'}, path_prefix)
+    rows (:func:`parse_robots` output, filtered to the two kinds).
+    Returns (url, host, allowed, winner_kind, winner_len) —
+    rule-less URLs are allowed with NULL winner columns.
+
+    Scale shape: one LEFT equi-join on host with the prefix test as
+    the join residual (rules are hosts-sized, never assumed
+    broadcast-safe — same discipline as robots_frontier_filter),
+    then one per-url argmax via ``min(struct(-len, kind))`` — the
+    struct ordering IS the RFC precedence ('allow' < 'disallow'
+    sorts first on equal length); no window."""
+    no_scheme = F.expr(f"substring({url_col}, instr({url_col}, '://') + 3)")
+    host = F.lower(F.substring_index(no_scheme, "/", 1))
+    path = F.expr(
+        f"substring({url_col}, instr({url_col}, '://') + 3 + "
+        f"length(substring_index(substring({url_col}, "
+        f"instr({url_col}, '://') + 3), '/', 1)))"
+    )
+    fr = frontier.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("_path"),
+    )
+    r = rules.select(
+        F.col("host"),
+        F.col("kind"),
+        F.col("path_prefix").alias("_pfx"),
+    )
+    joined = fr.join(
+        r,
+        (fr.host == r.host) & F.expr("startswith(_path, _pfx)"),
+        "left",
+    ).select(
+        "url",
+        fr.host.alias("host"),
+        F.when(
+            F.col("kind").isNotNull(),
+            F.struct(
+                (-F.length("_pfx")).alias("nl"), F.col("kind").alias("k")
+            ),
+        ).alias("m"),
+    )
+    win = joined.groupBy("url", "host").agg(F.min("m").alias("w"))
+    return win.select(
+        "url",
+        "host",
+        (F.col("w").isNull() | (F.col("w.k") == "allow")).alias("allowed"),
+        F.col("w.k").alias("winner_kind"),
+        (-F.col("w.nl")).cast("int").alias("winner_len"),
+    )

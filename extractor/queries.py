@@ -8841,3 +8841,93 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.operators.textstats import vocab_coverage
 
     return vocab_coverage(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+
+
+@register(
+    "robots_precedence",
+    """
+    -- RFC 9309 longest-match verdicts restated by class arithmetic:
+    -- host class 0 has Disallow:/private + Allow:/private/public
+    -- (the ubiquitous carve-out), class 1 an exact-length tie where
+    -- Allow must win, class 2 no rules at all
+    WITH u AS (
+      SELECT doc_id, (doc_id % 30) AS h, (doc_id % 30) % 3 AS hc,
+             doc_id % 4 AS pc
+      FROM documents
+    )
+    SELECT DISTINCT
+           'https://h' || h || '.prec.test' ||
+           CASE WHEN hc = 0 AND pc = 0 THEN '/private/public/' || doc_id::VARCHAR
+                WHEN hc = 0 AND pc = 1 THEN '/private/s' || doc_id::VARCHAR
+                WHEN hc = 0 AND pc = 2 THEN '/open/' || doc_id::VARCHAR
+                WHEN hc = 0 THEN '/private'
+                WHEN hc = 1 AND pc = 0 THEN '/x/' || doc_id::VARCHAR
+                WHEN hc = 1 THEN '/y/' || doc_id::VARCHAR
+                ELSE '/any/' || doc_id::VARCHAR END AS url,
+           'h' || h || '.prec.test' AS host,
+           CASE WHEN hc = 0 AND pc = 1 THEN false
+                WHEN hc = 0 AND pc = 3 THEN false
+                ELSE true END AS allowed,
+           CASE WHEN hc = 0 AND pc = 0 THEN 'allow'
+                WHEN hc = 0 AND pc IN (1, 3) THEN 'disallow'
+                WHEN hc = 1 AND pc = 0 THEN 'allow'
+                END AS winner_kind,
+           CASE WHEN hc = 0 AND pc = 0 THEN 15
+                WHEN hc = 0 AND pc IN (1, 3) THEN 8
+                WHEN hc = 1 AND pc = 0 THEN 2
+                END::INT AS winner_len
+    FROM u
+    """,
+)
+def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-match robots precedence (operators.webgraph.
+    robots_match) driven from RAW robots bodies: host class 0 carries
+    the ubiquitous ``Disallow: /private`` + ``Allow:
+    /private/public`` carve-out (deeper Allow must override the
+    shorter Disallow; siblings stay blocked, incl. the exact
+    ``/private`` match), class 1 an equal-length Allow/Disallow tie
+    the RFC resolves to Allow, class 2 no rules (allowed, NULL
+    winner).  The conservative robots_frontier_filter cannot express
+    the carve-out — this operator closes that stated gap.  Engine
+    path: bodies → parse_robots (now emitting allow rows) →
+    robots_match; the oracle restates every verdict by class
+    arithmetic."""
+    from extractor.operators.webgraph import parse_robots, robots_match
+
+    d = F.col("doc_id")
+    hosts = _docs(spark, sf_dir).select((d % 30).alias("h")).distinct()
+    hostname = F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".prec.test"))
+    hc = F.col("h") % 3
+    body = (
+        F.when(
+            hc == 0,
+            F.lit(
+                "User-agent: *\nDisallow: /private\nAllow: /private/public\n"
+            ),
+        )
+        .when(hc == 1, F.lit("User-agent: *\nDisallow: /x\nAllow: /x\n"))
+    )
+    bodies = hosts.filter(hc != 2).select(
+        hostname.alias("host"), body.alias("robots_txt")
+    )
+    rules = parse_robots(bodies).filter(
+        F.col("kind").isin("allow", "disallow")
+    ).select("host", "kind", F.col("value").alias("path_prefix"))
+    h2 = d % 30
+    hc2 = h2 % 3
+    pc = d % 4
+    path = (
+        F.when((hc2 == 0) & (pc == 0), F.concat(F.lit("/private/public/"), d.cast("string")))
+        .when((hc2 == 0) & (pc == 1), F.concat(F.lit("/private/s"), d.cast("string")))
+        .when((hc2 == 0) & (pc == 2), F.concat(F.lit("/open/"), d.cast("string")))
+        .when(hc2 == 0, F.lit("/private"))
+        .when((hc2 == 1) & (pc == 0), F.concat(F.lit("/x/"), d.cast("string")))
+        .when(hc2 == 1, F.concat(F.lit("/y/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/any/"), d.cast("string")))
+    )
+    frontier = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://h"), h2.cast("string"), F.lit(".prec.test"), path
+        ).alias("url")
+    )
+    return robots_match(frontier, rules)

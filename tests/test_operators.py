@@ -2522,3 +2522,44 @@ def test_label_propagation_naive_and_semantics(spark):
     assert got["x"][0] == "news"             # weight wins
     assert got["t"][0] == "news"             # tie → label asc
     assert "z1" not in got and "z2" not in got
+
+
+def test_robots_match_longest_match_precedence(spark):
+    """RFC precedence corners on a hand fixture: deeper Allow
+    overrides shorter Disallow, equal-length tie goes to Allow,
+    deeper Disallow overrides shorter Allow, rule-less hosts and
+    unmatched paths are allowed with NULL winner."""
+    from extractor.operators.webgraph import robots_match
+
+    rules = spark.createDataFrame(
+        [
+            ("a.test", "disallow", "/private"),
+            ("a.test", "allow", "/private/public"),
+            ("a.test", "allow", "/p"),
+            ("a.test", "disallow", "/p/deep"),
+            ("b.test", "allow", "/x"),
+            ("b.test", "disallow", "/x"),
+        ],
+        "host: string, kind: string, path_prefix: string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.test/private/public/1",),
+            ("https://a.test/private/other",),
+            ("https://a.test/p/deep/2",),
+            ("https://a.test/p/shallow",),
+            ("https://a.test/unmatched",),
+            ("https://b.test/x/tie",),
+            ("https://c.test/anything",),
+        ],
+        "url: string",
+    )
+    got = {r["url"]: (r["allowed"], r["winner_kind"], r["winner_len"])
+           for r in robots_match(frontier, rules).collect()}
+    assert got["https://a.test/private/public/1"] == (True, "allow", 15)
+    assert got["https://a.test/private/other"] == (False, "disallow", 8)
+    assert got["https://a.test/p/deep/2"] == (False, "disallow", 7)
+    assert got["https://a.test/p/shallow"] == (True, "allow", 2)
+    assert got["https://a.test/unmatched"] == (True, None, None)
+    assert got["https://b.test/x/tie"] == (True, "allow", 2)  # tie → allow
+    assert got["https://c.test/anything"] == (True, None, None)
