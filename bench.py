@@ -169,6 +169,8 @@ HEADLINE_QUERIES = [
     "lang_mix",
     "vocab_coverage",
     "robots_precedence",
+    "jsonl_roundtrip",
+    "anchor_index",
 ]
 
 

@@ -680,3 +680,35 @@ def collocations_topk(
         F.col("value.n_w2").alias("n_w2"),
         F.col("value.dice_x1e6").alias("dice_x1e6"),
     )
+
+
+def anchor_document_index(
+    edges,
+    target_col: str = "href",
+    anchor_col: str = "anchor_text",
+    max_df: int = 100_000,
+):
+    """Inbound-anchor document expansion (the classic web-IR trick:
+    what OTHERS call a page is often its best description — anchor
+    text retrieves pages whose own body never says the words):
+    every inbound anchor's tokens index against the TARGET, so a
+    ranked/conjunctive query over this index finds pages by
+    reputation.  Target doc ids are ``hex64(md5(target))`` — the
+    tier's oracle-mirrorable id, not an engine-native hash.
+
+    Builds directly on :func:`build_postings`; multiple anchor rows
+    per target are exactly the tf semantics wanted (each inbound
+    anchor occurrence is one endorsement of its tokens).  The
+    ``max_df`` cut drops universal anchor words ('click', 'here',
+    'link') the same way body indexing drops stopwords.  Scale shape
+    inherited: only (token, id, count) rows move after the explode;
+    anchor text never re-shuffles."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import hex64
+
+    docs = edges.select(
+        hex64(F.col(target_col)).alias("doc_id"),
+        F.col(anchor_col).alias("text"),
+    )
+    return build_postings(docs, max_df=max_df)

@@ -8931,3 +8931,99 @@ def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     return robots_match(frontier, rules)
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    -- JSONL interchange: expected rows restated straight from
+    -- documents — a green row proves the export/import pair is
+    -- lossless including JSON string escaping of arbitrary text
+    SELECT doc_id, lang, md5(text) AS text_md5,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export + re-ingest — the interchange format every
+    training-data consumer speaks (one JSON object per line,
+    trivially block-splittable like the CDX reader).  Spark-native on
+    both sides: ``df.write.json`` emits, ``spark.read.schema(…)
+    .json`` ingests with an EXPLICIT schema (never inference — a
+    schema inferred per batch drifts when a field is all-null in one
+    shard).  A green row proves byte-lossless text round-trip through
+    JSON string escaping; the catalyst-native path needs no custom
+    source code, which is itself the point (documented in SURVEY's
+    source inventory)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    docs.repartition(4).write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, text string").json(out)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "anchor_index",
+    f"""
+    -- anchor-text postings against TARGETS: universal anchor words
+    -- ('link', 'word' — inbound on every target) are cut by
+    -- max_df=500 exactly like body stopwords; the per-farm numeric
+    -- tokens survive with in-degree tfs
+    WITH {_BOILER_EDGES_SQL},
+    edges AS (
+      SELECT '/x/' || (b.doc_id + f.doff) || '/' || i.i AS href,
+             'link word ' || i.i AS anchor
+      FROM boiler b, farm f,
+           LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    ), t AS (
+      SELECT ('0x' || substr(md5(href), 1, 15))::BIGINT AS doc,
+             unnest(string_split(lower(anchor), ' ')) AS token
+      FROM edges
+    ), tf AS (
+      SELECT token, doc, count(*)::BIGINT AS tf
+      FROM t WHERE token <> '' GROUP BY 1, 2
+    ), dfs AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.token, dfs.df,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM tf JOIN dfs USING (token)
+    WHERE dfs.df <= 500
+    GROUP BY tf.token, dfs.df
+    """,
+)
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound-anchor expansion index
+    (operators.relevance.anchor_document_index) over the extracted
+    outlink graph: targets become retrievable by what the linking
+    pages call them.  The universal anchor words ('link', 'word' —
+    present on every inbound edge) hit the max_df cut exactly like
+    body stopwords; the numeric per-position tokens survive with
+    tf = the target's in-degree at that position.  Target ids are
+    the md5-derived hex64 (oracle-mirrorable — never an
+    engine-native hash); postings canonicalized to 'doc:tf' strings
+    for bit-exact comparison."""
+    from extractor.operators.relevance import anchor_document_index
+
+    edges = q_html_outlinks(spark, sf_dir).select("href", "anchor_text")
+    idx = anchor_document_index(edges, max_df=500)
+    return idx.select(
+        "token",
+        "df",
+        F.array_join(
+            F.transform(
+                "postings",
+                lambda p: F.concat(
+                    p["doc"].cast("string"), F.lit(":"), p["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
