@@ -171,6 +171,7 @@ HEADLINE_QUERIES = [
     "robots_precedence",
     "jsonl_roundtrip",
     "anchor_index",
+    "winnow_pairs",
 ]
 
 

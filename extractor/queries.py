@@ -9027,3 +9027,76 @@ def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+@register(
+    "winnow_pairs",
+    f"""
+    -- local-overlap candidate pairs: every 6th doc gets a companion
+    -- carrying a 21-word midsection of it between unique padding —
+    -- whole-document similarity is low, but the shared run is >> w+k-1
+    -- so winnowing MUST surface the pair
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'zpada' || doc_id::VARCHAR || ' zpadb zpadc ' ||
+             array_to_string(list_slice(string_split(text, ' '), 5, 25), ' ')
+             || ' zpadx zpady' || doc_id::VARCHAR
+      FROM documents WHERE doc_id % 6 = 0
+    ), wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647) AS sh
+      FROM wh
+    ), fp AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(0, greatest(length(sh) - 4, 0)),
+                 i -> list_min(sh[i+1:i+4]))) AS fps
+      FROM sh
+    ), fpr AS (
+      SELECT doc_id, unnest(fps) AS f FROM fp
+    ), keep AS (
+      SELECT f FROM fpr GROUP BY f HAVING count(*) <= 100
+    ), idx AS (
+      SELECT fpr.doc_id, fpr.f FROM fpr JOIN keep USING (f)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+    FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs (operators.dedup.winnowing_pairs) —
+    LOCAL overlap detection (Schleimer et al. 2003 / MOSS): the
+    planted companions share only a 21-word midsection with their
+    base docs (whole-document Jaccard far below any dedup bar), but
+    a shared run ≥ w+k−1 = 6 words guarantees a shared fingerprint,
+    so every planted pair must surface.  Inverted index on the
+    fingerprint value with the max_df hot-value cap; only (id, long)
+    rows shuffle.  The oracle replays selection, cap and pair count
+    — the window-min slice arithmetic is on the hook at every
+    position."""
+    from extractor.operators.dedup import winnowing_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.lit("zpada"), F.col("doc_id").cast("string"),
+                F.lit(" zpadb zpadc "),
+                F.array_join(F.slice(ws, 5, 21), " "),
+                F.lit(" zpadx zpady"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return winnowing_pairs(corpus)

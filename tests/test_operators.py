@@ -2563,3 +2563,27 @@ def test_robots_match_longest_match_precedence(spark):
     assert got["https://a.test/unmatched"] == (True, None, None)
     assert got["https://b.test/x/tie"] == (True, "allow", 2)  # tie → allow
     assert got["https://c.test/anything"] == (True, None, None)
+
+
+def test_winnowing_pairs_local_overlap_guarantee(spark):
+    """The winnowing guarantee on a hand fixture: two docs sharing a
+    run >= w+k-1 words MUST pair, docs with no shared run must not,
+    and a fingerprint hotter than max_df is excluded from the index
+    (the boilerplate guard)."""
+    from extractor.operators.dedup import winnowing_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8-word run
+    rows = [
+        (1, "unique one " + run + " tail one here"),
+        (2, "different prefix words " + run + " other suffix"),
+        (3, "totally disjoint content with nothing shared at all ok"),
+    ]
+    # hot boilerplate: a run shared by MANY docs gets capped out
+    boiler = "common footer line repeated on every single page here"
+    rows += [(100 + i, f"body{i} words {boiler}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in winnowing_pairs(df, min_shared=1, max_df=5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in p for p in got)
+    assert not any(a >= 100 and b >= 100 for a, b in got)  # capped out
