@@ -172,6 +172,7 @@ HEADLINE_QUERIES = [
     "jsonl_roundtrip",
     "anchor_index",
     "winnow_pairs",
+    "e2e_warc_to_wet",
 ]
 
 

@@ -9100,3 +9100,71 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return winnowing_pairs(corpus)
+
+
+@register(
+    "e2e_warc_to_wet",
+    """
+    -- archive-to-archive production: every successfully extracted
+    -- html url must survive markdown → WET segment → splittable
+    -- re-ingest byte-identically; agreement is unconditional
+    WITH cls AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 97 = 0 THEN 'reject_oversize'
+             ELSE (['html_simple','html_simple','html_simple','html_simple',
+                    'html_simple','html_simple','image_png','image_jpg',
+                    'html_boiler','html_boiler','html_boiler','html_boiler',
+                    'pdf_small','pdf_small','pdf_small','pdf_large',
+                    'html_grounded','html_grounded','reject_empty',
+                    'reject_ext'])[(doc_id % 20) + 1]
+        END AS cls
+      FROM documents
+    )
+    SELECT 'https://example-42.test/' || cls || '/' || printf('%06d', doc_id)
+             || '.html' AS url,
+           true AS wet_agrees
+    FROM cls WHERE cls LIKE 'html%'
+    """,
+)
+def q_e2e_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Produce-your-own-WET, end-to-end: the engine's extracted
+    markdown for the successful html subset is exported as WET
+    ``conversion`` segments (sources.wet writer half), re-ingested
+    through the block-splittable reader, and compared byte-for-byte
+    (md5) against the direct extraction output — the
+    archive-to-archive production path a crawl organization actually
+    runs (raw captures in, text archive out).  A green row proves
+    the WET framing (header emit, trailer strip, splittable re-scan)
+    is lossless for REAL extractor output, not just synthetic
+    bodies; any markdown byte that the framing eats flips
+    ``wet_agrees``."""
+    import tempfile
+
+    from extractor.config import ExtractConfig
+    from extractor.pipeline import route, run_extraction
+    from extractor.sources.wet import read_wet, to_wet_records
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    pages = pages_df(spark, sf_dir)
+    html_pages = route(pages).filter(F.col("doc_type") == "html").drop("doc_type")
+    direct = (
+        run_extraction(spark, html_pages, cfg)
+        .filter(F.col("success"))
+        .select("url", "text", F.md5("text").alias("direct_md5"))
+        .localCheckpoint(eager=True)  # export + compare reuse
+    )
+    out = tempfile.mkdtemp(prefix="wet_prod_") + "/segments"
+    to_wet_records(
+        direct.repartition(4).select(
+            "url",
+            F.lit("2025-06-01T00:00:00Z").alias("warc_date"),
+            "text",
+        )
+    ).write.mode("overwrite").text(out)
+    back = read_wet(spark, out).select(
+        "url", F.md5("text").alias("wet_md5")
+    )
+    return direct.join(back, "url").select(
+        "url", (F.col("direct_md5") == F.col("wet_md5")).alias("wet_agrees")
+    )
