@@ -359,3 +359,24 @@ def test_r4_continuation5_plan_shapes(spark):
     plan = plan_of(normalize_text(docs))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:1500]
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_continuation5_late_plan_shapes(spark):
+    """Late continuation-5 operators keep their claimed shapes: the
+    scoring/pair/profile queries stay JVM-side and cartesian-free;
+    the quantile/percentile windows run over aggregated histograms
+    (never the corpus — every Window's child aggregates first); the
+    winnowing pair join carries no window."""
+    for name in ["collocations", "length_quantiles", "host_sections",
+                 "mixture_drift", "query_traps", "vocab_coverage",
+                 "winnow_pairs", "degree_histogram"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:1500]}"
+    for name in ["host_sections", "mixture_drift", "query_traps",
+                 "vocab_coverage", "winnow_pairs", "degree_histogram"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Window" not in plan, f"{name}:\n{plan[:1500]}"
+    # the quantile window must consume a pre-aggregated child
+    plan = plan_of(REGISTRY["length_quantiles"].spark(spark, SF_SMALL))
+    assert "Window" in plan and "partial_count" in plan, plan[:2500]
