@@ -1,13 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark harness — one JSON line on stdout.
+"""Benchmark harness — one compact JSON line on stdout.
 
 Runs the flagship extraction pipeline plus the headline operator
 queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` (default 32).
 
+Stdout (single line, sized to survive any tail-capture buffer —
+BENCH_r04.json recorded a truncated fragment of the old 135-entry
+line and failed to parse):
+
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "docs_per_sec": ..., "pipeline_docs": ...}
+   "queries": {"pipeline_extract": sec}, "sf": ...,
+   "docs_per_sec": ..., "pipeline_docs": ..., "cpus": ...,
+   "n_queries": N, "per_query_file": "BENCH/bench_sf..._latest.json"}
+
+The full per-query timing map is written to ``per_query_file``;
+round-over-round per-query continuity diffs read that file.
 
 Every query is forced through the noop sink (full materialization of
 every column — count() would let Catalyst prune the work).
@@ -251,20 +259,46 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total wall sec, extraction pipeline + headline operators",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "pipeline_docs": n_docs,
-                "docs_per_sec": round(n_docs / pipeline_sec, 2),
-                "cpus": cpus,
-            }
-        )
+    full = {
+        "metric": "total wall sec, extraction pipeline + headline operators",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_sec, 2),
+        "cpus": cpus,
+    }
+    # The per-query map (130+ entries) makes the full JSON line larger
+    # than the driver's stdout tail buffer — BENCH_r04.json recorded
+    # only a truncated fragment ("parsed": null).  Contract fix: the
+    # full record goes to a file under BENCH/ (per-query continuity
+    # diffs read that file); stdout carries ONLY a compact totals
+    # JSON, small enough to survive any tail buffer and parse as the
+    # last stdout line, pointing at the full file.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    per_query_file = os.path.join(
+        bench_dir, f"bench_sf{sf}_cpus{cpus}_latest.json"
     )
+    with open(per_query_file, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {"pipeline_extract": pipeline_sec},
+        "sf": full["sf"],
+        "pipeline_docs": n_docs,
+        "docs_per_sec": full["docs_per_sec"],
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "per_query_file": per_query_file,
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
     spark.stop()
 
 

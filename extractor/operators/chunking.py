@@ -153,7 +153,11 @@ def incremental_cdc_dedup(
     * ``new``            — first occurrence in this batch, absent
       from history (the chunks actually stored);
     * ``dup_in_batch``   — a later in-batch copy (min (doc, idx)
-      wins, deterministically, via an encoded integer key).
+      wins, deterministically, via a type-agnostic struct-min —
+      struct ordering is lexicographic over its fields, so string
+      (url) and full-range 64-bit ids work unchanged; an encoded
+      ``doc_id*1e6+chunk_idx`` key would demand a numeric id and
+      overflow hex64 ids under ANSI mode).
 
     Same commit discipline as the exact/LSH incremental indexes:
     ``commit=True`` checkpoints results FIRST, then appends the new
@@ -172,15 +176,11 @@ def incremental_cdc_dedup(
     from extractor.writer import _committed_manifests, read_extracted
 
     spark = new_docs.sparkSession
-    chunks = (
-        cdc_chunks(new_docs, id_col, text_col, avg_words)
-        .withColumn(
-            "key", F.col("doc_id") * 1000000 + F.col("chunk_idx")
-        )
-        .localCheckpoint(eager=True)
+    chunks = cdc_chunks(new_docs, id_col, text_col, avg_words).localCheckpoint(
+        eager=True
     )
     firsts = chunks.groupBy("chunk_md5").agg(
-        F.min(F.struct("key", "doc_id", "chunk_idx", "n_words")).alias("m")
+        F.min(F.struct("doc_id", "chunk_idx", "n_words")).alias("m")
     )
     if _committed_manifests(index_dir):
         hist = (
@@ -195,7 +195,11 @@ def incremental_cdc_dedup(
     firsts = firsts.localCheckpoint(eager=True)  # statuses + commit reuse
     status = (
         F.when(F.col("_hist"), F.lit("dup_of_history"))
-        .when(F.col("key") == F.col("m.key"), F.lit("new"))
+        .when(
+            (F.col("doc_id") == F.col("m.doc_id"))
+            & (F.col("chunk_idx") == F.col("m.chunk_idx")),
+            F.lit("new"),
+        )
         .otherwise(F.lit("dup_in_batch"))
     )
     out = chunks.join(firsts, "chunk_md5").select(

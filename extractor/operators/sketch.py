@@ -94,8 +94,12 @@ def bloom_probe(
 
     The probe runs at distinct-digest grain (a re-crawled URL's digest
     is checked once however many batch rows carry it), then joins the
-    verdict back on the digest equi-key.  A missing word row is an
-    unset word — ``maybe_seen`` false.  ``broadcast_words=False``
+    verdict back on the digest equi-key — a LEFT join, so the
+    annotate shape is row-preserving: a batch row with a NULL digest
+    (nothing to probe) comes back ``maybe_seen = false``
+    (definitively new) instead of silently vanishing from the output
+    and skipping the downstream exact-dedup gate.  A missing word row
+    is an unset word — ``maybe_seen`` false.  ``broadcast_words=False``
     drops the hint for histories whose words table outgrows the
     driver; the probe becomes a plain (digest, word_idx) equi-join."""
     uniq = batch.select(F.col(digest_col).alias("digest")).distinct()
@@ -119,5 +123,5 @@ def bloom_probe(
         .agg(F.min("hit").alias("maybe_seen"))
     )
     return batch.join(
-        verdict.withColumnRenamed("digest", digest_col), digest_col
-    )
+        verdict.withColumnRenamed("digest", digest_col), digest_col, "left"
+    ).withColumn("maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(False)))

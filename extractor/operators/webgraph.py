@@ -933,6 +933,14 @@ def robots_match(
     Returns (url, host, allowed, winner_kind, winner_len) —
     rule-less URLs are allowed with NULL winner columns.
 
+    Output grain is DISTINCT (url, host) — the verdict groupBy
+    collapses duplicate frontier rows (same convention as
+    bloom_probe's distinct-digest probe).  Callers that need frontier
+    multiplicity preserved must join the verdict back onto their
+    frontier by url (or use :func:`robots_frontier_filter`, which is
+    row-preserving); joining verdicts back by ROW position would
+    lose rows.
+
     Scale shape: one LEFT equi-join on host with the prefix test as
     the join residual (rules are hosts-sized, never assumed
     broadcast-safe — same discipline as robots_frontier_filter),

@@ -59,14 +59,24 @@ def surt_key(url_col) -> Column:
     Ports and userinfo are out of scope (documented simplification —
     crawl corpora are overwhelmingly schemeless-default); scheme is
     dropped by construction, which is exactly SURT's http/https fold.
-    """
+
+    The key is the first SPACE-delimited token of a CDXJ line, so any
+    whitespace/control byte a raw crawl href smuggles into the URL
+    would shift the ts/body fields and make the writer emit lines its
+    own reader rejects — those bytes are percent-encoded here (space
+    → %20, tab/CR/LF likewise).  Only the KEY is encoded; the raw URL
+    rides JSON-escaped in the line body, so a round-trip recovers it
+    byte-exactly."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
     no_scheme = url.substr(F.locate("://", url) + F.lit(3), F.lit(1 << 30))
     host = F.lower(F.substring_index(no_scheme, "/", 1))
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     path = F.lower(no_scheme.substr(F.length(host) + F.lit(1), F.lit(1 << 30)))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.concat(rev_host, F.lit(")"), path)
+    key = F.concat(rev_host, F.lit(")"), path)
+    for ch, enc in ((" ", "%20"), ("\t", "%09"), ("\r", "%0D"), ("\n", "%0A")):
+        key = F.replace(key, F.lit(ch), F.lit(enc))
+    return key
 
 
 def to_cdxj_records(

@@ -2191,6 +2191,28 @@ def test_bloom_probe_equijoin_matches_broadcast(spark):
     assert a == b and len(a) == 400
 
 
+def test_bloom_probe_preserves_null_digest_rows(spark):
+    """Annotate shape is row-preserving: a batch row with a NULL
+    digest must come back maybe_seen=false (definitively new), not
+    vanish — a dropped row would make the downstream exact-dedup gate
+    silently skip the document (r4 advisor finding)."""
+    from extractor.operators.sketch import bloom_build, bloom_probe
+
+    hist = spark.range(50).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    words = bloom_build(hist).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [("a", "known"), ("b", None), ("c", None)], "tag: string, raw: string"
+    ).select(
+        "tag",
+        F.when(F.col("raw") == "known", F.md5(F.lit("7"))).alias("digest"),
+    )
+    got = {r["tag"]: r["maybe_seen"] for r in bloom_probe(batch, words).collect()}
+    assert len(got) == 3  # no rows lost
+    assert got["a"] is True and got["b"] is False and got["c"] is False
+
+
 def test_normalize_text_semantics(spark):
     """Normalization corners: decomposed accents compose to the same
     bytes as the precomposed form (the dedup-splitting artifact the
@@ -2365,6 +2387,39 @@ def test_incremental_cdc_dedup_recrawl_delta(spark, tmp_path):
     # idempotent re-crawl: batch 2 replayed is all dup_of_history
     r3 = incremental_cdc_dedup(b2, idx, commit=False)
     assert all(r["status"] == "dup_of_history" for r in r3.collect())
+
+
+def test_incremental_cdc_dedup_string_and_hex64_ids(spark, tmp_path):
+    """The tier's standard ids must pass through unchanged: string
+    (url) ids and full-range 60-bit hex64 longs.  The r4 advisor
+    found the first-occurrence tiebreak encoded doc_id*1e6+chunk_idx,
+    which cast-fails on strings and overflows hex64 under ANSI mode;
+    the fix is a type-agnostic struct-min.  In-batch duplicate text
+    must resolve 'new' to the lexicographically-first (doc_id,
+    chunk_idx) and the rest dup_in_batch."""
+    from extractor.operators.chunking import incremental_cdc_dedup
+
+    text = " ".join(f"tok{i % 37}x{i % 11}" for i in range(160))
+    # string ids, duplicate text across two docs
+    s = spark.createDataFrame(
+        [("http://b.com/p", text), ("http://a.com/p", text)],
+        "doc_id: string, text: string",
+    )
+    rs = incremental_cdc_dedup(s, str(tmp_path / "s_idx")).collect()
+    assert {r["doc_id"] for r in rs} == {"http://a.com/p", "http://b.com/p"}
+    for r in rs:  # min struct → the 'a.com' doc owns every first occurrence
+        assert r["status"] == ("new" if r["doc_id"] == "http://a.com/p"
+                               else "dup_in_batch")
+    # hex64-range long ids (doc_id*1e6 would overflow int64)
+    big = (1 << 60) - 1
+    h = spark.createDataFrame(
+        [(big, text), (big - 1, text)], "doc_id: long, text: string"
+    )
+    rh = incremental_cdc_dedup(h, str(tmp_path / "h_idx")).collect()
+    assert rh and all(
+        r["status"] == ("new" if r["doc_id"] == big - 1 else "dup_in_batch")
+        for r in rh
+    )
 
 
 def test_grouped_quantiles_naive_equivalence(spark):

@@ -380,3 +380,23 @@ def test_continuation5_late_plan_shapes(spark):
     # the quantile window must consume a pre-aggregated child
     plan = plan_of(REGISTRY["length_quantiles"].spark(spark, SF_SMALL))
     assert "Window" in plan and "partial_count" in plan, plan[:2500]
+
+
+def test_driver_gate_pinned():
+    """The driver's CORRECTNESS harness grades the FIRST 50 registry
+    entries; r4 silently rotated six driver-green entries out when the
+    registry grew in accretion order.  Pin: the first 50 are exactly
+    DRIVER_GATE (SURVEY §12.1), and the six r4-evicted names are
+    permanent members."""
+    from extractor.queries import DRIVER_GATE
+
+    assert list(REGISTRY)[:50] == DRIVER_GATE
+    evicted_r4 = {
+        "benchmark_contamination", "dedup_containment",
+        "dedup_incremental_lsh", "paragraph_dedup",
+        "source_mixture_sample", "url_canonicalize",
+    }
+    assert evicted_r4 <= set(DRIVER_GATE)
+    # every gate entry carries a full DuckDB oracle (hard signal, not
+    # the weaker rows-only check)
+    assert all(REGISTRY[n].sql is not None for n in DRIVER_GATE)

@@ -707,6 +707,36 @@ def test_cdx_writer_reader_roundtrip(spark, tmp_path):
         assert keys == sorted(keys)
 
 
+def test_cdx_whitespace_url_roundtrip(spark, tmp_path):
+    """A raw crawl href with a literal space (or tab) in the URL must
+    not produce a line the reader misparses: the SURT key
+    percent-encodes whitespace (it is the first space-delimited
+    token), while the body JSON carries the raw url byte-exactly
+    (r4 advisor finding — previously such rows were silently dropped
+    on re-read)."""
+    from extractor.sources.cdx import read_cdx, to_cdxj_records
+
+    df = spark.createDataFrame(
+        [
+            ("https://ex.org/a b/c", "20250601000000", "text/html", 200,
+             "sha1:AAA", 7),
+            ("https://ex.org/t\tb", "20250601000001", "text/html", 200,
+             "sha1:BBB", 8),
+            ("https://ex.org/plain", "20250601000002", "text/html", 200,
+             "sha1:CCC", 9),
+        ],
+        "url string, ts14 string, mime string, http_status int, "
+        "digest string, n_bytes long",
+    )
+    out = str(tmp_path / "ws_index")
+    to_cdxj_records(df).write.text(out)
+    back = {(r.url, r.ts14, r.surt) for r in read_cdx(spark, out).collect()}
+    assert len(back) == 3  # nothing dropped
+    assert ("https://ex.org/a b/c", "20250601000000",
+            "org,ex)/a%20b/c") in back
+    assert ("https://ex.org/t\tb", "20250601000001", "org,ex)/t%09b") in back
+
+
 def test_cdx_malformed_lines_drop_not_kill(spark, tmp_path):
     """Index corruption is row-level: truncated / non-JSON / url-less
     lines drop; intact rows survive."""
