@@ -1,0 +1,338 @@
+"""Mixture/packing tier: source mixing, drift, host caps, sequence packing, shard manifests, chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extractor.queries._core import (  # noqa: F401
+    register,
+    _HEX64_SQL,
+    _docs,
+)
+
+@register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, (length(w) + 63) // 64 - 1)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           length(w[chunk_id * 64 + 1 : (chunk_id + 1) * 64])::BIGINT
+             AS chunk_tokens,
+           md5(array_to_string(w[chunk_id * 64 + 1 : (chunk_id + 1) * 64], ' '))
+             AS chunk_md5
+    FROM idx
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (64-token windows) — the prep stage
+    for embedding/pretraining sequence packing.  posexplode over a
+    per-doc chunk index; slices of a MATERIALIZED token array (never
+    an inline re-evaluated expression — the HOF trap), map-only, the
+    explode multiplies rows ~n_tokens/64 with no shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = F.floor((F.size("w") + 63) / 64).cast("int")
+    idx = toks.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * 64 + 1, 64)
+    return idx.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+@register(
+    "source_mixture_sample",
+    f"""
+    -- temperature-style source mixing (alpha=0.5), fully integer-exact:
+    -- w_s = floor(sqrt(n_s * 10^6)) (single correctly-rounded sqrt, no
+    -- float accumulation), quotas = target * w_s // W, and per-doc
+    -- acceptance by hash threshold h6 * n_s < quota_s * 10^6 — every
+    -- cross-engine-compared value is an integer.
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_s)::BIGINT AS n_total,
+             sum(CAST(floor(sqrt(n_s * 1000000.0)) AS BIGINT))::BIGINT AS w_tot
+      FROM counts
+    ), quotas AS (
+      SELECT c.source, c.n_s,
+             ((t.n_total // 2) * CAST(floor(sqrt(c.n_s * 1000000.0)) AS BIGINT))
+               // t.w_tot AS quota
+      FROM counts c, tot t
+    ), accepted AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM documents d JOIN quotas q ON q.source = d.source
+      WHERE ({_HEX64_SQL.format(x="d.doc_id::VARCHAR || ':' || d.source || ':mix'")}
+             % 1000000) * q.n_s < q.quota * 1000000
+      GROUP BY d.source
+    )
+    SELECT q.source, q.n_s::BIGINT AS n_docs, q.quota::BIGINT AS quota,
+           coalesce(a.n_sampled, 0)::BIGINT AS n_sampled
+    FROM quotas q LEFT JOIN accepted a ON a.source = q.source
+    """,
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling (the data-mixing step of
+    a training pipeline; temperature alpha=0.5 a la UniMax/multilingual
+    sampling): per-source quotas from integer-exact sqrt weights, and
+    hash-thresholded per-doc acceptance so the SAME docs are selected
+    on any cluster, any partitioning, and in the oracle.
+
+    Scale shape: the per-source stats table is tiny (sources ~10^3) →
+    computed with one map-side-partial groupBy, then BROADCAST back
+    onto the corpus; acceptance is a map-only expression; the only
+    corpus-wide shuffle is the final per-source count."""
+    from extractor.operators.dedup import hex64
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_s = F.floor(F.sqrt(F.col("n_s") * F.lit(1_000_000.0))).cast("long")
+    weighted = counts.withColumn("w_s", w_s)
+    tot = weighted.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_tot")
+    )
+    quotas = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr("((n_total div 2) * w_s) div w_tot").alias("quota"),
+    )
+    h6 = (
+        hex64(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("source"),
+                F.lit(":mix"),
+            )
+        )
+        % 1_000_000
+    )
+    accepted = (
+        docs.join(F.broadcast(quotas), "source")
+        .filter(h6 * F.col("n_s") < F.col("quota") * 1_000_000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return quotas.join(accepted, "source", "left").select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "quota",
+        F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+    )
+
+@register(
+    "pack_sequences",
+    f"""
+    -- offset-based contiguous packing into 512-token bins, 8 hash
+    -- shards packed independently (the shard is the parallel unit)
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ({_HEX64_SQL.format(x='doc_id::VARCHAR')} % 8)::INT AS shard
+      FROM documents
+    ), off AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT shard, (start_offset // 512)::BIGINT AS bin_id,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           min(doc_id)::BIGINT AS first_doc,
+           (sum(n_tokens) * 10000 // 512)::BIGINT AS fill_bp
+    FROM off GROUP BY shard, start_offset // 512
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (operators.packing.pack_bins):
+    documents binned into 512-token training contexts, hash-sharded
+    ×8 so every shard packs in parallel (the window sum is PARTITIONED
+    BY SHARD — no global ordering, no single reducer; n_shards tracks
+    cluster parallelism at scale).  Per-bin fill statistics expose the
+    boundary-straddle overshoot the offset-based scheme trades for
+    scalability."""
+    from extractor.operators.packing import pack_bins
+
+    return pack_bins(
+        _docs(spark, sf_dir).select("doc_id", "text"), budget=512, n_shards=8
+    )
+
+@register(
+    "host_cap_sample",
+    """
+    -- RefinedWeb-style per-source cap: keep the 5 highest-quality
+    -- docs per source, ties broken by doc_id (deterministic)
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             ((length(list_distinct(w)) * 10000 // length(w)) // 4 +
+              least(list_sum(list_transform(w, x -> length(x))) * 100
+                    // length(w), 1000) // 2)::BIGINT AS quality
+      FROM t
+    )
+    SELECT source, rank, doc_id, quality FROM (
+      SELECT source, doc_id, quality,
+             row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             )::INT AS rank
+      FROM feat
+    ) WHERE rank <= 5
+    """,
+)
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host contribution cap (RefinedWeb §3.1 / C4's per-domain
+    limits): keep at most K documents per source host, the K BEST by
+    the corpus's own quality score — the anti-SEO-farm guard that
+    stops one mega-host from dominating a training mixture.  The
+    `source` column is the host grain of this corpus (the WET tier's
+    url host at web scale).
+
+    Scale shape: quality features are map-only expressions; the
+    per-host cut is the bounded two-level grouped_topk — per-host
+    rows first reduce inside 32 hash buckets, then once per host, so
+    a 10^8-page host costs two partial aggregates, never a window
+    over its full row set.  Ordering struct(-quality, doc_id) makes
+    ties deterministic (the oracle's ORDER BY quality DESC, doc_id)."""
+    from extractor.operators.textstats import quality_score
+    from extractor.operators.topk import grouped_topk_exploded
+
+    docs = _docs(spark, sf_dir)
+    feats = quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source", feats["quality"].cast("long").alias("quality")
+    )
+    ranked = grouped_topk_exploded(
+        scored,
+        ["source"],
+        F.struct((-F.col("quality")).alias("negq"), F.col("doc_id").alias("doc_id")),
+        k=5,
+    )
+    return ranked.select(
+        "source",
+        "rank",
+        F.col("value.doc_id").alias("doc_id"),
+        (-F.col("value.negq")).cast("long").alias("quality"),
+    )
+
+@register(
+    "training_shards",
+    """
+    -- deterministic hash-shard export: shard + order depend only on
+    -- doc ids; order_md5 pins the within-shard order byte-for-byte
+    WITH d AS (
+      SELECT doc_id,
+             length(string_split(text, ' '))::BIGINT AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS okey
+      FROM documents
+    )
+    SELECT (okey % 8)::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY okey, doc_id))
+             AS order_md5
+    FROM d GROUP BY okey % 8
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export plan (operators.packing.
+    assign_shards): the "global shuffle" every training run needs,
+    with NO global sort — shard membership and within-shard order are
+    pure functions of the document id (a 60-bit md5 prefix), so the
+    export is reproducible across runs, partitionings, and cluster
+    sizes, and each shard writes independently via repartition(shard)
+    + sortWithinPartitions.
+
+    The registry row is the shard MANIFEST: doc/token counts plus an
+    order_md5 digest of the shard's exact document order — the
+    determinism claim made oracle-checkable (any drift in hashing,
+    sharding, or ordering breaks the digest).  The md5-of-all-ids
+    aggregate is the verification artifact, not the export path: a
+    real export streams rows to shard files; per-shard manifests
+    aggregate (count, sum, digest) with map-side partials."""
+    from extractor.operators.packing import assign_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sharded = assign_shards(docs, n_shards=8).select(
+        "doc_id",
+        "okey",
+        "shard",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("okey"), F.col("doc_id")))
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(ordered, lambda s: s["doc_id"].cast("string"))
+            )
+        ).alias("order_md5"),
+    ).select("shard", "n_docs", "n_tokens", "order_md5")
+
+@register(
+    "mixture_drift",
+    """
+    -- staggered corpus entry (doc enters at crawl doc_id % 4, stays)
+    -- shifts source shares crawl over crawl; drift vs the previous
+    -- crawl via the window-lag formulation, NULL at first appearance
+    WITH caps AS (
+      SELECT c.crawl AS crawl_id, d.source, d.n_chars AS w
+      FROM documents d, LATERAL (
+        SELECT unnest(generate_series(d.doc_id % 4, 3)) AS crawl
+      ) c
+    ), agg AS (
+      SELECT crawl_id, source, sum(w) AS weight
+      FROM caps GROUP BY 1, 2
+    ), tot AS (
+      SELECT crawl_id, sum(weight) AS tw FROM agg GROUP BY 1
+    ), sh AS (
+      SELECT a.crawl_id, a.source, a.weight::BIGINT AS weight,
+             (a.weight * 10000 // t.tw)::BIGINT AS share_bp
+      FROM agg a JOIN tot t USING (crawl_id)
+    )
+    SELECT crawl_id, source, weight, share_bp,
+           lag(share_bp) OVER (PARTITION BY source ORDER BY crawl_id)
+             AS prev_share_bp,
+           share_bp - lag(share_bp)
+             OVER (PARTITION BY source ORDER BY crawl_id) AS drift_bp
+    FROM sh
+    """,
+)
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture drift (operators.crawl.mixture_drift): the
+    monitor over the shares source_mixture_sample enforces — per
+    (crawl, source) weight share in basis points and its delta vs
+    the previous crawl.  Staggered corpus entry (a doc enters at
+    crawl doc_id % 4) makes every source's share shift each crawl;
+    the engine computes drift with a bounded (crawl−1, source)
+    equi-join, the oracle independently with a window lag — the two
+    formulations must agree row-for-row, including the NULL
+    first-appearance contract.  (The lag formulation is valid here
+    because every source appears in every crawl; the equi-join form
+    is also correct under gaps, where lag would reach back across a
+    missing crawl — documented difference, not exercised.)"""
+    from extractor.operators.crawl import mixture_drift
+
+    caps = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(
+            F.sequence((F.col("doc_id") % 4).cast("int"), F.lit(3))
+        ).alias("crawl_id"),
+    ).select(
+        F.col("crawl_id").cast("long").alias("crawl_id"),
+        "source",
+        F.col("n_chars").alias("weight"),
+    )
+    return mixture_drift(caps, weight_col="weight")

@@ -400,3 +400,21 @@ def test_driver_gate_pinned():
     # every gate entry carries a full DuckDB oracle (hard signal, not
     # the weaker rows-only check)
     assert all(REGISTRY[n].sql is not None for n in DRIVER_GATE)
+
+
+def test_registry_tier_split():
+    """The r5 tier split of extractor/queries is a pure refactor: one
+    REGISTRY dict, 143 entries, every entry oracled or explicitly
+    SQL-None, no tier module over 2,500 lines, and the driver gate
+    still leads."""
+    import glob
+    import os
+
+    import extractor.queries as q
+
+    assert len(REGISTRY) == len(set(REGISTRY)) >= 143
+    pkg_dir = os.path.dirname(q.__file__)
+    for f in glob.glob(os.path.join(pkg_dir, "*.py")):
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 2500, f
+    assert list(REGISTRY)[:50] == q.DRIVER_GATE
