@@ -35,13 +35,23 @@ def pack_assignments(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer="whitespace",
 ) -> DataFrame:
     """Per-document packing assignment: (doc_id, shard, bin_id,
-    n_tokens, start_offset).  Token count is the whitespace
-    tokenization (token_count's ``ws_tokens``)."""
+    n_tokens, start_offset).
+
+    ``tokenizer`` resolves through the
+    :mod:`extractor.operators.tokenizer` seam: ``"whitespace"``
+    (default, the r4 behavior), ``"bpe_estimate"`` (deterministic
+    subword estimate — real context budgets bind on tokenizer tokens,
+    not words), or any ``Column -> Column`` callable (a pandas-UDF
+    around a production BPE).  The packing plan is identical in all
+    cases — only the n_tokens expression changes."""
+    from extractor.operators.tokenizer import token_count_expr
+
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(words_of(F.col(text_col))).cast("long").alias("n_tokens"),
+        token_count_expr(F.col(text_col), tokenizer).alias("n_tokens"),
     ).withColumn(
         "shard", (hex64(F.col("doc_id").cast("string")) % n_shards).cast("int")
     )
@@ -63,12 +73,16 @@ def pack_bins(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer="whitespace",
 ) -> DataFrame:
     """Per-bin packing summary: (shard, bin_id, n_docs, n_tokens,
     first_doc, fill_bp) where fill_bp = floor(n_tokens·10⁴/budget) —
-    >10000 marks the boundary-straddle overshoot bins."""
+    >10000 marks the boundary-straddle overshoot bins.  ``tokenizer``
+    threads through to :func:`pack_assignments` (the token-counting
+    seam)."""
     a = pack_assignments(
-        docs, budget=budget, n_shards=n_shards, id_col=id_col, text_col=text_col
+        docs, budget=budget, n_shards=n_shards, id_col=id_col,
+        text_col=text_col, tokenizer=tokenizer,
     )
     return a.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
