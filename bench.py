@@ -181,6 +181,10 @@ HEADLINE_QUERIES = [
     "anchor_index",
     "winnow_pairs",
     "e2e_warc_to_wet",
+    # r5 additions (appended; earlier names stay stable)
+    "pack_sequences_tokens",
+    "quality_classifier",
+    "corpus_select_model",
 ]
 
 

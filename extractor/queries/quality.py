@@ -1167,3 +1167,94 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.operators.textstats import vocab_coverage
 
     return vocab_coverage(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+
+
+@register(
+    "quality_classifier",
+    """
+    -- frozen-random linear classifier (the fastText-seam surrogate):
+    -- per-word weight hex64(w) % 2001 - 1000, doc score = clamped
+    -- shifted mean, reported integer-exact in [0, 2000]
+    SELECT doc_id,
+           (floor(list_sum(list_transform(string_split(text, ' '),
+              x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+              / len(string_split(text, ' '))) + 1000)::BIGINT AS clf_bp
+    FROM documents
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring seam (r4 VERDICT item 5): every
+    document scored by the pluggable classifier
+    (operators.classifier — fastText-style linear scorer contract; the
+    shipped surrogate is a frozen random linear model whose scores
+    are ANSI-SQL-reproducible, so the seam itself carries a full
+    oracle).  Map-only, no shuffle: scoring 10^12 docs is
+    embarrassingly parallel; a production fastText plugs in as an
+    Arrow-batched pandas UDF under the same contract."""
+    from extractor.operators.classifier import classifier_scores
+
+    return classifier_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round(F.col("clf_score") * 2000).cast("long").alias("clf_bp"),
+    )
+
+
+@register(
+    "corpus_select_model",
+    f"""
+    -- corpus_select with the rule-based quality threshold replaced by
+    -- the model-classifier cut at 0.5 (clf surrogate mean >= 0):
+    -- LID agreement + min length + classifier + exact-dedup canonical
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id, lang, text,
+             (list_sort([{_LANG_STRUCTS}]))[1].l AS pred_lang,
+             length(w) AS n_tokens,
+             (floor(list_sum(list_transform(w,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+                / length(w)) + 1000)::BIGINT AS clf_bp
+      FROM toks
+    ), canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS canonical FROM feat GROUP BY 1
+    )
+    SELECT f.doc_id, f.pred_lang, f.n_tokens::BIGINT AS n_tokens, f.clf_bp
+    FROM feat f JOIN canon c ON md5(f.text) = c.h AND f.doc_id = c.canonical
+    WHERE f.pred_lang = f.lang AND f.clf_bp >= 1000 AND f.n_tokens >= 10
+    """,
+)
+def q_corpus_select_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_select's model-scored sibling: the learned-classifier
+    cut (DCLM/FineWeb-Edu pattern) replaces the rule-based quality
+    threshold; LID agreement, minimum length, and exact-dedup
+    canonicalization are unchanged.  The classifier column is the
+    operators.classifier seam — swapping the surrogate for a real
+    fastText changes zero lines here."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.textstats import predict_lang, quality_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    feats = quality_score(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        predict_lang(F.col("text")).alias("pred_lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(classifier_score_expr(F.col("text")) * 2000)
+        .cast("long")
+        .alias("clf_bp"),
+    )
+    canon = feat.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical")
+    )
+    kept = feat.join(
+        canon,
+        (F.md5(feat["text"]) == canon["h"]) & (feat["doc_id"] == canon["canonical"]),
+        "inner",
+    )
+    return kept.filter(
+        (F.col("pred_lang") == F.col("lang"))
+        & (F.col("clf_bp") >= 1000)
+        & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "pred_lang", "n_tokens", "clf_bp")

@@ -2699,3 +2699,43 @@ def test_pack_sequences_tokens_budget_binds_on_tokens(spark):
     assert ws["n_tokens"] == 20 and ws["fill_bp"] == 2000
     # 28 chars -> 1 + 27//6 = 5 pieces per word -> 100 tokens, bin full
     assert bpe["n_tokens"] == 100 and bpe["fill_bp"] == 10000
+
+
+def test_classifier_seam_contract(spark):
+    """The quality-classifier seam (r4 VERDICT item 5): surrogate
+    scores land in [0,1] and are deterministic; NULL/empty text
+    scores NULL (and never survives a selection cut); a
+    caller-supplied callable (the production fastText hook) flows
+    through; unknown names fail loudly; and the selection plan is
+    map-only — scoring must never introduce a shuffle."""
+    import pytest as _pytest
+
+    from extractor.operators.classifier import (
+        classifier_score_expr,
+        classifier_scores,
+        select_by_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solid readable body text here"), (2, None), (3, "")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["clf_score"] for r in classifier_scores(df).collect()}
+    assert 0.0 <= got[1] <= 1.0
+    assert got[2] is None and got[3] is None
+    again = {r["doc_id"]: r["clf_score"] for r in classifier_scores(df).collect()}
+    assert got == again  # frozen weights: deterministic
+
+    kept = select_by_classifier(df, threshold=0.0).collect()
+    assert {r["doc_id"] for r in kept} == {1}  # NULL scores drop
+
+    # production hook: a constant scorer flows through unchanged
+    hook = select_by_classifier(df, 0.5, classifier=lambda c: F.lit(0.9))
+    assert {r["doc_id"] for r in hook.collect()} == {1, 2, 3}
+
+    with _pytest.raises(ValueError, match="unknown classifier"):
+        classifier_score_expr(F.col("text"), "no_such_model")
+
+    # map-only: no exchange anywhere in the selection plan
+    plan = select_by_classifier(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
