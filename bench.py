@@ -185,6 +185,9 @@ HEADLINE_QUERIES = [
     "pack_sequences_tokens",
     "quality_classifier",
     "corpus_select_model",
+    "image_dedup_phash",
+    "host_reciprocity",
+    "cocitation_pairs",
 ]
 
 

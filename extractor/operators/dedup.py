@@ -602,26 +602,47 @@ def simhash_hamming_pairs(
 
     Returns (a, b, hamming), a < b, deduplicated across chunks.
     """
+    sigs = simhash32_df(df, id_col=id_col, text_col=text_col).select(
+        "id", F.col("simhash").alias("sig")
+    )
+    out = hamming_pairs_from_sigs(
+        sigs, sig_bits=32, max_hamming=max_hamming, n_chunks=n_chunks
+    )
+    return out
+
+
+def hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    sig_bits: int,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Generic pigeonhole hamming-pair join over (id, sig) rows — the
+    Manku WWW'07 blocking shared by text SimHash (32-bit) and the
+    multimodal perceptual-hash tier (48-bit): any pair within hamming
+    ``max_hamming < n_chunks`` agrees exactly on ≥1 whole chunk, so
+    candidates are one equi-join on (chunk_idx, chunk_value) and
+    ``bit_count(XOR)`` verifies inside the join block.  Recall 1.0 at
+    the stated radius by construction.  Returns (a, b, hamming),
+    a < b, deduplicated across chunks."""
     if max_hamming >= n_chunks:
         raise ValueError(
             f"pigeonhole blocking needs max_hamming < n_chunks "
             f"(got {max_hamming} >= {n_chunks}); raise n_chunks"
         )
-    if 32 % n_chunks:
-        raise ValueError(f"n_chunks must divide 32 (got {n_chunks})")
-    chunk_bits = 32 // n_chunks
-    sigs = simhash32_df(df, id_col=id_col, text_col=text_col).select("id", "simhash")
-    # chunk c = (simhash div 2^(bits·c)) mod 2^bits — shiftright+mod in
-    # Spark, // + % in the oracle; identical on the non-negative sums
-    # simhash32 produces.
+    if sig_bits % n_chunks:
+        raise ValueError(f"n_chunks must divide {sig_bits} (got {n_chunks})")
+    chunk_bits = sig_bits // n_chunks
+    # chunk c = (sig div 2^(bits·c)) mod 2^bits — shiftright+mod in
+    # Spark, // + % in the oracle; identical on non-negative sigs.
     ch = sigs.select(
         "id",
-        "simhash",
+        "sig",
         F.posexplode(
             F.array(
                 *[
                     (
-                        F.shiftright(F.col("simhash"), chunk_bits * c)
+                        F.shiftright(F.col("sig"), chunk_bits * c)
                         % F.lit(1 << chunk_bits)
                     ).cast("long")
                     for c in range(n_chunks)
@@ -630,7 +651,7 @@ def simhash_hamming_pairs(
         ).alias("chunk_idx", "chunk_val"),
     )
     x, y = ch.alias("x"), ch.alias("y")
-    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long")
+    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).cast("long")
     # verify INSIDE the join stage, before the cross-chunk dedup: the
     # distinct's shuffle then carries only surviving pairs, not every
     # blocked candidate (hot buckets produce far more candidates than

@@ -277,3 +277,81 @@ def embed_stub(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         fn, schema="id long, embedding array<double>"
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (images as opaque payloads)
+# --------------------------------------------------------------------------
+
+PHASH_ROWS, PHASH_COLS = 6, 9  # 6 rows × 8 adjacent comparisons = 48 bits
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)
+
+
+def phash_stub(payload: "F.Column") -> "F.Column":
+    """48-bit difference-hash (dHash) over a stubbed pixel source.
+
+    Real dHash: decode → grayscale thumbnail (9×6) → each bit is
+    ``pixel[i][j] < pixel[i][j+1]``.  The DECODE is the stubbed codec
+    (PIL absent here — module docstring): the "thumbnail" samples the
+    payload's own bytes at 54 evenly-spaced positions
+    (``1 + floor(k·(len−1)/54)``), so the hash is locality-sensitive
+    to in-place payload edits exactly the way dHash is to pixel
+    edits — a few changed bytes flip a few bits, and near-duplicate
+    payloads land within a small hamming radius.  A production
+    deployment swaps ONLY the pixel source (an Arrow-batched pandas
+    UDF around a real thumbnailer, same 48-bit contract); the
+    blocking join in :func:`phash_pairs` does not change.
+
+    Expression-only (54 substring/ascii terms + 48 comparisons, all
+    codegen) and byte-identical in ANSI SQL — which is what keeps the
+    multimodal dedup tier fully oracle-checkable."""
+    L = F.length(payload)
+    n = PHASH_ROWS * PHASH_COLS
+
+    def px(k: int):
+        pos = (F.lit(k) * (L - 1)) / n
+        return F.ascii(F.substring(payload, (F.lit(1) + F.floor(pos)).cast("int"), 1))
+
+    bits = []
+    for i in range(PHASH_ROWS):
+        for j in range(PHASH_COLS - 1):
+            k = i * PHASH_COLS + j
+            bit = (px(k) < px(k + 1)).cast("long")
+            bits.append(bit * F.lit(1 << len(bits)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return F.when(L >= 2, total).cast("long")
+
+
+def phash_pairs(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> "DataFrame":
+    """Near-duplicate image pairs by perceptual-hash hamming distance:
+    the image twin of text SimHash dedup, sharing the exact pigeonhole
+    blocking (dedup.hamming_pairs_from_sigs, 48-bit sigs → 12-bit
+    chunks at the default).  Recall 1.0 at the radius by construction;
+    only (id, sig, chunk) rows ever shuffle — payload bytes stay in
+    the map stage that hashed them."""
+    from extractor.operators.dedup import hamming_pairs_from_sigs
+
+    # House rule (BASELINE r4): a wide expression consumed by several
+    # downstream references must be barriered — CollapseProject would
+    # inline the 48-term sig into each of the 4 chunk expressions
+    # (and blow the janino method limit into interpreted fallback).
+    # Measured at sf0.1: 8.27 s inlined vs 5.46 s barriered.
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            phash_stub(F.col(payload_col)).alias("sig"),
+        )
+        .where(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    return hamming_pairs_from_sigs(
+        sigs, sig_bits=PHASH_BITS, max_hamming=max_hamming, n_chunks=n_chunks
+    )

@@ -986,3 +986,73 @@ def robots_match(
         F.col("w.k").alias("winner_kind"),
         (-F.col("w.nl")).cast("int").alias("winner_len"),
     )
+
+
+def host_reciprocity(
+    edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> DataFrame:
+    """Per-host link reciprocity: of a host's DISTINCT out-neighbors,
+    the fraction that link back — mutual linking at high rates is the
+    classic link-exchange/spam-ring signal (organic citation is
+    mostly one-directional), the cheap precursor to TrustRank when
+    triaging a new crawl's hosts.
+
+    Returns (host, n_out, n_reciprocal, recip_bp).  Self-loops are
+    excluded (trivially "reciprocal").
+
+    Scale shape: runs on the HOST graph (≈10^4× smaller than pages —
+    host_edges' rollup): one distinct over host pairs, one
+    self-equi-join on the REVERSED (dst, src) composite key (never a
+    theta join), one grouped aggregate with map-side partials."""
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("d").alias("s"), F.col("s").alias("d"), F.lit(1).alias("rec")
+    )
+    j = e.join(rev, ["s", "d"], "left")
+    return j.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.coalesce(F.sum("rec"), F.lit(0)).cast("long").alias("n_reciprocal"),
+        (F.coalesce(F.sum("rec"), F.lit(0)) * 10000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("recip_bp"),
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "href",
+    max_out: int = 64,
+    min_cocite: int = 2,
+) -> DataFrame:
+    """Co-citation pairs: two targets linked by the same source are
+    related (Small 1973 — the web-IR "pages cited together" signal;
+    the link-graph twin of the inverted index's df-capped token
+    join).  Returns (a, b, n_cocite) for target pairs co-cited by
+    ≥ ``min_cocite`` distinct sources.
+
+    Scale shape: sources with more than ``max_out`` distinct targets
+    are DROPPED BEFORE the self-join (a hub page co-cites
+    quadratically — the max_df discipline of the retrieval tier,
+    without which one directory page emits 10^9 pairs); the join is
+    an equi-join on the source key over the capped edge set, and the
+    pair count is one grouped aggregate."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    keep = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg")).filter(
+        F.col("odeg") <= max_out
+    ).select("s")
+    ee = e.join(keep, "s")
+    x, y = ee.alias("x"), ee.alias("y")
+    return (
+        x.join(y, "s")
+        .where(F.col("x.d") < F.col("y.d"))
+        .groupBy(F.col("x.d").alias("a"), F.col("y.d").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocite"))
+        .filter(F.col("n_cocite") >= min_cocite)
+    )

@@ -1003,3 +1003,92 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(src).select(
         F.col("id").alias("doc_id"), "norm_text", "changed"
     )
+
+
+def _phash_sql_expr(t: str = "t") -> str:
+    """DuckDB mirror of operators.multimodal.phash_stub, generated by
+    the same loop shape as the Spark expression so the 48 bit terms
+    cannot drift."""
+    rows, cols = 6, 9
+    n = rows * cols
+
+    def px(k: int) -> str:
+        return (
+            f"ord(substr({t}, (1 + floor({k} * (length({t})-1) / {n}.0))::INT, 1))"
+        )
+
+    terms = []
+    idx = 0
+    for i in range(rows):
+        for j in range(cols - 1):
+            k = i * cols + j
+            terms.append(
+                f"CASE WHEN {px(k)} < {px(k + 1)} "
+                f"THEN {1 << idx}::BIGINT ELSE 0::BIGINT END"
+            )
+            idx += 1
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "image_dedup_phash",
+    f"""
+    -- perceptual-hash (dHash, 48-bit, stub pixel source) near-dup
+    -- pairs at hamming<=3 via the shared Manku pigeonhole blocking;
+    -- fixture plants in-place 3-char edits (every 10th doc) and exact
+    -- copies (every 20th)
+    WITH corpus AS (
+      SELECT doc_id, text AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, substr(text, 1, 49) || 'XQZ' || substr(text, 53)
+      FROM documents WHERE doc_id % 10 = 0 AND length(text) > 60
+      UNION ALL
+      SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 20 = 0
+    ), sig AS (
+      SELECT doc_id, {{PHASH}} AS sig FROM corpus WHERE length(t) >= 2
+    ), ch AS (
+      SELECT doc_id, sig, c.c AS chunk_idx,
+             (sig // (2 ** (12 * c.c))::BIGINT) % 4096 AS chunk_val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.sig AS sa, y.sig AS sb
+      FROM ch x JOIN ch y
+        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """.replace("{PHASH}", _phash_sql_expr("t")),
+)
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection: perceptual-hash (dHash) pairs
+    over image payloads at hamming<=3 — thumbnails/re-encodes/small
+    overlays of the same image collapse where byte-exact digests
+    cannot (operators.multimodal.phash_pairs).  The pixel source is
+    the documented stub (payload byte samples — PIL absent here);
+    production swaps in a real thumbnailer behind the same 48-bit
+    contract and this plan does not change.  Blocking reuses
+    dedup.hamming_pairs_from_sigs: recall 1.0 at the radius, only
+    (id, sig, chunk) rows shuffle, payloads never leave their scan.
+    Fixture: every 10th doc gains an in-place 3-char edit (a few
+    sampled pixels flip -> small hamming), every 20th an exact copy
+    (hamming 0)."""
+    from extractor.operators.multimodal import phash_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") > 60)
+    ).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 49),
+            F.lit("XQZ"),
+            F.expr("substring(text, 53)"),
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(near).unionAll(exact)
+    return phash_pairs(corpus, id_col="doc_id", payload_col="text")

@@ -1046,3 +1046,117 @@ def q_host_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("h0", "news"), ("h5", "shop")], "node string, label string"
     )
     return label_propagation_int(edges, seeds, iterations=2)
+
+
+@register(
+    "host_reciprocity",
+    """
+    -- link-exchange signal: per host, fraction of distinct
+    -- out-neighbors that link back; fixture gives h0-h2 out-offsets
+    -- {1,2,3,4} (the +4 edge reciprocates via the +3 back-edge) and
+    -- h3-h6 offsets {1,2,3} (only h4-h6's +3 edge reciprocates)
+    WITH hosts AS (
+      SELECT doc_id, doc_id % 7 AS hi FROM documents
+    ), edges AS (
+      SELECT 'h' || hi || '.example-42.test' AS src,
+             'h' || ((hi + 1) % 7) || '.example-42.test' AS dst FROM hosts
+      UNION ALL
+      SELECT 'h' || hi || '.example-42.test',
+             'h' || ((hi + 2) % 7) || '.example-42.test' FROM hosts
+      UNION ALL
+      SELECT 'h' || hi || '.example-42.test',
+             'h' || ((hi + 3) % 7) || '.example-42.test' FROM hosts
+      UNION ALL
+      SELECT 'h' || hi || '.example-42.test',
+             'h' || ((hi + 4) % 7) || '.example-42.test' FROM hosts
+      WHERE hi < 3
+    ), e AS (
+      SELECT DISTINCT src AS s, dst AS d FROM edges WHERE src <> dst
+    ), j AS (
+      SELECT e.s, CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS rec
+      FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s
+    )
+    SELECT s AS host, count(*)::BIGINT AS n_out,
+           sum(rec)::BIGINT AS n_reciprocal,
+           (sum(rec) * 10000 // count(*))::BIGINT AS recip_bp
+    FROM j GROUP BY s
+    """,
+)
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (operators.webgraph.host_reciprocity):
+    mutual-linking rate over the host graph — the link-exchange /
+    spam-ring triage signal that runs before TrustRank needs a seed
+    set.  One distinct, one reversed-composite-key self-equi-join,
+    one aggregate — all on the ~10^4×-smaller host graph."""
+    from extractor.operators.webgraph import host_reciprocity
+
+    docs = _docs(spark, sf_dir).select((F.col("doc_id") % 7).alias("hi"))
+
+    def h(off: int):
+        return F.concat(
+            F.lit("h"),
+            ((F.col("hi") + off) % 7).cast("string"),
+            F.lit(".example-42.test"),
+        )
+
+    parts = [
+        docs.select(h(0).alias("src_host"), h(k).alias("dst_host"))
+        for k in (1, 2, 3)
+    ] + [
+        docs.filter(F.col("hi") < 3).select(
+            h(0).alias("src_host"), h(4).alias("dst_host")
+        )
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionAll(p)
+    return host_reciprocity(edges)
+
+
+@register(
+    "cocitation_pairs",
+    f"""
+    -- co-citation similarity (Small 1973): targets linked by the same
+    -- page, hub sources capped BEFORE the self-join (max_df
+    -- discipline); fixture = the boiler link farms, whose overlapping
+    -- doc-offset targets co-occur across consecutive boiler pages
+    WITH {_BOILER_EDGES_SQL},
+    links AS (
+      SELECT b.url AS s, '/x/' || (b.doc_id + f.doff) || '/' || i.i AS d
+      FROM boiler b, farm f,
+           LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) i
+    ), e AS (
+      SELECT DISTINCT s, d FROM links
+    ), keep AS (
+      SELECT s FROM e GROUP BY s HAVING count(*) <= 64
+    ), p AS (
+      SELECT x.d AS a, y.d AS b
+      FROM e x JOIN e y ON x.s = y.s AND x.d < y.d
+      JOIN keep k ON k.s = x.s
+    )
+    SELECT a, b, count(*)::BIGINT AS n_cocite
+    FROM p GROUP BY a, b HAVING count(*) >= 2
+    """,
+)
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs over real extracted outlinks
+    (operators.webgraph.cocitation_pairs): two URLs repeatedly linked
+    from the same pages are related — the link-graph relatedness
+    signal (and a mirror-detection precursor: perfect co-citation ≈
+    duplicated nav).  Hub sources above max_out distinct targets drop
+    BEFORE the self-join — the max_df discipline that keeps one
+    directory page from emitting 10^9 pairs at web scale."""
+    from extractor.config import ExtractConfig
+    from extractor.operators.webgraph import cocitation_pairs, html_outlinks
+    from extractor.pipeline import _quarantine_error, route
+    from extractor.testgen import TEST_MAX_BYTES, pages_df
+
+    cfg = ExtractConfig(max_bytes=TEST_MAX_BYTES)
+    routed = route(pages_df(spark, sf_dir)).withColumn(
+        "route_error", _quarantine_error(cfg)
+    )
+    valid_html = routed.filter(
+        (F.col("doc_type") == "html") & F.col("route_error").isNull()
+    )
+    edges = html_outlinks(valid_html)
+    return cocitation_pairs(edges, src_col="url", dst_col="href")

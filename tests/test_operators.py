@@ -2739,3 +2739,84 @@ def test_classifier_seam_contract(spark):
     # map-only: no exchange anywhere in the selection plan
     plan = select_by_classifier(df, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_host_reciprocity_fixture(spark):
+    """Reciprocity accounting: mutual pair counts once per direction,
+    one-way edges count zero, self-loops are excluded, duplicate page
+    edges collapse (distinct host-pair grain)."""
+    from extractor.operators.webgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"), ("a", "b")],
+        "src_host: string, dst_host: string",
+    )
+    got = {r["host"]: r for r in host_reciprocity(edges).collect()}
+    assert got["a"]["n_out"] == 2 and got["a"]["n_reciprocal"] == 1
+    assert got["a"]["recip_bp"] == 5000
+    assert got["b"]["n_out"] == 1 and got["b"]["recip_bp"] == 10000
+    assert "c" not in got  # no out-edges, no row
+
+
+def test_cocitation_pairs_cap_and_threshold(spark):
+    """Co-citation: pairs count distinct co-citing sources; a hub
+    source above max_out is dropped BEFORE the self-join (its
+    quadratic pair mass never materializes); min_cocite prunes
+    singletons."""
+    from extractor.operators.webgraph import cocitation_pairs
+
+    rows = [("s1", "a"), ("s1", "b"), ("s1", "c"),
+            ("s2", "a"), ("s2", "b"), ("s2", "b")]  # dup edge collapses
+    rows += [("hub", f"t{i}") for i in range(70)] + [("hub", "a"), ("hub", "b")]
+    edges = spark.createDataFrame(rows, "url: string, href: string")
+    got = {(r["a"], r["b"]): r["n_cocite"]
+           for r in cocitation_pairs(edges, max_out=64).collect()}
+    assert got == {("a", "b"): 2}  # hub's co-citations never counted
+    # without the cap the hub would add one more co-citing source
+    uncapped = {(r["a"], r["b"]): r["n_cocite"]
+                for r in cocitation_pairs(edges, max_out=1000).collect()}
+    assert uncapped[("a", "b")] == 3
+
+
+def test_phash_pairs_locality_and_radius(spark):
+    """Perceptual-hash dedup plumbing: exact copies land at hamming 0;
+    a small in-place edit lands within the radius; unrelated payloads
+    do not pair; sub-2-byte payloads (null sig) are dropped, not
+    crashed."""
+    from extractor.operators.multimodal import phash_pairs, phash_stub
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(400))
+    # in-place single-byte edit at 0-idx 199 — sample k=27 of the 54
+    # (1-based pos 1+floor(27*399/54)=200), left operand of exactly
+    # one dHash comparison (bit i=3,j=0 vs sample 28 at pos 207='M'):
+    # 'P'(80)<'M' false -> 'A'(65)<'M' true, so hamming is exactly 1
+    edited = base[:199] + "A" + base[200:]
+    other = "".join(chr(97 + (i * 11) % 26) for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other), (5, "x")],
+        "doc_id: long, payload: string",
+    )
+    sig = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", phash_stub(F.col("payload")).alias("s")).collect()}
+    assert sig[1] == sig[2] and sig[5] is None
+    assert 0 <= sig[1] < (1 << 48)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in phash_pairs(df, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_hamming_pairs_from_sigs_validation(spark):
+    """The generic pigeonhole join rejects impossible configs loudly
+    (radius >= chunks breaks the pigeonhole guarantee; width must
+    split evenly)."""
+    import pytest as _pytest
+
+    from extractor.operators.dedup import hamming_pairs_from_sigs
+
+    sigs = spark.createDataFrame([(1, 5)], "id: long, sig: long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs_from_sigs(sigs, sig_bits=48, max_hamming=4, n_chunks=4)
+    with _pytest.raises(ValueError, match="divide"):
+        hamming_pairs_from_sigs(sigs, sig_bits=48, max_hamming=3, n_chunks=5)
