@@ -537,13 +537,23 @@ def simhash32(text: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def simhash32_df(
-    df: DataFrame, id_col: str = "id", text_col: str = "text"
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    sig_bits: int = 32,
 ) -> DataFrame:
-    """SimHash via explode → 32 codegen'd conditional sums (the
-    scalable formulation of :func:`simhash32`; same values).
+    """SimHash via explode → ``sig_bits`` codegen'd conditional sums
+    (the scalable formulation of :func:`simhash32`; same values at
+    sig_bits=32).  ``sig_bits`` may go up to 60 — every bit comes
+    from the 60-bit hex64 word hash, and a wider signature is the
+    web-scale dial: pigeonhole chunk width grows with it, so bucket
+    count rises from 2^8 to 2^15 per chunk at 60 bits / 4 chunks,
+    taming the quadratic candidate term (measured in BASELINE r5).
 
     Returns (id, simhash, n_distinct_tokens)."""
+    if not 1 <= sig_bits <= 60:
+        raise ValueError(f"sig_bits must be in [1, 60] (got {sig_bits})")
     pow2 = lambda b: 1 << b  # noqa: E731
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -553,16 +563,24 @@ def simhash32_df(
         F.sum(
             F.when(F.col("h") % F.lit(pow2(b) * 2) >= F.lit(pow2(b)), 1).otherwise(-1)
         ).alias(f"c{b}")
-        for b in range(32)
+        for b in range(sig_bits)
     ]
     agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_distinct_tokens"), *contribs)
     simhash = None
-    for b in range(32):
+    for b in range(sig_bits):
         term = F.when(F.col(f"c{b}") > 0, F.lit(pow2(b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
     return agg.select("id", simhash.alias("simhash"), "n_distinct_tokens")
+
+
+def simhash32_df(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit :func:`simhash_df` (kept as the stable name the oracle
+    entries cite)."""
+    return simhash_df(df, id_col=id_col, text_col=text_col, sig_bits=32)
 
 
 def simhash_hamming_pairs(
@@ -571,6 +589,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    sig_bits: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance (Manku, Jain &
     Das Sarma, WWW 2007 — the production web-crawl dedup design).
@@ -602,11 +621,11 @@ def simhash_hamming_pairs(
 
     Returns (a, b, hamming), a < b, deduplicated across chunks.
     """
-    sigs = simhash32_df(df, id_col=id_col, text_col=text_col).select(
-        "id", F.col("simhash").alias("sig")
-    )
+    sigs = simhash_df(
+        df, id_col=id_col, text_col=text_col, sig_bits=sig_bits
+    ).select("id", F.col("simhash").alias("sig"))
     out = hamming_pairs_from_sigs(
-        sigs, sig_bits=32, max_hamming=max_hamming, n_chunks=n_chunks
+        sigs, sig_bits=sig_bits, max_hamming=max_hamming, n_chunks=n_chunks
     )
     return out
 

@@ -2820,3 +2820,36 @@ def test_hamming_pairs_from_sigs_validation(spark):
         hamming_pairs_from_sigs(sigs, sig_bits=48, max_hamming=4, n_chunks=4)
     with _pytest.raises(ValueError, match="divide"):
         hamming_pairs_from_sigs(sigs, sig_bits=48, max_hamming=3, n_chunks=5)
+
+
+def test_simhash_wide_signature_matches_bruteforce(spark):
+    """The 60-bit SimHash dial: pairs from the pigeonhole blocking at
+    sig_bits=60 equal a driver-side brute force over the same
+    signatures (recall 1.0 at the radius by construction, at any
+    width), and near-identical docs land within the radius while
+    unrelated docs stay far outside it."""
+    import random
+
+    from extractor.operators.dedup import simhash_df, simhash_hamming_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{n}" for n in range(500)]
+    texts = []
+    for i in range(30):
+        base = " ".join(vocab[rng.randrange(500)] for _ in range(120))
+        texts.append((i, base))
+        if i % 5 == 0:  # near-copy: one appended token
+            texts.append((i + 1000, base + " extraword"))
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    sigs = {r["id"]: r["simhash"] for r in
+            simhash_df(df, id_col="doc_id", sig_bits=60).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs if a < b
+        and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_hamming_pairs(
+        df, id_col="doc_id", sig_bits=60).collect()}
+    assert got == want
+    assert any(b == a + 1000 for a, b in got)  # planted near-copies found
