@@ -545,3 +545,33 @@ def streaming_cdx_maintenance(
         )
 
     return handle
+
+
+def streaming_classifier_gate(
+    pages_stream: DataFrame,
+    cfg: ExtractConfig = ExtractConfig(),
+    threshold: float = 0.5,
+    classifier="surrogate",
+) -> DataFrame:
+    """Model-quality gate at ingest: extract the html stream and
+    score each document through the pluggable classifier seam
+    (operators.classifier — production registers a pandas-UDF
+    fastText and this plan is unchanged), tagging keep/drop at the
+    given score threshold.  The learned sibling of
+    :func:`streaming_quality_gate`; stateless map, so stream==batch
+    by construction (one implementation, pinned by pytest).  NULL
+    scores (empty text) tag keep=false — an unscoreable document
+    never rides into the mixture silently."""
+    from extractor.operators.classifier import classifier_score_expr
+
+    extracted = streaming_extract_pages(pages_stream, cfg)
+    html_ok = extracted.filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    score = classifier_score_expr(F.col("text"), classifier)
+    return html_ok.select(
+        "url",
+        "warc_ts",
+        score.alias("clf_score"),
+        F.coalesce(score >= threshold, F.lit(False)).alias("keep"),
+    )

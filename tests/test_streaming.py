@@ -729,3 +729,40 @@ def test_streaming_cdx_maintenance_matches_one_shot(spark, tmp_path):
     # latest fold is unchanged
     handler(caps.filter(F.col("doc_id") % 2 == 0), 99)
     assert canon(cdx_latest(read_cdx(spark, index_dir))) == direct
+
+
+def test_streaming_classifier_gate_equals_batch(spark, tmp_path):
+    """The model-quality gate must emit exactly the batch pipeline's
+    html rows scored by the same classifier seam (one implementation,
+    stream==batch), with both verdicts represented."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.pipeline import run_extraction
+    from extractor.streaming.stream import (
+        read_pages_stream,
+        streaming_classifier_gate,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    name = _run_stream(streaming_classifier_gate(stream, CFG, threshold=0.5))
+    srows = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+    batch = run_extraction(spark, spark.read.parquet(pages_dir), CFG).filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    score = classifier_score_expr(F.col("text"))
+    brows = {
+        tuple(row)
+        for row in batch.select(
+            "url",
+            "warc_ts",
+            score.alias("clf_score"),
+            F.coalesce(score >= 0.5, F.lit(False)).alias("keep"),
+        ).collect()
+    }
+    assert srows == brows
+    assert len(brows) > 50
+    keeps = {row[-1] for row in brows}
+    assert keeps == {True, False}  # threshold actually separates
