@@ -188,6 +188,7 @@ HEADLINE_QUERIES = [
     "image_dedup_phash",
     "host_reciprocity",
     "cocitation_pairs",
+    "classifier_vs_rules",
 ]
 
 

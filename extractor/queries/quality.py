@@ -1258,3 +1258,64 @@ def q_corpus_select_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("clf_bp") >= 1000)
         & (F.col("n_tokens") >= 10)
     ).select("doc_id", "pred_lang", "n_tokens", "clf_bp")
+
+
+@register(
+    "classifier_vs_rules",
+    f"""
+    -- calibration matrix for the learned-quality seam: how the
+    -- classifier cut agrees with the Gopher rule verdict, per lang —
+    -- the dashboard read before swapping a rules gate for a model gate
+    WITH feats AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(text, '[ \n]+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             (len(w) BETWEEN 50 AND 100000
+              AND list_sum(list_transform(w, t -> length(t))) * 100
+                    // greatest(len(w), 1) BETWEEN 300 AND 1000
+              AND len(list_filter(w, t -> contains(t, '#')
+                    OR contains(t, '...'))) * 10000
+                    // greatest(len(w), 1) <= 1000
+              AND len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                    * 10000 // greatest(len(w), 1) >= 8000
+              AND len(list_filter(lines, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ') OR starts_with(l, '•')))
+                    * 10000 // greatest(len(lines), 1) < 9000
+              AND len(list_filter(lines, l -> ends_with(l, '...')))
+                    * 10000 // greatest(len(lines), 1) <= 3000
+              AND len(list_intersect(w, {_GOPHER_STOPS_SQL})) >= 2)
+               AS rules_keep,
+             ((floor(list_sum(list_transform(string_split(text, ' '),
+                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+                 / len(string_split(text, ' '))) + 1000) >= 1000) AS model_keep
+      FROM feats
+    )
+    SELECT lang, rules_keep, model_keep, count(*)::BIGINT AS n_docs
+    FROM m GROUP BY lang, rules_keep, model_keep
+    """,
+)
+def q_classifier_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-rules calibration matrix: per-language agreement
+    between the Gopher rule verdict and the classifier cut — the
+    observability read a pipeline owner makes BEFORE swapping the
+    rules gate for a learned gate (where do they disagree, and which
+    languages drift).  Both verdicts are map-only expressions; the
+    matrix is one grouped count over ~|lang|×4 cells."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    r = gopher_rules(F.col("text"), stopwords=_GOPHER_STOPS)
+    clf = F.round(classifier_score_expr(F.col("text")) * 2000).cast("long")
+    return (
+        docs.select(
+            "lang",
+            r["keep"].alias("rules_keep"),
+            (clf >= 1000).alias("model_keep"),
+        )
+        .groupBy("lang", "rules_keep", "model_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
