@@ -189,6 +189,8 @@ HEADLINE_QUERIES = [
     "host_reciprocity",
     "cocitation_pairs",
     "classifier_vs_rules",
+    "compression_ratio",
+    "train_split_assign",
 ]
 
 

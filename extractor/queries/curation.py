@@ -383,3 +383,48 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("weight"),
     )
     return mixture_drift(caps, weight_col="weight")
+
+@register(
+    "train_split_assign",
+    f"""
+    -- deterministic held-out split: hash-bucket each doc into 1000
+    -- cells on a SALTED key (salt decorrelates the split from every
+    -- other hex64 use: sampling, sharding, bloom) and carve
+    -- train/validation/test at 980/995.  Integer-exact end to end.
+    SELECT doc_id,
+           {_HEX64_SQL.format(x="'split:' || doc_id::VARCHAR")} % 1000
+             AS bucket,
+           CASE
+             WHEN {_HEX64_SQL.format(x="'split:' || doc_id::VARCHAR")} % 1000 < 980
+               THEN 'train'
+             WHEN {_HEX64_SQL.format(x="'split:' || doc_id::VARCHAR")} % 1000 < 995
+               THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment by salted hash
+    bucket (980/15/5 per mille) — the split must be a pure function of
+    the document id so it survives recrawls, repartitions, and
+    incremental appends (no rand(), no row_number over an arbitrary
+    order).  Map-only expression; at 100 TB this is a free column on
+    the scan.  Salt 'split:' keeps the split independent of the other
+    hex64-derived decisions (host_cap_sample, training_shards,
+    bloom_gate) so held-out membership never correlates with sampling
+    survival."""
+    from extractor.operators.dedup import hex64
+
+    docs = _docs(spark, sf_dir)
+    bucket = hex64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 980, F.lit("train"))
+        .when(bucket < 995, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

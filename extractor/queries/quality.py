@@ -1319,3 +1319,21 @@ def q_classifier_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "rules_keep", "model_keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+@register(
+    "compression_ratio",
+    None,  # zlib is genuinely not SQL-expressible; DuckDB has no
+    # compression UDF.  The driver records the weaker rows-only check;
+    # correctness is pinned by a driver-side zlib recompute over every
+    # sf0.001 document plus a repetition-monotonicity property
+    # (tests/test_operators.py::test_compression_ratio_*).
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal — the repetitiveness gate
+    the n-gram Gopher rules miss (long-period templating, repeated
+    paragraphs past the 4-gram horizon).  Map-only mapInPandas scan,
+    no shuffle; ratio as integer per-mille so the repetitive flag is
+    exactly reproducible (operators/compressibility.py)."""
+    from extractor.operators.compressibility import compression_stats
+
+    return compression_stats(_docs(spark, sf_dir))

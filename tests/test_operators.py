@@ -2853,3 +2853,76 @@ def test_simhash_wide_signature_matches_bruteforce(spark):
         df, id_col="doc_id", sig_bits=60).collect()}
     assert got == want
     assert any(b == a + 1000 for a, b in got)  # planted near-copies found
+
+
+def test_compression_ratio_matches_driver_zlib(spark):
+    """The mapInPandas zlib pass must agree exactly with a driver-side
+    recompute over every sf0.001 document — this test IS the oracle
+    for the one registry entry that carries no SQL (DuckDB has no
+    zlib)."""
+    import zlib
+
+    from extractor.operators.compressibility import compression_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["zlib_bytes"], r["ratio_x1000"],
+                      r["repetitive"])
+        for r in compression_stats(docs).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        data = (r["text"] or "").encode("utf-8")
+        n, z = len(data), len(zlib.compress(data, 6))
+        ratio = (z * 1000 // n) if n else 1000
+        assert got[r["doc_id"]] == (n, z, ratio, ratio < 300)
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """Repetition monotonicity: the same prose with a repeated block
+    appended must compress strictly better (lower ratio), and a
+    pathologically repetitive doc must trip the flag."""
+    from extractor.operators.compressibility import compression_stats
+
+    prose = (
+        "the quick brown fox jumps over one lazy dog while seventeen "
+        "magpies argue about breakfast near a rusty weather vane "
+    ) * 3
+    df = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, prose + "spam ham " * 400),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert out[2]["ratio_x1000"] < out[1]["ratio_x1000"]
+    assert out[2]["repetitive"]
+    assert out[3]["raw_bytes"] == 0 and out[3]["ratio_x1000"] == 1000
+    assert not out[3]["repetitive"]
+
+
+def test_train_split_is_pure_function_of_doc_id(spark):
+    """Split assignment must survive any repartitioning (recrawls,
+    appends): identical doc_id -> split map under 1 vs 7 partitions,
+    buckets in [0,1000), and every split name exactly matching its
+    980/995 bucket cut."""
+    from extractor.queries import REGISTRY
+
+    q = REGISTRY["train_split_assign"].spark
+    base = q(spark, "/root/testdata/sf0.001")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in base.collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in q(spark, "/root/testdata/sf0.001").repartition(7).collect()
+    }
+    assert a == b
+    for bucket, split in a.values():
+        assert 0 <= bucket < 1000
+        expect = (
+            "train" if bucket < 980
+            else "validation" if bucket < 995 else "test"
+        )
+        assert split == expect
