@@ -191,6 +191,7 @@ HEADLINE_QUERIES = [
     "classifier_vs_rules",
     "compression_ratio",
     "train_split_assign",
+    "e2e_curation_shards",
 ]
 
 

@@ -5,11 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from extractor.operators.classifier import SURROGATE_SCORE_SQL
 from extractor.queries._core import (  # noqa: F401
     register,
     _HEX64_SQL,
     _docs,
 )
+from extractor.queries.archive import _gopher_keep_ctes
 
 @register(
     "doc_chunking",
@@ -383,6 +385,121 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("weight"),
     )
     return mixture_drift(caps, weight_col="weight")
+
+@register(
+    "e2e_curation_shards",
+    f"""
+    -- CAPSTONE end-to-end curation: crawl corpus (with a mirror-host
+    -- duplicate planted on every 20th doc) -> Gopher rule gate ->
+    -- learned-classifier gate (surrogate, >= 0.5) -> exact content
+    -- dedup (min-url canonical per text md5) -> salted hash
+    -- train/validation/test split -> per-split token-weighted shard
+    -- manifest with an order digest.  One row per (split, shard);
+    -- a regression in ANY stage flips a row.
+    WITH corpus AS (
+      SELECT 'https://crawl.test/doc/' || doc_id::VARCHAR AS url, text
+      FROM documents
+      UNION ALL
+      SELECT 'https://mirror.test/doc/' || doc_id::VARCHAR AS url, text
+      FROM documents WHERE doc_id % 20 = 0
+    ), {{GOPHER_CTES}},
+    scored AS (
+      SELECT url, text FROM kept
+      WHERE {{SCORE_SQL}} >= 0.5
+    ), canon AS (
+      SELECT min(url) AS url, min(text) AS text
+      FROM scored GROUP BY md5(text)
+    ), toks AS (
+      SELECT url,
+             (len(string_split(text, ' ')) + list_sum(list_transform(
+                string_split(text, ' '),
+                x -> (length(x) - 1) // 6)))::BIGINT AS n_tokens,
+             {_HEX64_SQL.format(x="'split:' || url")} % 1000 AS bucket,
+             {_HEX64_SQL.format(x="url")} AS okey
+      FROM canon
+    )
+    SELECT CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 995 THEN 'validation'
+                ELSE 'test' END AS split,
+           (okey % 4)::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(string_agg(url, ',' ORDER BY okey, url)) AS order_md5
+    FROM toks GROUP BY 1, 2
+    """.format(
+        GOPHER_CTES=_gopher_keep_ctes("corpus"),
+        SCORE_SQL=SURROGATE_SCORE_SQL.format(t="text"),
+    ),
+)
+def q_e2e_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the "raw crawl to training
+    splits" chain, every stage the engine's own operator: planted
+    mirror-host duplicates → Gopher rule gate
+    (textstats.gopher_rules) → learned-quality gate through the
+    classifier seam (classifier.classifier_score_expr, surrogate
+    ≥ 0.5 — a production fastText model swaps in without touching
+    this plan) → exact content dedup (min-url canonical per text
+    md5; the planted mirrors collapse here) → salted-hash
+    train/validation/test split (980/15/5‰, pure function of the
+    canonical url) → per-split shard manifest weighted in TOKENIZER
+    tokens (tokenizer seam, bpe_estimate) with a deterministic order
+    digest.  The DuckDB oracle re-derives the whole chain from
+    `documents`, so a regression in ANY stage — rule predicate,
+    classifier scores, dedup canonical rule, split hash, token
+    counts, shard hash, order — flips a row.
+
+    Scale: both gates are expression-only map stages; dedup is one
+    md5 shuffle; split/shard/token columns are map-only; the
+    manifest is one grouped aggregate over (split, shard).  No stage
+    holds state on the driver, so the chain is the same plan at
+    10^12 documents."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.packing import assign_shards
+    from extractor.operators.textstats import gopher_rules
+    from extractor.operators.tokenizer import token_count_expr
+    from extractor.queries._core import _GOPHER_STOPS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    crawl = docs.select(
+        F.concat(F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+    )
+    mirror = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.concat(F.lit("https://mirror.test/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+    )
+    corpus = crawl.unionByName(mirror)
+    keep = gopher_rules(F.col("text"), stopwords=_GOPHER_STOPS)["keep"]
+    scored = corpus.filter(keep).filter(
+        classifier_score_expr(F.col("text")) >= 0.5
+    )
+    canon = scored.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("url").alias("url"), F.min("text").alias("text")
+    )
+    from extractor.operators.dedup import hex64
+
+    bucket = hex64(F.concat(F.lit("split:"), F.col("url"))) % 1000
+    toks = canon.select(
+        "url",
+        token_count_expr(F.col("text"), "bpe_estimate").alias("n_tokens"),
+        F.when(bucket < 980, F.lit("train"))
+        .when(bucket < 995, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sharded = assign_shards(toks, n_shards=4, id_col="url")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("okey"), F.col("url")))
+    )
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform(ordered, lambda s: s["url"]))
+        ).alias("order_md5"),
+    ).select("split", "shard", "n_docs", "n_tokens", "order_md5")
 
 @register(
     "train_split_assign",
