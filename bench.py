@@ -192,6 +192,7 @@ HEADLINE_QUERIES = [
     "compression_ratio",
     "train_split_assign",
     "e2e_curation_shards",
+    "split_leakage",
 ]
 
 

@@ -983,6 +983,71 @@ def ngram_contamination(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-split contamination report: for every held-out split,
+    how many documents share at least one word n-gram hash with the
+    TRAIN split (Lee et al. 2022 §6 / GPT-3 §C applied to the
+    train/eval boundary instead of external benchmarks — the check
+    that a hash-bucket split didn't leak near-copies of eval text
+    into training).  Returns one row per non-train split:
+    (split, n_docs, n_leaked).
+
+    Scale shape — the train side must NEVER shuffle (it is ~98% of a
+    100 TB corpus): the held-out gram set is collected small
+    (eval splits are ‰-scale by construction) and BROADCAST against
+    the train shingle scan; the surviving intersection is at most the
+    eval gram set, broadcast again onto the eval doc→gram map.  Two
+    broadcasts, zero train-side shuffle, map-side-partial final
+    aggregate.  Production decontamination raises ``n`` (8-13 grams);
+    the trigram rolling combiner here shares
+    :func:`shingle_hashes_from` with the whole dedup tier so oracle
+    parity and the one-md5-per-word discipline carry over unchanged.
+    """
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(split_col).alias("split"),
+            word_hashes(F.col(text_col)).alias("wh"),
+        ).select(
+            "id",
+            "split",
+            F.explode_outer(shingle_hashes_from(F.col("wh"), n)).alias("h"),
+        ).filter(F.col("h").isNotNull())
+
+    sh = shingles(docs)
+    train_sh = sh.filter(F.col("split") == train_split).select("h")
+    eval_sh = sh.filter(F.col("split") != train_split)
+    eval_gram_set = eval_sh.select("h").distinct()
+    leaked_grams = (
+        train_sh.join(F.broadcast(eval_gram_set), "h").select("h").distinct()
+    )
+    leaked = (
+        eval_sh.join(F.broadcast(leaked_grams), "h")
+        .select("split", "id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    totals = (
+        docs.filter(F.col(split_col) != train_split)
+        .groupBy(F.col(split_col).alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return totals.join(leaked, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked"), F.lit(0).cast("long")).alias("n_leaked"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     block_cols: list[str],

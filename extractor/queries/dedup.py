@@ -420,6 +420,74 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(corpus, bench)
 
 @register(
+    "split_leakage",
+    f"""
+    -- cross-split contamination: held-out docs sharing >=1 trigram
+    -- hash with the train split (near-dup injection guarantees some
+    -- leakage crosses the salted-hash split boundary)
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN {_HEX64_SQL.format(x="'split:' || doc_id::VARCHAR")}
+                       % 1000 < 980 THEN 'train'
+                  WHEN {_HEX64_SQL.format(x="'split:' || doc_id::VARCHAR")}
+                       % 1000 < 995 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ), wh AS (
+      SELECT doc_id, split,
+             list_transform(string_split(text, ' '),
+               t -> {_HEX64_SQL.format(x='t')} % 2147483647) AS wh
+      FROM sp
+    ), sh AS (
+      SELECT doc_id, split, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(length(wh) - 3, 0)),
+               i -> (wh[i+1] * 40503 + coalesce(wh[i+2], 0) * 94261 +
+                     coalesce(wh[i+3], 0)) % 2147483647))) AS h
+      FROM wh
+    ), train_grams AS (
+      SELECT DISTINCT h FROM sh WHERE split = 'train'
+    ), leaked AS (
+      SELECT s.split, count(DISTINCT s.doc_id)::BIGINT AS n_leaked
+      FROM sh s JOIN train_grams t USING (h)
+      WHERE s.split <> 'train'
+      GROUP BY s.split
+    )
+    SELECT p.split, count(*)::BIGINT AS n_docs,
+           coalesce(min(l.n_leaked), 0)::BIGINT AS n_leaked
+    FROM sp p LEFT JOIN leaked l ON p.split = l.split
+    WHERE p.split <> 'train'
+    GROUP BY p.split
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit (operators.dedup.split_leakage):
+    after the salted-hash train/validation/test assignment
+    (train_split_assign's rule), count held-out documents sharing any
+    trigram hash with train.  The injected near-dup copies (ids +1e6,
+    tail-edited text) land in splits independently of their originals,
+    so some leakage crosses the boundary by construction — exactly
+    the failure mode this audit exists to catch before an eval set
+    ships.  Train-side shingles never shuffle: the eval gram set and
+    the surviving intersection are both broadcast (eval splits are
+    ‰-scale by design), so at 100 TB this costs one train scan."""
+    from extractor.operators.dedup import hex64, split_leakage
+
+    corpus = _inject_dups(_docs(spark, sf_dir), marker=_NEARDUP_MARKER)
+    bucket = hex64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    assigned = corpus.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 980, F.lit("train"))
+        .when(bucket < 995, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return split_leakage(assigned)
+
+@register(
     "dedup_incremental_lsh",
     # The oracle IS the one-shot SQL: batched dedup against the
     # committed band index must equal a single lsh_pairs pass over the

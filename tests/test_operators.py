@@ -2926,3 +2926,26 @@ def test_train_split_is_pure_function_of_doc_id(spark):
             else "validation" if bucket < 995 else "test"
         )
         assert split == expect
+
+
+def test_split_leakage_separates_leaked_from_clean(spark):
+    """The audit must flag exactly the held-out docs sharing a trigram
+    with train: a verbatim-overlap doc leaks, a unique-vocabulary doc
+    does not, and an empty eval split yields no row (the registry
+    corpus leaks 100% by shared synthetic vocabulary, so this test is
+    what proves the operator discriminates)."""
+    from extractor.operators.dedup import split_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "train"),
+            (2, "eta theta iota kappa lambda mu", "train"),
+            (3, "alpha beta gamma utterly new tail", "validation"),
+            (4, "nu xi omicron pi rho sigma", "validation"),
+            (5, "tau upsilon phi chi psi omega", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    got = {r["split"]: (r["n_docs"], r["n_leaked"])
+           for r in split_leakage(df).collect()}
+    assert got == {"validation": (2, 1), "test": (1, 0)}
