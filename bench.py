@@ -193,6 +193,7 @@ HEADLINE_QUERIES = [
     "train_split_assign",
     "e2e_curation_shards",
     "split_leakage",
+    "classifier_weighted_sample",
 ]
 
 

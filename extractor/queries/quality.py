@@ -1321,6 +1321,54 @@ def q_classifier_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "classifier_weighted_sample",
+    f"""
+    -- FineWeb-Edu-style soft filter: keep each doc with probability
+    -- proportional to its classifier score, made DETERMINISTIC by a
+    -- salted hash draw (no rand() -- membership is a pure function of
+    -- doc_id, so the sample survives recrawls and repartitions)
+    WITH scored AS (
+      SELECT doc_id,
+             (floor(list_sum(list_transform(string_split(text, ' '),
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+                / len(string_split(text, ' '))) + 1000)::BIGINT AS clf_bp
+      FROM documents
+    )
+    SELECT doc_id, clf_bp,
+           ({_HEX64_SQL.format(x="'clfsample:' || doc_id::VARCHAR")}
+             % 2000)::BIGINT AS draw
+    FROM scored
+    WHERE {_HEX64_SQL.format(x="'clfsample:' || doc_id::VARCHAR")} % 2000
+          < clf_bp
+    """,
+)
+def q_classifier_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling — the soft alternative to the hard
+    classifier threshold (corpus_select_model): each document is kept
+    with probability equal to its classifier score, implemented as a
+    deterministic salted-hash Bernoulli draw (keep iff
+    hex64('clfsample:'||id) % 2000 < score·2000).  No rand():
+    membership is a pure function of doc_id, so the sampled corpus is
+    reproducible across recrawls, repartitions, and cluster sizes,
+    and the salt decorrelates the draw from the split/shard/bloom
+    hashes.  Map-only expression — at 100 TB this is a free predicate
+    on the scoring scan; a production fastText model swaps in through
+    the classifier seam and the draw logic is unchanged."""
+    from extractor.operators.classifier import classifier_scores
+    from extractor.operators.dedup import hex64
+
+    scored = classifier_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round(F.col("clf_score") * 2000).cast("long").alias("clf_bp"),
+    )
+    draw = hex64(
+        F.concat(F.lit("clfsample:"), F.col("doc_id").cast("string"))
+    ) % 2000
+    return scored.select(
+        "doc_id", "clf_bp", draw.cast("long").alias("draw")
+    ).filter(F.col("draw") < F.col("clf_bp"))
+
+@register(
     "compression_ratio",
     None,  # zlib is genuinely not SQL-expressible; DuckDB has no
     # compression UDF.  The driver records the weaker rows-only check;
