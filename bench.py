@@ -194,6 +194,7 @@ HEADLINE_QUERIES = [
     "e2e_curation_shards",
     "split_leakage",
     "classifier_weighted_sample",
+    "bm25_query",
 ]
 
 

@@ -537,6 +537,110 @@ def ranked_query(
     )
 
 
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, dl) — token count per document under the SAME
+    tokenization as :func:`build_postings` (lowercase, split on
+    space, empty tokens dropped), so BM25 length normalization and
+    the index agree on what a token is.  Map-only."""
+    toks = F.filter(
+        words_of(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+
+
+def bm25_query(
+    postings: DataFrame,
+    terms: list[str],
+    doc_lens: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval over a :func:`build_postings` index
+    (Robertson/Spärck Jones probabilistic weighting — the default
+    ranking function of every production text index), made
+    INTEGER-EXACT so the result is bit-identical in any SQL engine:
+    with k1 = 6/5 and b = 3/4 as exact rationals and
+    ``avgdl = S/N`` kept as the integer pair (S = total tokens,
+    N = docs), the per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    clears denominators to
+
+        score_x1000 = (1000 · idf · 22 · tf · S)
+                      // (10·tf·S + 3·S + 9·dl·N)
+
+    with ``idf = N div df`` (the same integer-floored IDF the rest of
+    the retrieval tier ranks with).  Per-term floor, then summed;
+    ties broken by doc id.  Returns (rank, doc, score_x1000).
+
+    Exact-arithmetic envelope: the numerator is bounded by
+    1000·idf·22·tf·S — exact in int64 while the index shard holds
+    ≲10^10 total tokens; a 100 TB deployment partitions the index (or
+    rescales dl/avgdl to fixed point) before this overflows, and the
+    formula is unchanged per shard.
+
+    Plan: |terms| index rows (pushed-down IN) → bounded postings
+    explode → the BOUNDED hit set (≤ Σ df ≤ |terms|·max_df rows) is
+    broadcast onto the corpus-sized (doc, dl) table, so document
+    lengths never shuffle; one doc-sum aggregate with map-side
+    partials, then the bounded two-level global top-k."""
+    from extractor.operators.topk import grouped_topk_exploded
+
+    if not terms:
+        raise ValueError("bm25_query needs at least one term")
+    totals = doc_lens.agg(
+        F.sum("dl").cast("long").alias("s_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    hits = (
+        postings.filter(F.col("token").isin(list(set(terms))))
+        .select("df", F.explode("postings").alias("p"))
+        .select(F.col("p.doc").alias("doc"), F.col("p.tf").alias("tf"), "df")
+    )
+    scored = (
+        doc_lens.join(F.broadcast(hits), "doc")
+        .crossJoin(F.broadcast(totals))  # one row
+        .select(
+            "doc",
+            (
+                F.lit(1000)
+                * F.expr("n_docs div df")
+                * F.lit(22)
+                * F.col("tf")
+                * F.col("s_tokens")
+            ).alias("num"),
+            (
+                F.lit(10) * F.col("tf") * F.col("s_tokens")
+                + F.lit(3) * F.col("s_tokens")
+                + F.lit(9) * F.col("dl") * F.col("n_docs")
+            ).alias("den"),
+        )
+        # `div`, not `/`: long/long rides a double (exact only to
+        # 2^53); integer div keeps the full int64 envelope.
+        .select("doc", F.expr("num div den").alias("s"))
+        .groupBy("doc")
+        .agg(F.sum("s").cast("long").alias("score_x1000"))
+    )
+    ranked = grouped_topk_exploded(
+        scored.select(
+            F.struct((-F.col("score_x1000")).alias("neg"), "doc").alias("key")
+        ),
+        [],
+        F.col("key"),
+        k=k,
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("value")["doc"].alias("doc"),
+        (-F.col("value")["neg"]).cast("long").alias("score_x1000"),
+    )
+
+
 def term_snippets(
     docs: DataFrame,
     term: str,

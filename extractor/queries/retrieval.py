@@ -456,6 +456,75 @@ def q_ranked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_query(idx, ["qx", "qy"], n, k=10)
 
 @register(
+    "bm25_query",
+    """
+    -- BM25 re-derived by class arithmetic (same hook corpus as
+    -- ranked_query): k1=6/5, b=3/4 cleared to the integer form
+    -- score_x1000 = (1000*idf*22*tf*S) // (10*tf*S + 3*S + 9*dl*N)
+    WITH hooked AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t <> ''))
+               + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 0 END
+               + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS dl
+      FROM documents
+    ), tot AS (SELECT sum(dl) AS s, count(*) AS n FROM hooked),
+    dfx AS (SELECT count(*) AS df FROM documents WHERE doc_id % 3 = 0),
+    dfy AS (SELECT count(*) AS df FROM documents WHERE doc_id % 5 = 0),
+    sc AS (
+      SELECT h.doc_id AS doc,
+        (CASE WHEN h.doc_id % 3 = 0 THEN
+           (1000 * (t.n // dfx.df) * 22
+              * (CASE WHEN h.doc_id % 9 = 0 THEN 3 ELSE 1 END) * t.s)
+           // (10 * (CASE WHEN h.doc_id % 9 = 0 THEN 3 ELSE 1 END) * t.s
+               + 3 * t.s + 9 * h.dl * t.n)
+         ELSE 0 END
+         + CASE WHEN h.doc_id % 5 = 0 THEN
+           (1000 * (t.n // dfy.df) * 22 * t.s)
+           // (10 * t.s + 3 * t.s + 9 * h.dl * t.n)
+         ELSE 0 END)::BIGINT AS score_x1000
+      FROM hooked h, tot t, dfx, dfy
+      WHERE h.doc_id % 3 = 0 OR h.doc_id % 5 = 0
+    ), rk AS (
+      SELECT doc, score_x1000,
+             row_number() OVER (ORDER BY score_x1000 DESC, doc) AS rank
+      FROM sc
+    )
+    SELECT rank::BIGINT AS rank, doc, score_x1000 FROM rk WHERE rank <= 10
+    """,
+)
+def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval through the engine's own index
+    (build_postings → operators.relevance.bm25_query): global top-10
+    for the two-term query under the Robertson weighting with length
+    normalization, integer-exact (k1/b as exact rationals, avgdl kept
+    as the S/N pair, per-term floor at ×1000) so DuckDB re-derives
+    every score by pure class arithmetic.  The %9 subset carries tf=3
+    (saturation visibly sublinear vs ranked_query's linear tf) and dl
+    varies per doc, so the length-normalization term is genuinely
+    exercised.  Document lengths never shuffle — the bounded hit set
+    is broadcast onto (doc, dl)."""
+    from extractor.operators.relevance import (
+        bm25_query,
+        build_postings,
+        doc_lengths,
+    )
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" qx")).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit(" qx qx")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" qy")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = build_postings(docs, max_df=1_000_000)
+    return bm25_query(idx, ["qx", "qy"], doc_lengths(docs), k=10)
+
+@register(
     "term_snippets",
     """
     -- independent SQL reimplementation of the KWIC arithmetic over

@@ -2949,3 +2949,35 @@ def test_split_leakage_separates_leaked_from_clean(spark):
     got = {r["split"]: (r["n_docs"], r["n_leaked"])
            for r in split_leakage(df).collect()}
     assert got == {"validation": (2, 1), "test": (1, 0)}
+
+
+def test_bm25_saturation_and_length_normalization(spark):
+    """BM25's two distinguishing behaviors vs linear tf-idf, pinned:
+    (a) tf saturation — tf 4 scores less than 4x tf 1 on same-length
+    docs; (b) length normalization — same tf, longer doc scores
+    strictly lower.  Scores recomputed by hand from the integer
+    formula to guard the cleared-denominator algebra."""
+    from extractor.operators.relevance import (
+        bm25_query, build_postings, doc_lengths)
+
+    pad = "filler words all distinct here "
+    rows = [
+        (1, "qq " + pad),                       # tf 1, short
+        (2, "qq qq qq qq " + pad),              # tf 4, short-ish
+        (3, "qq " + pad * 5),                   # tf 1, long
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_postings(docs, max_df=100)
+    dls = doc_lengths(docs)
+    got = {r["doc"]: r["score_x1000"]
+           for r in bm25_query(idx, ["qq"], dls, k=10).collect()}
+
+    dl = {r["doc"]: r["dl"] for r in dls.collect()}
+    s, n = sum(dl.values()), len(dl)
+    def expect(tf, d):
+        idf = n // 1  # df('qq') == 3 docs -> n // 3
+        idf = n // 3
+        return (1000 * idf * 22 * tf * s) // (10 * tf * s + 3 * s + 9 * dl[d] * n)
+    assert got == {d: expect(tf, d) for d, tf in [(1, 1), (2, 4), (3, 1)]}
+    assert got[2] < 4 * got[1]          # saturation
+    assert got[3] < got[1]              # length normalization
