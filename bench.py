@@ -195,6 +195,7 @@ HEADLINE_QUERIES = [
     "split_leakage",
     "classifier_weighted_sample",
     "bm25_query",
+    "c4_rules",
 ]
 
 

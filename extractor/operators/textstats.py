@@ -161,6 +161,78 @@ def gopher_rules(
     }
 
 
+# The C4 "bad words" rule matches against the public LDNOOBW list
+# ("List of Dirty, Naughty, Obscene..."); shipping the full list is
+# noise here — this abbreviated head proves the rule shape, and a
+# deployment passes the full list through the `badwords` argument.
+C4_BADWORDS = ["fuck", "shit", "porn", "xxx", "nsfw"]
+
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_rules(
+    text: Column,
+    badwords: list[str] | None = None,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> dict[str, Column]:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) — the other
+    canonical public filter set beside Gopher, and the only one that
+    is line-LEVEL: lines survive only if they hold ≥ ``min_line_words``
+    words, end in terminal punctuation (``. ! ? "``), and do not
+    mention "javascript"; pages drop if the surviving text has fewer
+    than ``min_sentences`` sentences, contains any bad word, the
+    string "lorem ipsum", or a ``{`` (code leakage).  Returns the
+    feature columns plus ``clean_text`` (the line-filtered page — C4
+    is a TRANSFORM, not just a verdict) and the composite ``keep``.
+
+    Sentence count is the terminal-punctuation character count of the
+    surviving text — deterministic and integer, the same monotone
+    proxy C4's sentence splitter thresholds at 3.
+
+    Expression-only: one pass of codegen'd HOFs over the line/word
+    arrays; no shuffle, no Python — at 100 TB this is a free predicate
+    on the scan, exactly like :func:`gopher_rules`."""
+    if badwords is None:
+        badwords = C4_BADWORDS
+    lines = F.split(text, "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: (
+            F.size(F.filter(F.split(l, " "), lambda t: t != ""))
+            >= min_line_words
+        )
+        & l.rlike(C4_TERMINAL_RE)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept_lines, "\n")
+    n_sentences = F.length(F.regexp_replace(clean, '[^.!?]', ""))
+    words = F.split(F.lower(text), "[ \n]+")
+    has_badword = (
+        F.size(F.array_intersect(words, F.array(*[F.lit(b) for b in badwords])))
+        > 0
+    )
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    keep = (
+        (n_sentences >= min_sentences)
+        & (F.size(kept_lines) > 0)
+        & ~has_badword
+        & ~has_lorem
+        & ~has_brace
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept_lines).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_badword": has_badword,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "clean_text": clean,
+        "keep": keep,
+    }
+
+
 def unigram_surprisal(
     docs, id_col: str = "doc_id", text_col: str = "text"
 ):

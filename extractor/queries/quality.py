@@ -1321,6 +1321,113 @@ def q_classifier_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "c4_rules",
+    """
+    -- C4 cleaning rules (Raffel et al. 2020 2.2) over a hooked
+    -- multi-line corpus: line-level terminal-punct/5-word/javascript
+    -- filter, page-level sentence-count / badword / lorem / brace
+    -- drops.  Hook plants every rule's trigger on a distinct residue.
+    WITH hooked AS (
+      SELECT doc_id, concat_ws(chr(10),
+        array_to_string((string_split(text, ' '))[1:8], ' ')
+          || ' works fine today.',
+        'too short.',
+        CASE WHEN doc_id % 2 = 0
+             THEN 'It works well. It scales well. It ships now.' END,
+        CASE WHEN doc_id % 4 = 0
+             THEN 'this javascript line has enough words here.' END,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'lorem ipsum dolor sit amet consectetur adipiscing.' END,
+        CASE WHEN doc_id % 7 = 0
+             THEN 'object literal { key value pair } appears.' END,
+        CASE WHEN doc_id % 11 = 0
+             THEN 'strictly nsfw content warning label here.' END
+      ) AS text
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)), l ->
+               len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5
+               AND regexp_matches(l, '[.!?\"]$')
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM hooked
+    ), m AS (
+      SELECT doc_id,
+             len(lines)::BIGINT AS n_lines,
+             len(kept)::BIGINT AS n_kept_lines,
+             length(regexp_replace(array_to_string(kept, chr(10)),
+                    '[^.!?]', '', 'g'))::BIGINT AS n_sentences,
+             len(list_intersect(
+               regexp_split_to_array(lower(text), '[ \n]+'),
+               ['fuck', 'shit', 'porn', 'xxx', 'nsfw'])) > 0 AS has_badword,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace,
+             md5(array_to_string(kept, chr(10))) AS clean_md5
+      FROM feat
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_badword,
+           has_lorem, has_brace, clean_md5,
+           (n_sentences >= 3 AND n_kept_lines > 0 AND NOT has_badword
+            AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM m
+    """,
+)
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators.textstats.c4_rules) — the other
+    canonical public filter set beside Gopher, and the only line-LEVEL
+    one: the hook plants each rule's trigger on a distinct doc_id
+    residue (%2 sentences, %4 javascript line, %5 lorem ipsum, %7
+    brace, %11 badword) so every rule flips real rows both ways.
+    clean_md5 pins the line-filtered TRANSFORM output, not just the
+    verdict.  Expression-only — a free predicate on the scan at any
+    scale."""
+    from extractor.operators.textstats import c4_rules
+
+    d = F.col("doc_id")
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    hooked = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(first8, F.lit(" works fine today.")),
+            F.lit("too short."),
+            F.when(
+                d % 2 == 0,
+                F.lit("It works well. It scales well. It ships now."),
+            ),
+            F.when(
+                d % 4 == 0,
+                F.lit("this javascript line has enough words here."),
+            ),
+            F.when(
+                d % 5 == 0,
+                F.lit("lorem ipsum dolor sit amet consectetur adipiscing."),
+            ),
+            F.when(
+                d % 7 == 0,
+                F.lit("object literal { key value pair } appears."),
+            ),
+            F.when(
+                d % 11 == 0,
+                F.lit("strictly nsfw content warning label here."),
+            ),
+        ).alias("text"),
+    )
+    r = c4_rules(F.col("text"))
+    return hooked.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        r["n_kept_lines"].alias("n_kept_lines"),
+        r["n_sentences"].alias("n_sentences"),
+        r["has_badword"].alias("has_badword"),
+        r["has_lorem"].alias("has_lorem"),
+        r["has_brace"].alias("has_brace"),
+        F.md5(r["clean_text"]).alias("clean_md5"),
+        r["keep"].alias("keep"),
+    )
+
+@register(
     "classifier_weighted_sample",
     f"""
     -- FineWeb-Edu-style soft filter: keep each doc with probability
