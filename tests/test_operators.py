@@ -2981,3 +2981,34 @@ def test_bm25_saturation_and_length_normalization(spark):
     assert got == {d: expect(tf, d) for d, tf in [(1, 1), (2, 4), (3, 1)]}
     assert got[2] < 4 * got[1]          # saturation
     assert got[3] < got[1]              # length normalization
+
+
+def test_c4_rules_line_filter_and_page_drops(spark):
+    """C4 semantics pinned row-by-row: quote-terminal lines survive,
+    short/unterminated/javascript lines drop, and each page-level
+    rule (sentences, badword, lorem, brace) vetoes independently."""
+    from extractor.operators.textstats import c4_rules
+
+    good = ('he said "it works exactly as designed."\n'
+            "the second sentence holds five words.\n"
+            "the third sentence also holds five.")
+    rows = [
+        (1, good),                                     # keeps
+        (2, good + "\nshort line."),                   # short line dropped, page keeps
+        (3, good + "\nthe javascript snippet tracks users here."),  # js line dropped
+        (4, good.replace("second", "nsfw")),           # badword veto
+        (5, good + "\nsee lorem ipsum boilerplate filler text."),   # lorem veto
+        (6, good + "\nconfig { nested } values appear here."),      # brace veto
+        (7, "one sentence only lives here."),          # <3 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = c4_rules(df["text"])
+    out = {row["doc_id"]: row for row in df.select(
+        "doc_id", r["n_kept_lines"].alias("k"), r["keep"].alias("keep"),
+        r["clean_text"].alias("clean")).collect()}
+    assert out[1]["keep"] and out[1]["k"] == 3
+    assert out[2]["keep"] and out[2]["k"] == 3      # short line filtered out
+    assert out[3]["keep"] and out[3]["k"] == 3      # js line filtered out
+    assert "javascript" not in out[3]["clean"]
+    assert not out[4]["keep"] and not out[5]["keep"] and not out[6]["keep"]
+    assert not out[7]["keep"] and out[7]["k"] == 1  # sentence-count veto
