@@ -575,3 +575,60 @@ def streaming_classifier_gate(
         score.alias("clf_score"),
         F.coalesce(score >= threshold, F.lit(False)).alias("keep"),
     )
+
+
+def streaming_curation_gate(
+    pages_stream: DataFrame,
+    cfg: ExtractConfig = ExtractConfig(),
+    threshold: float = 0.5,
+    classifier="surrogate",
+) -> DataFrame:
+    """The full ingest-side curation verdict — the streaming twin of
+    the e2e_curation_shards batch chain's stateless prefix: extract
+    the html stream, compute the C4 rule verdict
+    (operators.textstats.c4_rules — strict on markdown by design:
+    heading/list lines rarely end in terminal punctuation, so C4 is a
+    dial here, reported not composited), score the extracted text
+    through the classifier seam, and assign the salted
+    train/validation/test split.  Emits one row per
+    document with every stage's verdict (c4_keep, clf_score,
+    clf_keep, split, composite keep) so a downstream foreachBatch
+    sink can route kept rows to per-split tables without recomputing
+    anything.  Stateless map end to end: one implementation,
+    stream==batch by construction (pinned by pytest); exact/LSH dedup
+    stays in its own stateful bridges
+    (:func:`streaming_exact_dedup`, :func:`streaming_incremental_dedup`)
+    because dedup needs cross-batch state and this gate deliberately
+    does not."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.dedup import hex64
+    from extractor.operators.textstats import c4_rules
+
+    extracted = streaming_extract_pages(pages_stream, cfg)
+    html_ok = extracted.filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    r = c4_rules(F.col("text"))
+    staged = html_ok.select(
+        "url",
+        "warc_ts",
+        r["n_kept_lines"].alias("n_kept_lines"),
+        r["keep"].alias("c4_keep"),
+        "text",
+    )
+    score = classifier_score_expr(F.col("text"), classifier)
+    clf_keep = F.coalesce(score >= threshold, F.lit(False))
+    bucket = hex64(F.concat(F.lit("split:"), F.col("url"))) % 1000
+    return staged.select(
+        "url",
+        "warc_ts",
+        "n_kept_lines",
+        "c4_keep",
+        score.alias("clf_score"),
+        clf_keep.alias("clf_keep"),
+        F.when(bucket < 980, F.lit("train"))
+        .when(bucket < 995, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        clf_keep.alias("keep"),
+    )

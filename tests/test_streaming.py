@@ -766,3 +766,54 @@ def test_streaming_classifier_gate_equals_batch(spark, tmp_path):
     assert len(brows) > 50
     keeps = {row[-1] for row in brows}
     assert keeps == {True, False}  # threshold actually separates
+
+
+def test_streaming_curation_gate_equals_batch(spark, tmp_path):
+    """The ingest curation gate (C4 transform -> classifier on the
+    CLEANED text -> salted split) must emit exactly the batch
+    pipeline's rows (one implementation, stream==batch), with all
+    three splits represented and the classifier verdict separating."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.dedup import hex64
+    from extractor.operators.textstats import c4_rules
+    from extractor.pipeline import run_extraction
+    from extractor.streaming.stream import (
+        read_pages_stream,
+        streaming_curation_gate,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, SF_TINY).repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    name = _run_stream(streaming_curation_gate(stream, CFG, threshold=0.5))
+    srows = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+    batch = run_extraction(spark, spark.read.parquet(pages_dir), CFG).filter(
+        (F.col("doc_type") == "html") & F.col("success")
+    )
+    r = c4_rules(F.col("text"))
+    staged = batch.select(
+        "url", "warc_ts",
+        r["n_kept_lines"].alias("n_kept_lines"),
+        r["keep"].alias("c4_keep"),
+        "text",
+    )
+    score = classifier_score_expr(F.col("text"))
+    clf_keep = F.coalesce(score >= 0.5, F.lit(False))
+    bucket = hex64(F.concat(F.lit("split:"), F.col("url"))) % 1000
+    brows = {
+        tuple(row)
+        for row in staged.select(
+            "url", "warc_ts", "n_kept_lines", "c4_keep",
+            score.alias("clf_score"), clf_keep.alias("clf_keep"),
+            F.when(bucket < 980, F.lit("train"))
+            .when(bucket < 995, F.lit("validation"))
+            .otherwise(F.lit("test")).alias("split"),
+            clf_keep.alias("keep"),
+        ).collect()
+    }
+    assert srows == brows
+    assert len(brows) > 50
+    assert {row[6] for row in brows} == {"train", "validation", "test"}
+    assert {row[5] for row in brows} == {True, False}
