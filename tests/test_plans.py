@@ -418,3 +418,31 @@ def test_registry_tier_split():
         with open(f) as fh:
             assert sum(1 for _ in fh) <= 2500, f
     assert list(REGISTRY)[:50] == q.DRIVER_GATE
+
+
+def test_r5_continuation_plan_shapes(spark):
+    """The round-5 continuation entries keep their claimed shapes.
+
+    Map-only claims: train_split_assign, classifier_weighted_sample,
+    and c4_rules must have NO exchange at all (free predicates/columns
+    on the scan) and no Python evaluator; compression_ratio is the one
+    sanctioned Python stage (mapInPandas) but still exchange-free.
+
+    Broadcast claims: split_leakage's train-side shingle scan and
+    bm25_query's (doc, dl) table must never shuffle — every join in
+    both plans is a broadcast join (no SortMergeJoin, no
+    ShuffledHashJoin), and split_leakage carries no window."""
+    for name in ["train_split_assign", "classifier_weighted_sample",
+                 "c4_rules"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "Exchange" not in plan, f"{name}:\n{plan[:1500]}"
+        assert "Python" not in plan, f"{name}:\n{plan[:1500]}"
+    plan = plan_of(REGISTRY["compression_ratio"].spark(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan[:1500]
+
+    for name in ["split_leakage", "bm25_query"]:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMALL))
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan[:2000]}"
+        assert "ShuffledHashJoin" not in plan, f"{name}:\n{plan[:2000]}"
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan[:2000]}"
+        assert "Window" not in plan, f"{name}:\n{plan[:2000]}"
