@@ -37,9 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SCHEMA = (
-    "doc_id long, raw_bytes long, zlib_bytes long, ratio_x1000 long,"
-    " repetitive boolean"
+# id column type is taken from the input frame (string urls and
+# hex64 longs both pass through untouched — the r4-advice id-type
+# lesson from chunking.py applies here too); the stat columns are
+# fixed.
+_STAT_SCHEMA = (
+    "raw_bytes long, zlib_bytes long, ratio_x1000 long, repetitive boolean"
 )
 
 # Ratio floor below which a document is flagged repetitive.  English
@@ -66,20 +69,19 @@ def compression_stats(
         import zlib
 
         for pdf in batches:
-            ids, raws, comps, ratios, flags = [], [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            raws, comps, ratios, flags = [], [], [], []
+            for text in pdf[text_col]:
                 data = ("" if text is None else text).encode("utf-8")
                 n = len(data)
                 z = len(zlib.compress(data, level))
                 r = (z * 1000 // n) if n else 1000
-                ids.append(doc_id)
                 raws.append(n)
                 comps.append(z)
                 ratios.append(r)
                 flags.append(r < repetitive_x1000)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pdf[id_col].reset_index(drop=True),
                     "raw_bytes": pd.Series(raws, dtype="int64"),
                     "zlib_bytes": pd.Series(comps, dtype="int64"),
                     "ratio_x1000": pd.Series(ratios, dtype="int64"),
@@ -87,6 +89,7 @@ def compression_stats(
                 }
             )
 
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).mapInPandas(fn, schema=_SCHEMA)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, {_STAT_SCHEMA}"
+    )

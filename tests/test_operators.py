@@ -3012,3 +3012,18 @@ def test_c4_rules_line_filter_and_page_drops(spark):
     assert "javascript" not in out[3]["clean"]
     assert not out[4]["keep"] and not out[5]["keep"] and not out[6]["keep"]
     assert not out[7]["keep"] and out[7]["k"] == 1  # sentence-count veto
+
+
+def test_compression_ratio_accepts_string_ids(spark):
+    """The id column must pass through untouched for any type — the
+    tier's standard ids are urls (string) as often as hex64 longs
+    (the same id-type lesson the r4 advice taught cdc dedup)."""
+    from extractor.operators.compressibility import compression_stats
+
+    df = spark.createDataFrame(
+        [("https://a.test/x", "some words here"),
+         ("https://b.test/y", "loop " * 200)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["repetitive"] for r in compression_stats(df).collect()}
+    assert out == {"https://a.test/x": False, "https://b.test/y": True}
