@@ -196,6 +196,7 @@ HEADLINE_QUERIES = [
     "classifier_weighted_sample",
     "bm25_query",
     "c4_rules",
+    "mixture_plan",
 ]
 
 

@@ -387,6 +387,82 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_drift(caps, weight_col="weight")
 
 @register(
+    "mixture_plan",
+    f"""
+    -- token-budget mixture PLAN (the read before source_mixture_sample
+    -- executes): per-source tokenizer-token mass, temperature-weighted
+    -- (alpha=0.5) share of a half-corpus training budget, and the
+    -- repeat factor epochs_x1000 -- >1000 means the source is
+    -- undersized for its target share and gets repeated (the
+    -- LLaMA-style data-recipe signal).  Integer-exact end to end.
+    WITH toks AS (
+      SELECT source,
+             sum(len(string_split(text, ' ')) + list_sum(list_transform(
+               string_split(text, ' '),
+               x -> (length(x) - 1) // 6)))::BIGINT AS n_tok
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_tok)::BIGINT AS tok_total,
+             sum(CAST(floor(sqrt(n_tok * 1000000.0)) AS BIGINT))::BIGINT
+               AS w_tot
+      FROM toks
+    )
+    SELECT t.source, t.n_tok,
+           ((x.tok_total // 2)
+             * CAST(floor(sqrt(t.n_tok * 1000000.0)) AS BIGINT))
+             // x.w_tot AS want_tok,
+           (((x.tok_total // 2)
+             * CAST(floor(sqrt(t.n_tok * 1000000.0)) AS BIGINT))
+             // x.w_tot) * 1000 // t.n_tok AS epochs_x1000
+    FROM toks t, tot x
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: per-source TOKENIZER-token mass
+    (tokenizer seam, bpe_estimate — budgets bind in tokens, not docs),
+    the temperature-weighted (alpha=0.5, the floor-sqrt trick from
+    source_mixture_sample) share of a half-corpus training budget, and
+    ``epochs_x1000`` — how many passes over the source its target
+    share implies.  >1000 flags an undersized source that must repeat
+    (the public LLaMA/Gopher data-recipe pattern: small high-quality
+    sources run multiple epochs while the web crawl runs <1).  One
+    reduced groupBy over (source) then one-row broadcast arithmetic —
+    the plan costs one aggregate at any corpus size."""
+    from extractor.operators.tokenizer import token_count_expr
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(
+            "source",
+            token_count_expr(F.col("text"), "bpe_estimate").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("n_tok"))
+    )
+    w = F.floor(F.sqrt(F.col("n_tok") * 1_000_000.0)).cast("long")
+    tot = counts.agg(
+        F.sum("n_tok").cast("long").alias("tok_total"),
+        F.sum(w).cast("long").alias("w_tot"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # one row
+        .select(
+            "source",
+            "n_tok",
+            ((F.expr("tok_total div 2") * w)).alias("scaled"),
+            F.col("w_tot"),
+        )
+        .select(
+            "source",
+            "n_tok",
+            F.expr("scaled div w_tot").alias("want_tok"),
+            F.expr("(scaled div w_tot) * 1000 div n_tok").alias(
+                "epochs_x1000"
+            ),
+        )
+    )
+
+@register(
     "e2e_curation_shards",
     f"""
     -- CAPSTONE end-to-end curation: crawl corpus (with a mirror-host

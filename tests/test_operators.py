@@ -3027,3 +3027,25 @@ def test_compression_ratio_accepts_string_ids(spark):
     )
     out = {r["doc_id"]: r["repetitive"] for r in compression_stats(df).collect()}
     assert out == {"https://a.test/x": False, "https://b.test/y": True}
+
+
+def test_mixture_plan_flags_undersized_sources(spark, tmp_path):
+    """Temperature mixing must up-weight the small source past 1000
+    epochs-per-mille (it repeats) while the dominant source stays
+    under one epoch — the data-recipe signal the plan exists for."""
+    from extractor.queries import REGISTRY
+
+    rows = [(i, "tiny premium corpus words here", "books") for i in range(4)]
+    rows += [(100 + i, "sprawling web crawl filler text " * 4, "web")
+             for i in range(400)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["source"]: r for r in
+           REGISTRY["mixture_plan"].spark(spark, sf).collect()}
+    assert got["books"]["epochs_x1000"] > 1000   # undersized -> repeats
+    assert got["web"]["epochs_x1000"] < 1000
+    # budget conservation: wants sum to <= half the corpus tokens
+    total = sum(r["n_tok"] for r in got.values())
+    assert sum(r["want_tok"] for r in got.values()) <= total // 2
