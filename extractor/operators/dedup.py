@@ -990,6 +990,7 @@ def split_leakage(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Cross-split contamination report: for every held-out split,
     how many documents share at least one word n-gram hash with the
@@ -1005,11 +1006,17 @@ def split_leakage(
     the train shingle scan; the surviving intersection is at most the
     eval gram set, broadcast again onto the eval doc→gram map.  Two
     broadcasts, zero train-side shuffle, map-side-partial final
-    aggregate.  Production decontamination raises ``n`` (8-13 grams);
-    the trigram rolling combiner here shares
-    :func:`shingle_hashes_from` with the whole dedup tier so oracle
-    parity and the one-md5-per-word discipline carry over unchanged.
-    """
+    aggregate.  The broadcast path assumes the eval gram set fits an
+    executor (true for curated eval sets and for per-mille splits of
+    mid-size corpora); when eval itself is web-scale (a 2% split of
+    10^12 docs), set ``broadcast_eval=False`` and both joins become
+    gram-bucketed equi-joins — the same shape as
+    :func:`ngram_containment_pairs`, one shuffle keyed on the gram
+    hash, no driver state either way.  Production decontamination
+    raises ``n`` (8-13 grams); the trigram rolling combiner here
+    shares :func:`shingle_hashes_from` with the whole dedup tier so
+    oracle parity and the one-md5-per-word discipline carry over
+    unchanged."""
 
     def shingles(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1026,11 +1033,13 @@ def split_leakage(
     train_sh = sh.filter(F.col("split") == train_split).select("h")
     eval_sh = sh.filter(F.col("split") != train_split)
     eval_gram_set = eval_sh.select("h").distinct()
-    leaked_grams = (
-        train_sh.join(F.broadcast(eval_gram_set), "h").select("h").distinct()
-    )
+    leaked_grams = train_sh.join(
+        F.broadcast(eval_gram_set) if broadcast_eval else eval_gram_set, "h"
+    ).select("h").distinct()
     leaked = (
-        eval_sh.join(F.broadcast(leaked_grams), "h")
+        eval_sh.join(
+            F.broadcast(leaked_grams) if broadcast_eval else leaked_grams, "h"
+        )
         .select("split", "id")
         .distinct()
         .groupBy("split")

@@ -3049,3 +3049,23 @@ def test_mixture_plan_flags_undersized_sources(spark, tmp_path):
     # budget conservation: wants sum to <= half the corpus tokens
     total = sum(r["n_tok"] for r in got.values())
     assert sum(r["want_tok"] for r in got.values()) <= total // 2
+
+
+def test_split_leakage_shuffle_path_equals_broadcast(spark):
+    """broadcast_eval=False (the web-scale-eval dial) must produce
+    identical counts through gram-bucketed equi-joins."""
+    from extractor.operators.dedup import split_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "train"),
+            (2, "eta theta iota kappa lambda mu", "train"),
+            (3, "alpha beta gamma utterly new tail", "validation"),
+            (4, "nu xi omicron pi rho sigma", "validation"),
+            (5, "tau upsilon phi chi psi omega", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    canon = lambda d: sorted(tuple(r) for r in d.collect())
+    assert canon(split_leakage(df, broadcast_eval=False)) == canon(
+        split_leakage(df, broadcast_eval=True))
