@@ -197,6 +197,7 @@ HEADLINE_QUERIES = [
     "bm25_query",
     "c4_rules",
     "mixture_plan",
+    "spam_mass",
 ]
 
 

@@ -1056,3 +1056,67 @@ def cocitation_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_cocite"))
         .filter(F.col("n_cocite") >= min_cocite)
     )
+
+
+def spam_mass_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    dangling: str = "drop",
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi/Berkhin/Garcia-Molina/Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a node's PageRank that is NOT vouched for by the
+    trusted core.  :func:`trustrank_int` answers "how much trust
+    reaches this node"; spam mass answers the demotion question
+    directly — "how much of this node's rank would survive if only
+    trusted endorsements counted".  A node whose rank comes entirely
+    from a self-endorsing farm has spam mass ≈ 1000‰ even when its
+    absolute rank is large, which is exactly the case raw PageRank
+    cannot see.
+
+    Returns (node, pr_ppm, tr_ppm, spam_mass_pm):
+
+    * ``pr_ppm``  — uniform-teleport PageRank as parts-per-million of
+      total PageRank mass;
+    * ``tr_ppm``  — seeded TrustRank as ppm of total trust mass;
+    * ``spam_mass_pm`` — ``max(0, 1000·(pr_ppm − tr_ppm) / pr_ppm)``
+      floored — the paper's relative mass ``(PR − PR⁺)/PR`` with both
+      ranks self-normalized so the seeded chain's smaller total mass
+      doesn't need a calibration constant.
+
+    All arithmetic is integer (normalization via
+    ``rank div (total div 10^6)`` keeps every intermediate below
+    2^63 at PR_SCALE), so the result is bit-identical across engines
+    and partitionings.  Plan shape: the two audited rank loops (one
+    equi-join + one aggregate per iteration each), ONE node-keyed
+    join between their outputs, and a one-row total broadcast — no
+    new shuffle grain beyond what the rank loops already pay, so the
+    100 TB story is exactly theirs."""
+    pr = pagerank_int(
+        edges, src_col=src_col, dst_col=dst_col,
+        iterations=iterations, dangling=dangling,
+    ).select("node", F.col("rank").alias("pr"))
+    tr = trustrank_int(
+        edges, seeds, src_col=src_col, dst_col=dst_col, seed_col=seed_col,
+        iterations=iterations, dangling=dangling,
+    ).select("node", F.col("rank").alias("tr"))
+    j = pr.join(tr, "node")
+    tot = j.agg(F.sum("pr").alias("tp"), F.sum("tr").alias("tt"))
+    ppm = j.crossJoin(F.broadcast(tot)).select(
+        "node",
+        F.expr("pr div greatest(tp div 1000000, 1L)").alias("pr_ppm"),
+        F.expr("tr div greatest(tt div 1000000, 1L)").alias("tr_ppm"),
+    )
+    return ppm.select(
+        "node",
+        "pr_ppm",
+        "tr_ppm",
+        F.greatest(
+            F.expr("(pr_ppm - tr_ppm) * 1000 div greatest(pr_ppm, 1L)"),
+            F.lit(0).cast("long"),
+        ).alias("spam_mass_pm"),
+    )

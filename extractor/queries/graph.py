@@ -1160,3 +1160,114 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = html_outlinks(valid_html)
     return cocitation_pairs(edges, src_col="url", dst_col="href")
+
+
+_SPAM_MASS_FIXTURE_SQL = """
+    hosts AS (
+      SELECT doc_id, 'h' || (doc_id % 7) || '.example-42.test' AS shost
+      FROM documents
+    ),
+    edges AS (
+      SELECT shost AS src,
+             'h' || ((doc_id + 1) % 7) || '.example-42.test' AS dst
+      FROM hosts
+      UNION ALL
+      SELECT shost, 'h' || ((doc_id + 3) % 7) || '.example-42.test'
+      FROM hosts
+      UNION ALL
+      SELECT 's' || (doc_id % 3) || '.spam-42.test',
+             's' || ((doc_id + 1) % 3) || '.spam-42.test'
+      FROM hosts WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 's' || (doc_id % 3) || '.spam-42.test',
+             'h' || (doc_id % 7) || '.example-42.test'
+      FROM hosts WHERE doc_id % 5 = 0
+    ),
+    odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT node,
+             node IN ('h0.example-42.test', 'h3.example-42.test') AS is_seed
+      FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    )
+"""
+
+
+@register(
+    "spam_mass",
+    # Same fixture as host_trustrank (trusted ring + self-endorsing
+    # spam triangle that links OUT to the ring but is never linked
+    # from it); the oracle unrolls BOTH rank chains — uniform-teleport
+    # PageRank (ip0..ip3) and seeded TrustRank (it0..it3) — then
+    # restates the integer ppm normalization and relative-mass
+    # formula, so Spark and DuckDB agree bit-for-bit.
+    f"""
+    WITH {_SPAM_MASS_FIXTURE_SQL},
+    ip0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes
+    ),
+    {_PAGERANK_ITER_SQL.format(K='p1', PREV='p0')},
+    {_PAGERANK_ITER_SQL.format(K='p2', PREV='p1')},
+    {_PAGERANK_ITER_SQL.format(K='p3', PREV='p2')},
+    it0 AS (
+      SELECT node, is_seed,
+             CAST(CASE WHEN is_seed THEN 1000000000000 ELSE 0 END AS BIGINT)
+               AS rank
+      FROM nodes
+    ),
+    {_TRUSTRANK_ITER_SQL.format(K='t1', PREV='t0')},
+    {_TRUSTRANK_ITER_SQL.format(K='t2', PREV='t1')},
+    {_TRUSTRANK_ITER_SQL.format(K='t3', PREV='t2')},
+    j AS (
+      SELECT p.node, p.rank AS pr, t.rank AS tr
+      FROM ip3 p JOIN it3 t ON p.node = t.node
+    ),
+    tot AS (SELECT sum(pr) AS tp, sum(tr) AS tt FROM j),
+    ppm AS (
+      SELECT node,
+             pr // greatest(tp // 1000000, 1) AS pr_ppm,
+             tr // greatest(tt // 1000000, 1) AS tr_ppm
+      FROM j, tot
+    )
+    SELECT node, pr_ppm, tr_ppm,
+           greatest(((pr_ppm - tr_ppm) * 1000) // greatest(pr_ppm, 1),
+                    0)::BIGINT AS spam_mass_pm
+    FROM ppm
+    """,
+)
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (operators.webgraph.spam_mass_int — Gyöngyi
+    et al., VLDB 2006) over the host_trustrank fixture: the spam
+    triangle's hosts collect real uniform-teleport PageRank (every
+    node gets the 15% floor plus their mutual endorsements) but ZERO
+    seeded trust, so their relative spam mass is 1000‰ exactly, while
+    the trusted ring's hosts sit near 0 — the thresholdable demotion
+    signal a curation pipeline applies to a host blocklist before
+    extraction ever runs.  Integer-exact end to end: both rank loops
+    at PR_SCALE, ppm self-normalization via div, relative mass in
+    per-mille."""
+    from extractor.operators.webgraph import spam_mass_int
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def h(j: int):
+        return F.concat(
+            F.lit("h"), ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit(".example-42.test"),
+        )
+
+    def s(j: int):
+        return F.concat(
+            F.lit("s"), ((F.col("doc_id") + j) % 3).cast("string"),
+            F.lit(".spam-42.test"),
+        )
+
+    trusted = docs.select(
+        h(0).alias("src"), F.explode(F.array(h(1), h(3))).alias("dst")
+    )
+    spam = docs.filter(F.col("doc_id") % 5 == 0).select(
+        s(0).alias("src"), F.explode(F.array(s(1), h(0))).alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [("h0.example-42.test",), ("h3.example-42.test",)], "node string"
+    )
+    return spam_mass_int(trusted.unionAll(spam), seeds, iterations=3)

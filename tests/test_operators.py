@@ -3069,3 +3069,35 @@ def test_split_leakage_shuffle_path_equals_broadcast(spark):
     canon = lambda d: sorted(tuple(r) for r in d.collect())
     assert canon(split_leakage(df, broadcast_eval=False)) == canon(
         split_leakage(df, broadcast_eval=True))
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """Relative spam mass (Gyöngyi 2006) on the canonical farm
+    fixture: the self-endorsing pair {x, y} that out-links to the
+    trusted web but is never linked FROM it carries spam mass exactly
+    1000‰ (all of its PageRank is unvouched); the seed itself sits at
+    the bottom of the ranking; and spam mass of every node is within
+    [0, 1000] by construction.  Also pins the identity case: with
+    seeds == all nodes, TrustRank == PageRank, so spam mass is ~0
+    everywhere (up to ppm floor rounding)."""
+    from extractor.operators.webgraph import spam_mass_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("x", "a")],
+        "src: string, dst: string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    rows = {r["node"]: r for r in spam_mass_int(edges, seeds, iterations=4).collect()}
+    assert rows["x"]["spam_mass_pm"] == 1000
+    assert rows["y"]["spam_mass_pm"] == 1000
+    assert rows["a"]["spam_mass_pm"] == min(r["spam_mass_pm"] for r in rows.values())
+    for r in rows.values():
+        assert 0 <= r["spam_mass_pm"] <= 1000
+        assert r["pr_ppm"] > 0
+
+    all_nodes = spark.createDataFrame([("a",), ("b",), ("x",), ("y",)], "node string")
+    ident = spam_mass_int(edges, all_nodes, iterations=3).collect()
+    # identical rank vectors ⇒ identical ppm shares ⇒ mass ≈ 0;
+    # the div-floor normalization can leave a ±1 ppm residue, which
+    # the 1000× relative step amplifies to at most a few per-mille
+    assert all(r["spam_mass_pm"] <= 5 for r in ident)
