@@ -198,6 +198,8 @@ HEADLINE_QUERIES = [
     "c4_rules",
     "mixture_plan",
     "spam_mass",
+    "tokenizer_fertility",
+    "host_quality_rollup",
 ]
 
 

@@ -1,5 +1,6 @@
-"""Operator-query registry: 143 Spark queries, each paired with a
-DuckDB oracle (``QueryDef.sql``) where SQL-expressible.
+"""Operator-query registry: 161 Spark queries, each paired with a
+DuckDB oracle (``QueryDef.sql``) where SQL-expressible
+(``compression_ratio`` is the one deliberate rows-only entry).
 
 Split by tier (r4 VERDICT item 2) from the former single-module
 ``extractor/queries.py``; the public surface is unchanged:

@@ -621,3 +621,82 @@ def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "host_quality_rollup",
+    # Per-source rollup of the classifier surrogate (integer basis
+    # points, same construction as quality_classifier's clf_bp) into
+    # the allow/review/block triage a curated-domains list is built
+    # from.
+    """
+    WITH scored AS (
+      SELECT source,
+             (floor(list_sum(list_transform(string_split(text, ' '),
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+                / len(string_split(text, ' '))) + 1000)::BIGINT AS clf_bp,
+             len(string_split(text, ' ')) AS n_w
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             (sum(clf_bp) // count(*))::BIGINT AS mean_bp,
+             ((1000 * sum(CASE WHEN clf_bp >= 1000 THEN 1 ELSE 0 END))
+                // count(*))::BIGINT AS keep_frac_pm,
+             (sum(n_w) // count(*))::BIGINT AS mean_words
+      FROM scored GROUP BY source
+    )
+    SELECT source, n_docs, mean_bp, keep_frac_pm, mean_words,
+           CASE WHEN mean_bp >= 1010 AND keep_frac_pm >= 500 THEN 'allow'
+                WHEN mean_bp < 990 OR keep_frac_pm < 250 THEN 'block'
+                ELSE 'review' END AS verdict
+    FROM agg
+    """,
+)
+def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality triage — the artifact a production crawl
+    actually ships: an allow/review/block list over HOSTS, built by
+    rolling the per-document classifier score (the fastText-style
+    seam, operators.classifier) up to the host grain.  Web pipelines
+    apply host lists BEFORE fetch/extraction (one verdict gates
+    millions of URLs), so the rollup is the cheap lever: mean score
+    in integer basis points, fraction of docs clearing the keep cut
+    (per-mille), and a thresholded verdict.  The synthetic corpus'
+    ``source`` column plays the host role.  Shape: map-only scoring
+    (no shuffle) + ONE reduced aggregate keyed by host — at 10^12
+    docs the shuffle carries only (host, partial-sums), and hosts are
+    bounded (~10^8 web-wide), so the result table itself stays
+    broadcastable for the downstream gate join.  Integer-exact
+    end-to-end: bp sums are longs, means are floor div — no float
+    summation-order hazard."""
+    from extractor.operators.classifier import classifier_score_expr
+    from extractor.operators.tokenizer import ws_token_count
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "source",
+        F.round(classifier_score_expr(F.col("text")) * 2000)
+        .cast("long")
+        .alias("clf_bp"),
+        ws_token_count(F.col("text")).alias("n_w"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("clf_bp").alias("sum_bp"),
+        F.sum(F.when(F.col("clf_bp") >= 1000, 1).otherwise(0)).alias("n_keep"),
+        F.sum("n_w").alias("sum_w"),
+    ).select(
+        "source", "n_docs",
+        F.expr("sum_bp div n_docs").alias("mean_bp"),
+        F.expr("(1000 * n_keep) div n_docs").alias("keep_frac_pm"),
+        F.expr("sum_w div n_docs").alias("mean_words"),
+    )
+    return agg.select(
+        "source", "n_docs", "mean_bp", "keep_frac_pm", "mean_words",
+        F.when(
+            (F.col("mean_bp") >= 1010) & (F.col("keep_frac_pm") >= 500), "allow"
+        ).when(
+            (F.col("mean_bp") < 990) | (F.col("keep_frac_pm") < 250), "block"
+        ).otherwise("review").alias("verdict"),
+    )

@@ -1492,3 +1492,61 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.operators.compressibility import compression_stats
 
     return compression_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "tokenizer_fertility",
+    # DuckDB mirror of operators.tokenizer.bpe_token_count_estimate:
+    # per word 1 + (len-1) // CHARS_PER_PIECE, summed, vs the
+    # whitespace word count; fertility in integer x1000.
+    """
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_w,
+             len(string_split(text, ' ')) +
+               list_sum(list_transform(string_split(text, ' '),
+                        x -> (length(x) - 1) // 6)) AS n_t
+      FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_w)::BIGINT AS n_words,
+           sum(n_t)::BIGINT AS n_tokens,
+           ((sum(n_t) * 1000) // sum(n_w))::BIGINT AS fertility_x1000
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per
+    whitespace word, x1000 (the tokenizer-efficiency read done before
+    committing a vocabulary to a multilingual corpus: a language
+    whose fertility is 2x the corpus mean pays 2x the context budget
+    for the same content, which skews any token-denominated mixture
+    plan).  Counts flow through the token-counting seam
+    (operators.tokenizer.TOKEN_COUNTERS), so swapping the deterministic
+    bpe_estimate for a real tokenizer UDF re-measures fertility with
+    zero query changes.  Expression-only per doc + one reduced
+    aggregate — no shuffle wider than (lang) rows at any scale."""
+    from extractor.operators.tokenizer import (
+        bpe_token_count_estimate,
+        ws_token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        ws_token_count(F.col("text")).alias("n_w"),
+        bpe_token_count_estimate(F.col("text")).alias("n_t"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_w").alias("n_words"),
+            F.sum("n_t").alias("n_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_tokens",
+            F.expr("(n_tokens * 1000) div n_words").alias("fertility_x1000"),
+        )
+    )

@@ -3101,3 +3101,50 @@ def test_spam_mass_separates_farm_from_trusted(spark):
     # the div-floor normalization can leave a ±1 ppm residue, which
     # the 1000× relative step amplifies to at most a few per-mille
     assert all(r["spam_mass_pm"] <= 5 for r in ident)
+
+
+def test_tokenizer_fertility_bounds_and_long_words(spark, tmp_path):
+    """Fertility is exactly 1000 for a language of sub-7-char words
+    (every word is one estimated piece) and exactly 3000 for 13-char
+    words (1 + 12 div 6 = 3 pieces) — the dial the estimate exists to
+    expose; fertility can never dip below 1000 (>=1 token per word)."""
+    from extractor.queries import REGISTRY
+
+    rows = [(i, "alpha beta gamma delta", "aa", "w") for i in range(3)]
+    rows += [(10 + i, "abcdefghijklm nopqrstuvwxyza", "zz", "w")
+             for i in range(2)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["lang"]: r for r in
+           REGISTRY["tokenizer_fertility"].spark(spark, sf).collect()}
+    assert got["aa"]["fertility_x1000"] == 1000
+    assert got["zz"]["fertility_x1000"] == 3000
+    assert got["aa"]["n_words"] == 12 and got["aa"]["n_tokens"] == 12
+    assert got["zz"]["n_words"] == 4 and got["zz"]["n_tokens"] == 12
+
+
+def test_host_quality_rollup_grain_and_verdict_consistency(spark):
+    """The rollup is at host (source) grain, conserves doc counts, and
+    its verdict column is a pure function of the aggregate columns it
+    ships — recomputing the allow/review/block thresholds from mean_bp
+    and keep_frac_pm must reproduce it row for row."""
+    from extractor.queries import REGISTRY
+
+    sf = SF_TINY
+    out = REGISTRY["host_quality_rollup"].spark(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) == n_sources
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r["mean_bp"] <= 2000
+        assert 0 <= r["keep_frac_pm"] <= 1000
+        if r["mean_bp"] >= 1010 and r["keep_frac_pm"] >= 500:
+            want = "allow"
+        elif r["mean_bp"] < 990 or r["keep_frac_pm"] < 250:
+            want = "block"
+        else:
+            want = "review"
+        assert r["verdict"] == want, r
