@@ -200,6 +200,7 @@ HEADLINE_QUERIES = [
     "spam_mass",
     "tokenizer_fertility",
     "host_quality_rollup",
+    "ivf_kmeans_train",
 ]
 
 

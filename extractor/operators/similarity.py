@@ -376,3 +376,102 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("qsim", 6).alias("qsim"))
     )
+
+
+def kmeans_train_int(
+    emb: DataFrame,
+    centroid_filter: Column,
+    iterations: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means (Lloyd 1982,
+    the FAISS IVF training step) over fixed-point integer vectors —
+    the piece :func:`ann_topk_ivf` deliberately stubs with a corpus
+    subset.  Components are scaled to ``round(x*scale)`` longs so
+    every distance, centroid sum, and the final inertia is INTEGER —
+    no float-summation-order hazard between Spark's partial
+    aggregation and any serial re-computation (the property that lets
+    a DuckDB oracle unroll the same iterations and match hashes).
+
+    Per iteration: one broadcast cross join of N vectors against the
+    (tiny, ≤ a few thousand) centroid set, collapsed by ``min_by``
+    with map-side partials — the exchange moves N rows, never
+    N×|cells| — then ONE reduced aggregate (64 per-dim sums) keyed by
+    cell.  No window over the scored set, no driver collect in the
+    loop: the centroid relation stays a DataFrame and is re-broadcast
+    by the optimizer each round (at 10^9 vectors each iteration is
+    two map-side passes + one |cells|-sized shuffle).  Empty cells
+    drop out, as in the standard algorithm.  Centroid update uses
+    ``div`` (truncation toward zero — identical to DuckDB's ``//``),
+    so the trained centroids are bit-reproducible.
+
+    Returns one row per surviving cell: (cell_id, n_members, inertia,
+    min_member, cnorm1) — membership count, total squared distance in
+    scaled² units, the smallest member id, and the trained centroid's
+    L1 norm (pins the centroid VALUES, not just the partition)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("iv"),
+    )
+    cents = base.filter(centroid_filter).select(
+        F.col("vec_id").alias("cell_id"), F.col("iv").alias("cv")
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(cdf)).select(
+            "vec_id",
+            "iv",
+            "cell_id",
+            F.aggregate(
+                F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sqd"),
+        )
+        # argmin by (sqd asc, cell_id asc): min_by over a struct —
+        # field-by-field comparison reproduces the window's tie order
+        # without ranking the N×|cells| scored set
+        best = scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("cell_id", "iv", "sqd"), F.struct("sqd", "cell_id")
+            ).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            F.col("b.iv").alias("iv"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("b.sqd").alias("sqd"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        sums = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("iv")[d]).alias(f"s{d}") for d in range(dim)],
+        )
+        cents = sums.select(
+            "cell_id",
+            F.array(*[F.expr(f"s{d} div n") for d in range(dim)]).alias("cv"),
+        )
+
+    final = assign(cents)
+    per_cell = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("sqd").alias("inertia"),
+        F.min("vec_id").alias("min_member"),
+    )
+    cnorm = cents.select(
+        "cell_id",
+        F.aggregate(
+            "cv", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("cnorm1"),
+    )
+    return per_cell.join(F.broadcast(cnorm), "cell_id").select(
+        "cell_id", "n_members", "inertia", "min_member", "cnorm1"
+    )

@@ -609,3 +609,102 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ivf_kmeans_train",
+    # Two unrolled Lloyd iterations over the same fixed-point integer
+    # vectors; `//` here and Spark's `div` both truncate toward zero,
+    # so the trained centroids (and hence every downstream integer)
+    # are bit-identical.
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * 1000)::BIGINT) AS iv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cell_id, iv AS cv FROM base WHERE vec_id % 37 = 0
+    ), a1 AS (
+      SELECT vec_id, iv, cell_id, sqd FROM (
+        SELECT vec_id, iv, cell_id, sqd,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cell_id) AS rn
+        FROM (SELECT b.vec_id, b.iv, c.cell_id,
+                     list_sum(list_transform(generate_series(1, 64),
+                       i -> (b.iv[i] - c.cv[i]) * (b.iv[i] - c.cv[i])
+                     ))::BIGINT AS sqd
+              FROM base b, c0 c)
+      ) WHERE rn = 1
+    ), c1 AS (
+      SELECT cell_id, array_agg(sm ORDER BY i) AS cv FROM (
+        SELECT a.cell_id, g.i,
+               (sum(a.iv[g.i]) // count(*))::BIGINT AS sm
+        FROM a1 a, generate_series(1, 64) g(i)
+        GROUP BY a.cell_id, g.i
+      ) GROUP BY cell_id
+    ), a2 AS (
+      SELECT vec_id, iv, cell_id, sqd FROM (
+        SELECT vec_id, iv, cell_id, sqd,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cell_id) AS rn
+        FROM (SELECT b.vec_id, b.iv, c.cell_id,
+                     list_sum(list_transform(generate_series(1, 64),
+                       i -> (b.iv[i] - c.cv[i]) * (b.iv[i] - c.cv[i])
+                     ))::BIGINT AS sqd
+              FROM base b, c1 c)
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT cell_id, array_agg(sm ORDER BY i) AS cv FROM (
+        SELECT a.cell_id, g.i,
+               (sum(a.iv[g.i]) // count(*))::BIGINT AS sm
+        FROM a2 a, generate_series(1, 64) g(i)
+        GROUP BY a.cell_id, g.i
+      ) GROUP BY cell_id
+    ), a3 AS (
+      SELECT vec_id, cell_id, sqd FROM (
+        SELECT vec_id, cell_id, sqd,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cell_id) AS rn
+        FROM (SELECT b.vec_id, c.cell_id,
+                     list_sum(list_transform(generate_series(1, 64),
+                       i -> (b.iv[i] - c.cv[i]) * (b.iv[i] - c.cv[i])
+                     ))::BIGINT AS sqd
+              FROM base b, c2 c)
+      ) WHERE rn = 1
+    )
+    SELECT a.cell_id,
+           count(*)::BIGINT AS n_members,
+           sum(a.sqd)::BIGINT AS inertia,
+           min(a.vec_id)::BIGINT AS min_member,
+           min(c.cnorm1)::BIGINT AS cnorm1
+    FROM a3 a JOIN (
+      SELECT cell_id,
+             list_sum(list_transform(cv, x -> abs(x)))::BIGINT AS cnorm1
+      FROM c2) c USING (cell_id)
+    GROUP BY a.cell_id
+    """,
+)
+def q_ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer TRAINING — the step ann_topk_ivf's
+    docstring defers to a real deployment: two Lloyd iterations of
+    k-means over fixed-point integer embeddings, seeded by the same
+    deterministic corpus subset ann_ivf uses as frozen centroids
+    (vec_id % 37).  Integer-exact end-to-end (scaled components,
+    integer squared distances, truncating-div centroid means), so the
+    oracle unrolls the identical iterations in SQL and every value —
+    membership counts, inertia, centroid L1 norms — matches bit-for-
+    bit.  Shape per iteration at 10^9 vectors: broadcast cross join +
+    min_by with map-side partials (the exchange moves N rows, never
+    N×|cells|) + one |cells|-keyed reduced aggregate; the centroid
+    relation never leaves the cluster (no driver collect in the
+    loop)."""
+    from extractor.operators.similarity import kmeans_train_int
+
+    return kmeans_train_int(
+        _emb(spark, sf_dir),
+        centroid_filter=F.col("vec_id") % 37 == 0,
+        iterations=2,
+        dim=64,
+        scale=1000,
+    )

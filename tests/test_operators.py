@@ -3148,3 +3148,23 @@ def test_host_quality_rollup_grain_and_verdict_consistency(spark):
         else:
             want = "review"
         assert r["verdict"] == want, r
+
+
+def test_kmeans_train_reduces_inertia_and_conserves_members(spark):
+    """Lloyd's iterations never increase inertia: the trained
+    quantizer's total squared distance must be <= the frozen-seed
+    assignment's (iterations=0 is exactly ann_ivf's frozen-subset
+    scheme).  Membership is conserved (every vector lands in exactly
+    one cell) and every surviving cell descends from a seed."""
+    from extractor.operators.similarity import kmeans_train_int
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    seed = F.col("vec_id") % 37 == 0
+    frozen = kmeans_train_int(emb, seed, iterations=0).collect()
+    trained = kmeans_train_int(emb, seed, iterations=2).collect()
+    assert sum(r["n_members"] for r in frozen) == n
+    assert sum(r["n_members"] for r in trained) == n
+    assert sum(r["inertia"] for r in trained) <= sum(r["inertia"] for r in frozen)
+    seeds = {r["vec_id"] for r in emb.filter(seed).select("vec_id").collect()}
+    assert {r["cell_id"] for r in trained} <= seeds
