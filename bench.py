@@ -201,6 +201,7 @@ HEADLINE_QUERIES = [
     "tokenizer_fertility",
     "host_quality_rollup",
     "ivf_kmeans_train",
+    "surprisal_transfer",
 ]
 
 

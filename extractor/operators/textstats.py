@@ -622,3 +622,61 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def surprisal_transfer(
+    ref,
+    crawl,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train/apply split of the LM quality filter — the part of CCNet
+    (Wenzek et al. 2020 §4.2) :func:`unigram_surprisal` elides: the
+    language model is fit on a TRUSTED REFERENCE corpus (Wikipedia in
+    CCNet) and applied to the crawl, so crawl pathologies cannot
+    launder themselves into the model that judges them.  The count
+    table comes from ``ref`` only; crawl tokens missing from it are
+    out-of-vocabulary and charged the hapax cost ``N_ref`` (count 1 —
+    the Laplace floor), with the per-doc OOV count reported so a
+    threshold can treat "fluent but foreign vocabulary" differently
+    from "gibberish".  Integer-exact throughout (floor division), so
+    the oracle can restate the whole chain.
+
+    Scale shape: the model build shuffles (token, count) pairs from
+    the reference ONLY (at CCNet scale the reference is ~10^-3 of the
+    crawl); scoring is one equi-join of exploded crawl tokens against
+    the count table (broadcastable: |vocab| rows) + one per-doc
+    aggregate.  Crawl text bytes never ride a shuffle.
+
+    Returns (doc_id, n_words, n_oov, surprisal_sum, mean_surprisal)
+    for every crawl doc."""
+    from pyspark.sql import functions as F
+
+    from extractor.operators.dedup import words_of
+
+    ref_toks = ref.select(F.explode(words_of(F.col(text_col))).alias("t"))
+    cnt = ref_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    crawl_toks = crawl.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_of(F.col(text_col))).alias("t"),
+    )
+    return (
+        crawl_toks.join(cnt, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.expr("n div coalesce(c, 1L)")).cast("long").alias("surprisal_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_oov",
+            "surprisal_sum",
+            F.expr("surprisal_sum div n_words").cast("long").alias("mean_surprisal"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Operator-query registry: 162 Spark queries, each paired with a
+"""Operator-query registry: 163 Spark queries, each paired with a
 DuckDB oracle (``QueryDef.sql``) where SQL-expressible
 (``compression_ratio`` is the one deliberate rows-only entry).
 

@@ -1550,3 +1550,54 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_tokens * 1000) div n_words").alias("fertility_x1000"),
         )
     )
+
+
+@register(
+    "surprisal_transfer",
+    # Train/apply split: the count table is fit on the reference
+    # subset only (doc_id % 5 = 0); crawl-side OOV tokens are charged
+    # the hapax cost n // 1.
+    """
+    WITH ref_toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM ref_toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS n FROM cnt
+    ), crawl_toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 5 <> 0
+    ), per_doc AS (
+      SELECT ct.doc_id, count(*) AS n_words,
+             sum(CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             sum(tot.n // coalesce(cnt.c, 1)) AS surprisal_sum
+      FROM crawl_toks ct LEFT JOIN cnt ON cnt.t = ct.t, tot
+      GROUP BY ct.doc_id
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words, n_oov::BIGINT AS n_oov,
+           surprisal_sum::BIGINT AS surprisal_sum,
+           (surprisal_sum // n_words)::BIGINT AS mean_surprisal
+    FROM per_doc
+    """,
+)
+def q_surprisal_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual train/apply discipline (Wenzek et al. 2020
+    §4.2): the LM is fit on a trusted reference corpus and APPLIED to
+    the crawl — unigram_surprisal's same-corpus scoring lets crawl
+    spam deflate its own surprisal by being frequent; this one does
+    not.  A deterministic fifth of the synthetic corpus plays the
+    Wikipedia role; the rest is the crawl.  OOV tokens (absent from
+    the reference vocabulary) are charged the hapax cost and counted
+    per doc, so thresholds can separate foreign-vocabulary from
+    gibberish.  Shape: the model-build shuffle is REFERENCE-sized
+    (~10^-3 of the crawl at CCNet scale); scoring is one equi-join of
+    exploded crawl tokens against the |vocab|-row count table + one
+    per-doc aggregate — crawl text bytes never ride a shuffle."""
+    from extractor.operators.textstats import surprisal_transfer
+
+    docs = _docs(spark, sf_dir)
+    return surprisal_transfer(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )

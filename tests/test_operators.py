@@ -3168,3 +3168,26 @@ def test_kmeans_train_reduces_inertia_and_conserves_members(spark):
     assert sum(r["inertia"] for r in trained) <= sum(r["inertia"] for r in frozen)
     seeds = {r["vec_id"] for r in emb.filter(seed).select("vec_id").collect()}
     assert {r["cell_id"] for r in trained} <= seeds
+
+
+def test_surprisal_transfer_oov_and_ordering(spark):
+    """A crawl doc written in the reference's common vocabulary must
+    score strictly below one written in tokens the reference has
+    never seen; the latter is all-OOV and charged exactly n_ref per
+    token (hapax cost), so its mean IS n_ref."""
+    from extractor.operators.textstats import surprisal_transfer
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [(10, "the cat on the mat"), (11, "zxq wvu qqq zzz ppp")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in surprisal_transfer(ref, crawl).collect()}
+    n_ref = 12  # total reference tokens
+    assert got[10]["n_oov"] == 0
+    assert got[11]["n_oov"] == got[11]["n_words"] == 5
+    assert got[11]["mean_surprisal"] == n_ref
+    assert got[10]["mean_surprisal"] < got[11]["mean_surprisal"]
