@@ -455,10 +455,15 @@ def kmeans_train_int(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.col("iv")[d]).alias(f"s{d}") for d in range(dim)],
         )
+        # localCheckpoint the |cells|-row centroid relation: truncating
+        # lineage keeps every assignment plan one-iteration shallow
+        # (without it the iteration-T cross join drags T nested
+        # 64-wide aggregate plans through analysis + codegen — measured
+        # 21 s → 3 s at sf0.1; the data cost is K rows, negligible)
         cents = sums.select(
             "cell_id",
             F.array(*[F.expr(f"s{d} div n") for d in range(dim)]).alias("cv"),
-        )
+        ).localCheckpoint(eager=True)
 
     final = assign(cents)
     per_cell = final.groupBy("cell_id").agg(
