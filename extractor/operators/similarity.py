@@ -423,16 +423,23 @@ def kmeans_train_int(
         F.col("vec_id").alias("cell_id"), F.col("iv").alias("cv")
     )
 
+    # UNROLLED getItem chain, NOT zip_with+aggregate — the inverse of
+    # _dot_lit's pinned trade: one 64-term flat chain stays inside
+    # whole-stage codegen (it is _dot_lit's 24-plane × 64-term total
+    # that trips the size fallback), while the HOF form allocates a
+    # 64-element intermediate array per candidate PAIR and runs
+    # interpreted — measured 98 s (HOF) vs 11 s (this form) for one
+    # assignment pass over 10.8M pairs at the 10× corpus.
+    sq_expr = F.expr(
+        " + ".join(f"(iv[{d}]-cv[{d}])*(iv[{d}]-cv[{d}])" for d in range(dim))
+    )
+
     def assign(cdf: DataFrame) -> DataFrame:
         scored = base.crossJoin(F.broadcast(cdf)).select(
             "vec_id",
             "iv",
             "cell_id",
-            F.aggregate(
-                F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sqd"),
+            sq_expr.alias("sqd"),
         )
         # argmin by (sqd asc, cell_id asc): min_by over a struct —
         # field-by-field comparison reproduces the window's tie order
