@@ -202,6 +202,7 @@ HEADLINE_QUERIES = [
     "host_quality_rollup",
     "ivf_kmeans_train",
     "surprisal_transfer",
+    "warc_revisit",
 ]
 
 

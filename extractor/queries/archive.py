@@ -867,3 +867,97 @@ def q_e2e_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(back, "url").select(
         "url", (F.col("direct_md5") == F.col("wet_md5")).alias("wet_agrees")
     )
+
+
+@register(
+    "warc_revisit",
+    # Four deterministic fetch waves over documents: every doc at
+    # T1; an UNCHANGED re-fetch of even docs at T2 (revisit); a
+    # CHANGED re-fetch of every 4th doc at T3 (new digest -> new
+    # response); a mirror URL carrying every 10th doc's exact bytes
+    # at T4 (URL-agnostic revisit pointing across hosts).  The
+    # oracle re-derives digest-canonical rows by joining each
+    # capture to its digest group's min(row(date, url)).
+    """
+    WITH f AS (
+      SELECT 'http://d' || doc_id || '.example-42.test/' AS url,
+             '2026-01-01T00:00:00Z' AS warc_date, text AS payload
+      FROM documents
+      UNION ALL
+      SELECT 'http://d' || doc_id || '.example-42.test/',
+             '2026-01-02T00:00:00Z', text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'http://d' || doc_id || '.example-42.test/',
+             '2026-01-03T00:00:00Z', text || ' changed'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'http://mirror-42.test/d' || doc_id,
+             '2026-01-04T00:00:00Z', text
+      FROM documents WHERE doc_id % 10 = 0
+    ), d AS (
+      SELECT url, warc_date, md5(payload) AS payload_digest,
+             octet_length(encode(payload))::BIGINT AS nbytes
+      FROM f
+    ), m AS (
+      SELECT payload_digest, min(row(warc_date, url)) AS k
+      FROM d GROUP BY payload_digest
+    ), canon AS (
+      SELECT d.payload_digest, d.url AS c_url, d.warc_date AS c_date
+      FROM d JOIN m ON d.payload_digest = m.payload_digest
+                   AND row(d.warc_date, d.url) = m.k
+    )
+    SELECT d.url, d.warc_date, d.payload_digest,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN 'response' ELSE 'revisit' END AS record_type,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN NULL ELSE c.c_url END AS refers_to_url,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN NULL ELSE c.c_date END AS refers_to_date,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN 0 ELSE d.nbytes END::BIGINT AS saved_bytes
+    FROM d JOIN canon c USING (payload_digest)
+    """,
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-payload-digest revisit classification
+    (sources.warc.classify_revisits — WARC 1.1 §6.7.2, Common
+    Crawl's crawl-time dedup): re-fetches whose payload bytes are
+    unchanged become pointer records instead of stored payloads.
+    The fixture drives all four cases — unchanged re-fetch (even
+    docs, next day), changed re-fetch (every 4th doc → a NEW
+    response under the same URL), a cross-host mirror of every 10th
+    doc's exact bytes (URL-agnostic dedup), and the untouched odd
+    docs (single response, nothing to refer to).  saved_bytes is
+    the archive-storage win each revisit banks.  Payload bytes
+    never ride the shuffle: digest + byte count are scan-projection
+    columns; only (digest, date, url, nbytes) rows move."""
+    from extractor.sources.warc import classify_revisits
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def wave(pred, date, payload, url):
+        w = docs.filter(pred) if pred is not None else docs
+        return w.select(
+            url.alias("url"),
+            F.lit(date).alias("warc_date"),
+            payload.alias("html"),
+        )
+
+    durl = F.concat(
+        F.lit("http://d"), F.col("doc_id").cast("string"),
+        F.lit(".example-42.test/"),
+    )
+    murl = F.concat(
+        F.lit("http://mirror-42.test/d"), F.col("doc_id").cast("string")
+    )
+    captures = (
+        wave(None, "2026-01-01T00:00:00Z", F.col("text"), durl)
+        .unionAll(wave(F.col("doc_id") % 2 == 0,
+                       "2026-01-02T00:00:00Z", F.col("text"), durl))
+        .unionAll(wave(F.col("doc_id") % 4 == 0, "2026-01-03T00:00:00Z",
+                       F.concat(F.col("text"), F.lit(" changed")), durl))
+        .unionAll(wave(F.col("doc_id") % 10 == 0,
+                       "2026-01-04T00:00:00Z", F.col("text"), murl))
+    )
+    return classify_revisits(captures)

@@ -218,3 +218,66 @@ def warc_file(records: list[tuple[str, str, int, str, str]], segment: str) -> st
             f"{body}\r\n\r\n"
         )
     return "".join(parts)
+
+
+def classify_revisits(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Crawl-time payload dedup: classify each capture as the
+    canonical ``response`` or an identical-payload ``revisit`` — the
+    WARC 1.1 §6.7.2 identical-payload-digest profile Common Crawl
+    applies when writing segments (an unchanged re-fetch stores a
+    ~200-byte pointer record instead of the payload).  The reference
+    service re-OCRs every upload unconditionally (`routes/ocr.py` has
+    no response cache); at crawl scale this classification is what
+    keeps the archive — and the extraction job reading it — from
+    paying for every unchanged re-fetch.
+
+    Digest grouping is URL-agnostic (mirrors collapse too, like the
+    spec's ``WARC-Refers-To-Target-URI`` being allowed to differ);
+    the canonical capture per digest is the type-agnostic
+    ``min(struct(date, url))`` — deterministic, no window.
+
+    Returns one row per input capture:
+    (url, date, payload_digest, record_type ``response|revisit``,
+    refers_to_url/refers_to_date — NULL on responses, saved_bytes —
+    the payload bytes a revisit record avoids re-storing).
+
+    100 TB shape: the md5 digest and byte count are computed in the
+    scan projection, so PAYLOAD BYTES NEVER RIDE A SHUFFLE — the one
+    groupBy and the join back move only (digest, date, url, nbytes)
+    rows.  Emitting actual revisit records afterwards is one
+    ``to_warc_records``-style concat on the classified rows."""
+    d = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("warc_date"),
+        F.md5(F.encode(F.col(payload_col), "utf-8")).alias("payload_digest"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("nbytes"),
+    )
+    canon = d.groupBy("payload_digest").agg(
+        F.min(F.struct("warc_date", "url")).alias("k")
+    )
+    joined = d.join(canon, "payload_digest")
+    is_canon = (F.col("warc_date") == F.col("k.warc_date")) & (
+        F.col("url") == F.col("k.url")
+    )
+    return joined.select(
+        "url",
+        "warc_date",
+        "payload_digest",
+        F.when(is_canon, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(is_canon, F.lit(None).cast("string"))
+        .otherwise(F.col("k.url"))
+        .alias("refers_to_url"),
+        F.when(is_canon, F.lit(None).cast("string"))
+        .otherwise(F.col("k.warc_date"))
+        .alias("refers_to_date"),
+        F.when(is_canon, F.lit(0).cast("long"))
+        .otherwise(F.col("nbytes"))
+        .alias("saved_bytes"),
+    )

@@ -812,3 +812,64 @@ def test_cdx_stream_equals_batch(spark, tmp_path):
     }
     brows = {tuple(r) for r in read_cdx(spark, out).collect()}
     assert srows == brows and len(brows) == 4
+
+
+def test_classify_revisits_four_cases(spark):
+    """Identical-payload revisit classification (WARC 1.1 §6.7.2):
+    unchanged re-fetch → revisit pointing at the first capture;
+    changed re-fetch → its own response; cross-host mirror of the
+    same bytes → revisit ACROSS urls; a lone capture → response with
+    nothing to refer to.  saved_bytes counts only revisit payloads."""
+    from extractor.sources.warc import classify_revisits
+
+    src = spark.createDataFrame(
+        [
+            ("http://a.test/", "2026-01-01T00:00:00Z", "same bytes"),
+            ("http://a.test/", "2026-01-02T00:00:00Z", "same bytes"),
+            ("http://a.test/", "2026-01-03T00:00:00Z", "new bytes!"),
+            ("http://m.test/a", "2026-01-04T00:00:00Z", "same bytes"),
+            ("http://lone.test/", "2026-01-01T00:00:00Z", "unique"),
+        ],
+        "url string, warc_date string, html string",
+    )
+    rows = {
+        (r.url, r.warc_date): r
+        for r in classify_revisits(src).collect()
+    }
+    assert len(rows) == 5
+    first = rows[("http://a.test/", "2026-01-01T00:00:00Z")]
+    assert first.record_type == "response" and first.saved_bytes == 0
+    assert first.refers_to_url is None and first.refers_to_date is None
+    re_same = rows[("http://a.test/", "2026-01-02T00:00:00Z")]
+    assert re_same.record_type == "revisit"
+    assert re_same.refers_to_url == "http://a.test/"
+    assert re_same.refers_to_date == "2026-01-01T00:00:00Z"
+    assert re_same.saved_bytes == len("same bytes")
+    changed = rows[("http://a.test/", "2026-01-03T00:00:00Z")]
+    assert changed.record_type == "response"  # new digest, new payload
+    mirror = rows[("http://m.test/a", "2026-01-04T00:00:00Z")]
+    assert mirror.record_type == "revisit"  # URL-agnostic digest dedup
+    assert mirror.refers_to_url == "http://a.test/"
+    lone = rows[("http://lone.test/", "2026-01-01T00:00:00Z")]
+    assert lone.record_type == "response"
+
+
+def test_classify_revisits_payload_never_shuffles(spark):
+    """100 TB shape: the digest/byte-count projection strips the
+    payload column before the groupBy, so no Exchange in the plan
+    carries the payload — corpus bytes never ride a shuffle."""
+    from extractor.sources.warc import classify_revisits
+
+    src = spark.createDataFrame(
+        [("http://a.test/", "2026-01-01T00:00:00Z", "payload bytes")],
+        "url string, warc_date string, html string",
+    )
+    plan = classify_revisits(src)._jdf.queryExecution().optimizedPlan().toString()
+    # the payload column html# may appear only INSIDE the per-scan
+    # digest/byte-count projection (md5(encode(html)) / length) —
+    # never as a standalone column in a Join or Aggregate node
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:")
+        if node.startswith(("Join", "Aggregate")):
+            assert "html" not in line, line
+    assert "md5" in plan
