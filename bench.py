@@ -203,6 +203,7 @@ HEADLINE_QUERIES = [
     "ivf_kmeans_train",
     "surprisal_transfer",
     "warc_revisit",
+    "e2e_warc_dedup",
 ]
 
 

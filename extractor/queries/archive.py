@@ -961,3 +961,116 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "2026-01-04T00:00:00Z", F.col("text"), murl))
     )
     return classify_revisits(captures)
+
+
+@register(
+    "e2e_warc_dedup",
+    # Same four fetch waves as warc_revisit, driven through a REAL
+    # file round-trip of the deduplicated archive: canonical captures
+    # come back as response records whose re-read body hashes to the
+    # digest modulo the documented framing strip (trailing CR/LF);
+    # re-fetches come back as payload-free revisit pointers.
+    """
+    WITH f AS (
+      SELECT 'http://d' || doc_id || '.example-42.test/' AS url,
+             '2026-01-01T00:00:00Z' AS warc_date, text AS payload
+      FROM documents
+      UNION ALL
+      SELECT 'http://d' || doc_id || '.example-42.test/',
+             '2026-01-02T00:00:00Z', text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'http://d' || doc_id || '.example-42.test/',
+             '2026-01-03T00:00:00Z', text || ' changed'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'http://mirror-42.test/d' || doc_id,
+             '2026-01-04T00:00:00Z', text
+      FROM documents WHERE doc_id % 10 = 0
+    ), d AS (
+      SELECT url, warc_date, md5(payload) AS payload_digest, payload
+      FROM f
+    ), m AS (
+      SELECT payload_digest, min(row(warc_date, url)) AS k
+      FROM d GROUP BY payload_digest
+    ), canon AS (
+      SELECT d.payload_digest, d.url AS c_url, d.warc_date AS c_date
+      FROM d JOIN m ON d.payload_digest = m.payload_digest
+                   AND row(d.warc_date, d.url) = m.k
+    )
+    SELECT d.url, d.warc_date,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN 'response' ELSE 'revisit' END AS warc_type,
+           d.payload_digest,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN NULL ELSE c.c_url END AS refers_to_url,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN NULL ELSE c.c_date END AS refers_to_date,
+           CASE WHEN d.url = c.c_url AND d.warc_date = c.c_date
+                THEN md5(rtrim(d.payload, chr(13) || chr(10)))
+                ELSE NULL END AS body_md5
+    FROM d JOIN canon c USING (payload_digest)
+    """,
+)
+def q_e2e_warc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated-archive round-trip
+    (sources.warc.to_deduped_warc_records → real text files →
+    read_warc_any): the batch repack that turns raw captures into
+    Common Crawl's storage shape — one stored payload per digest,
+    pointer records for every identical re-fetch.  A green row set
+    proves (a) classification survives the writer/reader pair, (b)
+    revisit pointers re-read intact (digest + refers-to headers),
+    and (c) stored payloads hash back to their digest modulo the
+    documented framing strip (``body_md5`` = md5 of the re-read
+    body; the oracle models the trailing-CR/LF trade exactly).
+    Revisit rows carry NULL body_md5 — nothing was stored, which IS
+    the feature."""
+    import tempfile
+
+    from extractor.sources.warc import read_warc_any, to_deduped_warc_records
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    durl = F.concat(
+        F.lit("http://d"), F.col("doc_id").cast("string"),
+        F.lit(".example-42.test/"),
+    )
+    murl = F.concat(
+        F.lit("http://mirror-42.test/d"), F.col("doc_id").cast("string")
+    )
+
+    def wave(pred, date, payload, url):
+        w = docs.filter(pred) if pred is not None else docs
+        return w.select(
+            url.alias("url"),
+            F.lit(date).alias("warc_date"),
+            F.lit(200).alias("http_status"),
+            F.lit("text/html").alias("content_type"),
+            payload.alias("html"),
+        )
+
+    captures = (
+        wave(None, "2026-01-01T00:00:00Z", F.col("text"), durl)
+        .unionAll(wave(F.col("doc_id") % 2 == 0,
+                       "2026-01-02T00:00:00Z", F.col("text"), durl))
+        .unionAll(wave(F.col("doc_id") % 4 == 0, "2026-01-03T00:00:00Z",
+                       F.concat(F.col("text"), F.lit(" changed")), durl))
+        .unionAll(wave(F.col("doc_id") % 10 == 0,
+                       "2026-01-04T00:00:00Z", F.col("text"), murl))
+    )
+    out = tempfile.mkdtemp(prefix="warc_dedup_") + "/segments"
+    to_deduped_warc_records(captures.repartition(4)).write.mode(
+        "overwrite"
+    ).text(out)
+    back = read_warc_any(spark, out)
+    return back.select(
+        "url",
+        "warc_date",
+        "warc_type",
+        "payload_digest",
+        "refers_to_url",
+        "refers_to_date",
+        F.when(
+            F.col("warc_type") == "response",
+            F.md5(F.encode(F.col("html"), "utf-8")),
+        ).alias("body_md5"),
+    )

@@ -144,6 +144,7 @@ def to_warc_records(
     ctype_col: str = "content_type",
     body_col: str = "html",
     location_col: str | None = None,
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Format response rows as raw WARC ``response`` records — one
     ``value: string`` column for ``df.write.text``; one codegen'd
@@ -152,7 +153,13 @@ def to_warc_records(
 
     ``location_col`` (optional): a redirect-target column emitted as
     an HTTP ``Location`` header when non-null, so 3xx captures
-    round-trip their redirect edge."""
+    round-trip their redirect edge.
+
+    ``digest_col`` (optional): an md5 hex column emitted as
+    ``WARC-Payload-Digest: md5:<hex>`` — the header a deduplicated
+    archive's revisit records refer back to (classify_revisits /
+    to_deduped_warc_records).  Default None leaves the output
+    byte-identical to the pre-digest writer."""
     body = F.col(body_col)
     loc_hdr = (
         F.when(
@@ -162,13 +169,22 @@ def to_warc_records(
         if location_col
         else F.lit("")
     )
+    digest_hdr = (
+        F.concat(
+            F.lit("WARC-Payload-Digest: md5:"), F.col(digest_col), F.lit("\r\n")
+        )
+        if digest_col
+        else F.lit("")
+    )
     return df.select(
         F.concat(
             F.lit(f"{WARC_SEP}\r\n" "WARC-Type: response\r\n" "WARC-Target-URI: "),
             F.col(url_col),
             F.lit("\r\nWARC-Date: "),
             F.col(date_col).cast("string"),
-            F.lit("\r\nContent-Length: "),
+            F.lit("\r\n"),
+            digest_hdr,
+            F.lit("Content-Length: "),
             F.octet_length(body).cast("string"),
             F.lit(_HDR_END),
             F.lit("HTTP/1.1 "),
@@ -281,3 +297,114 @@ def classify_revisits(
         .otherwise(F.col("nbytes"))
         .alias("saved_bytes"),
     )
+
+
+def parse_warc_any(raw: DataFrame) -> DataFrame:
+    """Expression-only parse keeping BOTH ``response`` and
+    ``revisit`` records — the reader for deduplicated archives
+    (real Common Crawl segments carry revisit records;
+    :func:`parse_warc_records` is the responses-only fast path and
+    stays byte-identical for callers that want payloads only).
+
+    Revisit rows carry the WARC 1.1 §6.7.2 pointer headers
+    (``payload_digest``, ``refers_to_url``, ``refers_to_date``) and
+    an empty ``html``; response rows carry the payload plus their
+    own ``payload_digest`` header when the writer emitted one.  Same
+    splittable-scan / whole-stage-codegen shape as the response
+    parser: zero Python."""
+    rec = raw.filter(F.length(F.trim(F.col("value"))) > 0)
+    warc_hdr = F.substring_index(F.col("value"), _HDR_END, 1)
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\\r\\n\\r\\n', 2)) + 5)"
+    )
+    body = F.regexp_replace(body, r"[\r\n]+$", "")  # framing caveat
+
+    def hdr(name: str):
+        return F.nullif(
+            F.regexp_extract(warc_hdr, name + r":\s*(\S+)", 1), F.lit("")
+        )
+
+    return (
+        rec.select(
+            F.regexp_extract(warc_hdr, r"WARC-Type:\s*(\S+)", 1).alias("warc_type"),
+            F.regexp_extract(warc_hdr, r"WARC-Target-URI:\s*(\S+)", 1).alias("url"),
+            F.regexp_extract(warc_hdr, r"WARC-Date:\s*(\S+)", 1).alias("warc_date"),
+            F.nullif(
+                F.regexp_extract(
+                    warc_hdr, r"WARC-Payload-Digest:\s*md5:(\S+)", 1
+                ),
+                F.lit(""),
+            ).alias("payload_digest"),
+            hdr("WARC-Refers-To-Target-URI").alias("refers_to_url"),
+            hdr("WARC-Refers-To-Date").alias("refers_to_date"),
+            body.alias("html"),
+        )
+        .filter(F.col("warc_type").isin("response", "revisit") & (F.col("url") != ""))
+    )
+
+
+def read_warc_any(spark: SparkSession, path: str) -> DataFrame:
+    """Read raw WARC segments keeping response AND revisit records
+    (:func:`parse_warc_any`) — the block-splittable scan is identical
+    to :func:`read_warc`."""
+    raw = spark.read.option("lineSep", WARC_SEP).text(path)
+    return parse_warc_any(raw)
+
+
+def to_deduped_warc_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str = "http_status",
+    ctype_col: str = "content_type",
+    body_col: str = "html",
+) -> DataFrame:
+    """Format a DEDUPLICATED archive from raw captures: the canonical
+    capture of each payload digest becomes a full ``response`` record
+    (payload + digest header); every identical-payload re-fetch
+    becomes a payload-free ``revisit`` record pointing at it
+    (classify_revisits → WARC 1.1 §6.7.2) — Common Crawl's crawl-time
+    dedup, reproduced as a batch repack.  Real revisit records also
+    replay the re-fetch's HTTP headers; this writer emits the pointer
+    headers only (the fields the dedup semantics need), documented
+    simplification.
+
+    100 TB shape: classification shuffles only (digest, date, url,
+    nbytes) rows; each STORED payload then rides exactly one
+    (url, date)-keyed join back to its classification verdict — the
+    minimal cost of a digest-global repack (each kept byte crosses
+    the cluster once).  Revisit records are formatted straight off
+    the classified rows, no payload anywhere near them.  Assumes
+    (url, date) uniquely keys a capture, the WARC record identity."""
+    cls = classify_revisits(captures, url_col, date_col, body_col)
+    resp = cls.filter(F.col("record_type") == "response").select(
+        "url", "warc_date", "payload_digest"
+    ).join(
+        captures.select(
+            F.col(url_col).alias("url"),
+            F.col(date_col).alias("warc_date"),
+            F.col(status_col).alias("http_status"),
+            F.col(ctype_col).alias("content_type"),
+            F.col(body_col).alias("html"),
+        ),
+        ["url", "warc_date"],
+    )
+    resp_recs = to_warc_records(resp, digest_col="payload_digest")
+    rev_recs = cls.filter(F.col("record_type") == "revisit").select(
+        F.concat(
+            F.lit(f"{WARC_SEP}\r\n" "WARC-Type: revisit\r\n" "WARC-Target-URI: "),
+            F.col("url"),
+            F.lit("\r\nWARC-Date: "),
+            F.col("warc_date"),
+            F.lit("\r\nWARC-Payload-Digest: md5:"),
+            F.col("payload_digest"),
+            F.lit("\r\nWARC-Refers-To-Target-URI: "),
+            F.col("refers_to_url"),
+            F.lit("\r\nWARC-Refers-To-Date: "),
+            F.col("refers_to_date"),
+            F.lit("\r\nContent-Length: 0"),
+            F.lit(_HDR_END),
+            F.lit("\r\n"),
+        ).alias("value")
+    )
+    return resp_recs.unionAll(rev_recs)

@@ -873,3 +873,37 @@ def test_classify_revisits_payload_never_shuffles(spark):
         if node.startswith(("Join", "Aggregate")):
             assert "html" not in line, line
     assert "md5" in plan
+
+
+def test_deduped_warc_roundtrip_pointers_resolve(spark, tmp_path):
+    """A deduplicated archive stores each digest's payload ONCE;
+    every revisit pointer re-reads intact and resolves to a stored
+    response whose body hashes to the pointer's digest."""
+    from extractor.sources.warc import read_warc_any, to_deduped_warc_records
+
+    src = spark.createDataFrame(
+        [
+            ("http://a.test/", "2026-01-01T00:00:00Z", 200, "text/html", "same bytes"),
+            ("http://a.test/", "2026-01-02T00:00:00Z", 200, "text/html", "same bytes"),
+            ("http://b.test/", "2026-01-03T00:00:00Z", 200, "text/html", "same bytes"),
+            ("http://c.test/", "2026-01-01T00:00:00Z", 200, "text/html", "other"),
+        ],
+        "url string, warc_date string, http_status int, content_type string,"
+        " html string",
+    )
+    out = str(tmp_path / "dedup")
+    to_deduped_warc_records(src).write.text(out)
+    back = read_warc_any(spark, out).collect()
+    assert len(back) == 4
+    resp = {r.payload_digest: r for r in back if r.warc_type == "response"}
+    revs = [r for r in back if r.warc_type == "revisit"]
+    assert len(resp) == 2 and len(revs) == 2  # one stored copy per digest
+    for r in revs:
+        assert r.html == ""  # nothing stored — the feature
+        target = resp[r.payload_digest]
+        assert (target.url, target.warc_date) == (r.refers_to_url, r.refers_to_date)
+    # stored payloads hash back to their own digest header
+    import hashlib
+
+    for r in resp.values():
+        assert hashlib.md5(r.html.encode()).hexdigest() == r.payload_digest
