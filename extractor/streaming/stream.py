@@ -632,3 +632,108 @@ def streaming_curation_gate(
         .alias("split"),
         clf_keep.alias("keep"),
     )
+
+
+def streaming_revisit_gate(
+    captures_stream: DataFrame,
+    index_dir: str,
+    results_dir: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "html",
+):
+    """foreachBatch bridge for crawl-time revisit classification
+    (the 15th bridge — sources.warc.classify_revisits with HISTORY):
+    the canonical capture of a payload digest is its first COMMITTED
+    capture; within a micro-batch the type-agnostic
+    ``min(struct(date, url))`` wins, exactly the batch operator's
+    tiebreak.  Every batch snapshot-commits its CLASSIFICATIONS
+    first and only then advances the digest index with the batch's
+    new canonicals — the exactly-once two-step every index bridge
+    uses, so a crash between the commits replays the batch against
+    an unchanged index.
+
+    This is the archive writer's ingest gate: a capture classified
+    ``revisit`` here is written as a pointer record
+    (to_deduped_warc_records' streaming half) and its payload never
+    enters storage, extraction, or dedup.
+
+    Scale shape per batch: digest + byte count in the scan
+    projection (payload bytes never ride a shuffle), one
+    groupBy(digest) over the batch, one digest equi-join against the
+    committed index (history never self-joins) — O(|batch|),
+    independent of archive size."""
+    from extractor.operators.incremental import commit_digests
+    from extractor.writer import (
+        _committed_manifests,
+        read_extracted,
+        write_snapshot,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        d = batch_df.select(
+            F.col(url_col).alias("url"),
+            F.col(date_col).alias("warc_date"),
+            F.md5(F.encode(F.col(payload_col), "utf-8")).alias("digest"),
+            F.octet_length(F.col(payload_col)).cast("long").alias("nbytes"),
+        )
+        bcanon = d.groupBy("digest").agg(
+            F.min(F.struct("warc_date", "url")).alias("bk")
+        )
+        if _committed_manifests(index_dir):
+            hist = (
+                read_extracted(spark, index_dir)
+                .groupBy("digest")
+                .agg(F.min(F.struct("warc_date", "url")).alias("hk"))
+            )
+            canon = bcanon.join(hist, "digest", "left").select(
+                "digest",
+                F.coalesce("hk", "bk").alias("k"),
+                F.col("hk").isNotNull().alias("in_hist"),
+                "bk",
+            )
+        else:
+            canon = bcanon.select(
+                "digest",
+                F.col("bk").alias("k"),
+                F.lit(False).alias("in_hist"),
+                "bk",
+            )
+        canon = canon.localCheckpoint(eager=True)  # results + commit reuse
+        joined = d.join(canon, "digest")
+        is_canon = (
+            (~F.col("in_hist"))
+            & (F.col("warc_date") == F.col("k.warc_date"))
+            & (F.col("url") == F.col("k.url"))
+        )
+        res = joined.select(
+            "url",
+            "warc_date",
+            F.col("digest").alias("payload_digest"),
+            F.when(is_canon, F.lit("response"))
+            .otherwise(F.lit("revisit"))
+            .alias("record_type"),
+            F.when(is_canon, F.lit(None).cast("string"))
+            .otherwise(F.col("k.url"))
+            .alias("refers_to_url"),
+            F.when(is_canon, F.lit(None).cast("string"))
+            .otherwise(F.col("k.warc_date"))
+            .alias("refers_to_date"),
+            F.when(is_canon, F.lit(0).cast("long"))
+            .otherwise(F.col("nbytes"))
+            .alias("saved_bytes"),
+        ).localCheckpoint(eager=True)
+        write_snapshot(res, results_dir, key_col="payload_digest")
+        commit_digests(
+            canon.filter(~F.col("in_hist")).select(
+                "digest",
+                F.col("bk.url").alias("url"),
+                F.col("bk.warc_date").alias("warc_date"),
+            ),
+            index_dir,
+        )
+
+    return handle

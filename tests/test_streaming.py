@@ -817,3 +817,71 @@ def test_streaming_curation_gate_equals_batch(spark, tmp_path):
     assert len(brows) > 50
     assert {row[6] for row in brows} == {"train", "validation", "test"}
     assert {row[5] for row in brows} == {True, False}
+
+
+def test_streaming_revisit_gate_history_wins(spark, tmp_path):
+    """The revisit ingest gate: the first COMMITTED capture of a
+    digest stays canonical across micro-batches (an unchanged
+    re-fetch in a later batch classifies revisit pointing at the
+    batch-1 capture); within a batch the min(struct(date, url))
+    tiebreak matches the batch operator.  Arrival-ordered input
+    therefore equals the one-shot classify_revisits over the union —
+    stream==batch where the semantics promise it."""
+    from extractor.sources.warc import classify_revisits
+    from extractor.streaming.stream import streaming_revisit_gate
+    from extractor.writer import read_extracted
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 120)
+    url = F.concat(F.lit("http://s.test/d"), F.col("doc_id").cast("string"))
+
+    def wave(pred, date, payload, u=url):
+        w = docs.filter(pred) if pred is not None else docs
+        return w.select(
+            u.alias("url"), F.lit(date).alias("warc_date"),
+            payload.alias("html"),
+        )
+
+    b1 = wave(None, "2026-01-01T00:00:00Z", F.col("text"))
+    b2 = wave(F.col("doc_id") % 2 == 0, "2026-01-02T00:00:00Z", F.col("text")) \
+        .unionAll(wave(F.col("doc_id") % 4 == 0, "2026-01-03T00:00:00Z",
+                       F.concat(F.col("text"), F.lit(" changed"))))
+    src = str(tmp_path / "caps")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "idx")
+    results_dir = str(tmp_path / "res")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_revisit_gate(stream, index_dir, results_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    key = ("url", "warc_date")
+    got = {
+        (r.url, r.warc_date): (
+            r.record_type, r.refers_to_url, r.refers_to_date, r.saved_bytes
+        )
+        for r in read_extracted(spark, results_dir).collect()
+    }
+    want = {
+        (r.url, r.warc_date): (
+            r.record_type, r.refers_to_url, r.refers_to_date, r.saved_bytes
+        )
+        for r in classify_revisits(b1.unionAll(b2)).collect()
+    }
+    assert got == want and len(got) == b1.count() + b2.count()
+    # the cross-batch unchanged re-fetch is a revisit at the gate
+    some = [v for k, v in got.items() if k[1] == "2026-01-02T00:00:00Z"]
+    assert some and all(v[0] == "revisit" for v in some)
