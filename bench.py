@@ -204,6 +204,7 @@ HEADLINE_QUERIES = [
     "surprisal_transfer",
     "warc_revisit",
     "e2e_warc_dedup",
+    "meta_robots_gate",
 ]
 
 

@@ -701,3 +701,61 @@ def query_variant_stats(
         )
         .filter(F.col("n_variants") >= min_variants)
     )
+
+
+def meta_robots_flags(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    header_col: str | None = None,
+) -> Column | DataFrame:
+    """Page-level robots directives: the ``<meta name="robots">`` tag
+    plus the optional ``X-Robots-Tag`` HTTP header (``header_col``),
+    reduced to per-directive booleans and one ``keep_for_training``
+    verdict.  robots.txt (webgraph.parse_robots) governs FETCHING;
+    these page-level signals govern what a fetched page may be USED
+    for — the opt-out layer a compliant training-data pipeline gates
+    on after the crawl, alongside the ``noai``/``noimageai`` tokens
+    publishers ship for exactly that purpose.  The reference service
+    has no corpus-policy layer (one upload in, one result out,
+    `routes/ocr.py`); this is its batch-governance analog.
+
+    Parsing is deliberately tag-scoped: extract the first
+    ``<meta ... name="robots" ...>`` tag (attribute order free), then
+    word-boundary-match directives inside the tag and the header
+    only — a page whose BODY discusses "noindex" is not opted out.
+    ``none`` implies ``noindex`` + ``nofollow`` (robots spec).
+
+    Expression-only (lower + one regexp_extract + rlike per
+    directive): map-only at any scale, no shuffle, stays inside
+    whole-stage codegen."""
+    tag = F.regexp_extract(
+        F.lower(F.col(html_col)),
+        r"""<meta[^>]*name=["']robots["'][^>]*>""",
+        0,
+    )
+    hdr = (
+        F.coalesce(F.lower(F.col(header_col)), F.lit(""))
+        if header_col
+        else F.lit("")
+    )
+    signals = F.concat(tag, F.lit(" | "), hdr)
+
+    def has(token: str) -> Column:
+        return signals.rlike(r"\b" + token + r"\b")
+
+    none_ = has("none")
+    noindex = has("noindex") | none_
+    nofollow = has("nofollow") | none_
+    noai = has("noai")
+    noimageai = has("noimageai")
+    noarchive = has("noarchive")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        noarchive.alias("noarchive"),
+        noai.alias("noai"),
+        noimageai.alias("noimageai"),
+        (~(noindex | noai)).alias("keep_for_training"),
+    )

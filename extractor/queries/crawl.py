@@ -1373,3 +1373,84 @@ def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     return robots_match(frontier, rules)
+
+
+@register(
+    "meta_robots_gate",
+    # Directive source is the TAG + HEADER only: every page's body
+    # contains the literal word "noindex" (the discussion trap), so
+    # any implementation that greps the whole document instead of the
+    # robots meta tag fails every row.  Residues: %5 noindex+nofollow
+    # tag, %7 reversed-attribute noai tag, %13 content="none"
+    # (implies noindex+nofollow), %11 X-Robots-Tag header.
+    """
+    WITH pages AS (
+      SELECT 'https://m.test/' || doc_id::VARCHAR AS url,
+             '<html><head>' ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN '<meta name="robots" content="noindex, nofollow">'
+                  WHEN doc_id % 7 = 0
+                  THEN '<meta content="noai,noimageai" name="robots">'
+                  WHEN doc_id % 13 = 0
+                  THEN '<meta name="robots" content="none">'
+                  ELSE '' END ||
+             '</head><body>noindex discussion ' || text
+             || '</body></html>' AS html,
+             CASE WHEN doc_id % 11 = 0 THEN 'noarchive, noai' END AS x_robots
+      FROM documents
+    ), sig AS (
+      SELECT url,
+             regexp_extract(lower(html),
+               '<meta[^>]*name="robots"[^>]*>', 0)
+               || ' | ' || coalesce(lower(x_robots), '') AS s
+      FROM pages
+    ), fl AS (
+      SELECT url,
+             regexp_matches(s, '\\bnone\\b') AS none_,
+             regexp_matches(s, '\\bnoindex\\b') AS noindex0,
+             regexp_matches(s, '\\bnofollow\\b') AS nofollow0,
+             regexp_matches(s, '\\bnoarchive\\b') AS noarchive,
+             regexp_matches(s, '\\bnoai\\b') AS noai,
+             regexp_matches(s, '\\bnoimageai\\b') AS noimageai
+      FROM sig
+    )
+    SELECT url,
+           (noindex0 OR none_) AS noindex,
+           (nofollow0 OR none_) AS nofollow,
+           noarchive, noai, noimageai,
+           NOT ((noindex0 OR none_) OR noai) AS keep_for_training
+    FROM fl
+    """,
+)
+def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots/AI-opt-out gate
+    (operators.crawl.meta_robots_flags): ``<meta name="robots">``
+    directives plus the ``X-Robots-Tag`` HTTP header, reduced to
+    per-directive booleans and the ``keep_for_training`` verdict a
+    compliant pipeline applies AFTER the crawl (robots.txt only
+    governs fetching).  The fixture plants the tag in both attribute
+    orders, the ``none`` alias, a header-only case — and the word
+    "noindex" in every BODY, so tag-scoped parsing is load-bearing,
+    not cosmetic.  Map-only, expression-only: no shuffle at any
+    scale."""
+    from extractor.operators.crawl import meta_robots_flags
+
+    d = F.col("doc_id")
+    tag = (
+        F.when(d % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 7 == 0,
+              F.lit('<meta content="noai,noimageai" name="robots">'))
+        .when(d % 13 == 0, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://m.test/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), tag,
+            F.lit("</head><body>noindex discussion "), F.col("text"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+        F.when(d % 11 == 0, F.lit("noarchive, noai")).alias("x_robots"),
+    )
+    return meta_robots_flags(pages, header_col="x_robots")

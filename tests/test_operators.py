@@ -3191,3 +3191,31 @@ def test_surprisal_transfer_oov_and_ordering(spark):
     assert got[11]["n_oov"] == got[11]["n_words"] == 5
     assert got[11]["mean_surprisal"] == n_ref
     assert got[10]["mean_surprisal"] < got[11]["mean_surprisal"]
+
+
+def test_meta_robots_flags_tag_scoped(spark):
+    """Directives come from the robots meta tag + X-Robots-Tag header
+    ONLY — a body discussing "noindex" is not opted out; attribute
+    order is free; 'none' implies noindex+nofollow; noai blocks
+    keep_for_training."""
+    from extractor.operators.crawl import meta_robots_flags
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<head><meta name="robots" content="noindex"></head>'
+                   "<body>ok</body>", None),
+            ("u2", "<body>this page discusses noindex and noai</body>", None),
+            ("u3", '<head><meta content="noai" name="robots"></head>', None),
+            ("u4", "<body>plain</body>", "noarchive, noimageai"),
+            ("u5", '<head><meta name="robots" content="none"></head>', None),
+        ],
+        "url string, html string, x_robots string",
+    )
+    got = {r.url: r for r in meta_robots_flags(pages, header_col="x_robots").collect()}
+    assert got["u1"].noindex and not got["u1"].keep_for_training
+    assert not got["u2"].noindex and not got["u2"].noai  # body trap
+    assert got["u2"].keep_for_training
+    assert got["u3"].noai and not got["u3"].keep_for_training  # reversed attrs
+    assert got["u4"].noarchive and got["u4"].noimageai  # header-only
+    assert got["u4"].keep_for_training  # neither noindex nor noai
+    assert got["u5"].noindex and got["u5"].nofollow  # none alias
