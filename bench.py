@@ -205,6 +205,7 @@ HEADLINE_QUERIES = [
     "warc_revisit",
     "e2e_warc_dedup",
     "meta_robots_gate",
+    "license_detect",
 ]
 
 

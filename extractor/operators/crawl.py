@@ -759,3 +759,55 @@ def meta_robots_flags(
         noimageai.alias("noimageai"),
         (~(noindex | noai)).alias("keep_for_training"),
     )
+
+
+def detect_license(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Creative-Commons license detection from the page's own markup —
+    the signal behind "permissively-licensed subset" corpus cuts: a
+    link into ``creativecommons.org/licenses/<code>/<version>/`` (the
+    rel="license" convention) or ``publicdomain/zero/1.0`` (CC0).
+    Returns ``(url, license_code, license_version,
+    allows_commercial, allows_derivatives)`` — booleans NULL when no
+    license was declared (unknown is not permissive; downstream cuts
+    filter on ``allows_commercial IS TRUE``).
+
+    URL-anchored on purpose: prose like "released under a creative
+    commons license" declares nothing machine-readable and is
+    ignored.  NC (non-commercial) and ND (no-derivatives) modules are
+    read off the license code, the only place they exist.
+
+    Expression-only (two regexp_extract + string tests on the
+    ≤10-char code): map-only, no shuffle at any scale."""
+    low = F.lower(F.col(html_col))
+    code0 = F.regexp_extract(
+        low, r"creativecommons\.org/licenses/([a-z-]+)/([0-9][0-9.]*)", 1
+    )
+    ver0 = F.regexp_extract(
+        low, r"creativecommons\.org/licenses/([a-z-]+)/([0-9][0-9.]*)", 2
+    )
+    cc0 = low.contains("creativecommons.org/publicdomain/zero/1.0")
+    code = (
+        F.when(cc0, F.lit("cc0"))
+        .when(code0 != "", code0)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    ver = (
+        F.when(cc0, F.lit("1.0"))
+        .when(code0 != "", ver0)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        code.alias("license_code"),
+        ver.alias("license_version"),
+        F.when(code.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(~code.contains("nc"))
+        .alias("allows_commercial"),
+        F.when(code.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(~code.contains("nd"))
+        .alias("allows_derivatives"),
+    )

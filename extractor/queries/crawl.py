@@ -1454,3 +1454,89 @@ def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 11 == 0, F.lit("noarchive, noai")).alias("x_robots"),
     )
     return meta_robots_flags(pages, header_col="x_robots")
+
+
+@register(
+    "license_detect",
+    # URL-anchored detection: every body says "released under a
+    # creative commons license" in prose (declares nothing); only the
+    # planted hrefs into creativecommons.org count.  Residues: %5
+    # CC BY 4.0, %7 BY-NC-SA 3.0 (non-commercial), %11 CC0 public
+    # domain, %13 BY-ND 4.0 (no derivatives), else undeclared.
+    """
+    WITH pages AS (
+      SELECT 'https://l.test/' || doc_id::VARCHAR AS url,
+             '<html><body><p>released under a creative commons license</p>'
+             || CASE
+                  WHEN doc_id % 5 = 0 THEN
+                    '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'
+                  WHEN doc_id % 7 = 0 THEN
+                    '<a href="https://creativecommons.org/licenses/by-nc-sa/3.0/">BY-NC-SA</a>'
+                  WHEN doc_id % 11 = 0 THEN
+                    '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'
+                  WHEN doc_id % 13 = 0 THEN
+                    '<a href="https://creativecommons.org/licenses/by-nd/4.0/">BY-ND</a>'
+                  ELSE '' END
+             || '<p>' || text || '</p></body></html>' AS html
+      FROM documents
+    ), det AS (
+      SELECT url,
+             regexp_extract(lower(html),
+               'creativecommons\\.org/licenses/([a-z-]+)/([0-9][0-9.]*)', 1)
+               AS code0,
+             regexp_extract(lower(html),
+               'creativecommons\\.org/licenses/([a-z-]+)/([0-9][0-9.]*)', 2)
+               AS ver0,
+             contains(lower(html),
+               'creativecommons.org/publicdomain/zero/1.0') AS cc0
+      FROM pages
+    ), lic AS (
+      SELECT url,
+             CASE WHEN cc0 THEN 'cc0'
+                  WHEN code0 != '' THEN code0 END AS license_code,
+             CASE WHEN cc0 THEN '1.0'
+                  WHEN code0 != '' THEN ver0 END AS license_version
+      FROM det
+    )
+    SELECT url, license_code, license_version,
+           CASE WHEN license_code IS NULL THEN NULL
+                ELSE NOT contains(license_code, 'nc') END
+             AS allows_commercial,
+           CASE WHEN license_code IS NULL THEN NULL
+                ELSE NOT contains(license_code, 'nd') END
+             AS allows_derivatives
+    FROM lic
+    """,
+)
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Creative-Commons license detection
+    (operators.crawl.detect_license) — the machine-readable signal
+    behind permissively-licensed corpus cuts: a creativecommons.org
+    license URL in the page's own markup, reduced to (code, version,
+    allows_commercial, allows_derivatives), NULLs when undeclared
+    (unknown is NOT permissive).  The fixture plants prose claiming a
+    CC license in every body, so URL-anchoring is load-bearing.
+    Map-only, expression-only."""
+    from extractor.operators.crawl import detect_license
+
+    d = F.col("doc_id")
+    lic = (
+        F.when(d % 5 == 0, F.lit(
+            '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'))
+        .when(d % 7 == 0, F.lit(
+            '<a href="https://creativecommons.org/licenses/by-nc-sa/3.0/">BY-NC-SA</a>'))
+        .when(d % 11 == 0, F.lit(
+            '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'))
+        .when(d % 13 == 0, F.lit(
+            '<a href="https://creativecommons.org/licenses/by-nd/4.0/">BY-ND</a>'))
+        .otherwise(F.lit(""))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://l.test/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>released under a creative commons license</p>"),
+            lic,
+            F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return detect_license(pages)

@@ -3219,3 +3219,29 @@ def test_meta_robots_flags_tag_scoped(spark):
     assert got["u4"].noarchive and got["u4"].noimageai  # header-only
     assert got["u4"].keep_for_training  # neither noindex nor noai
     assert got["u5"].noindex and got["u5"].nofollow  # none alias
+
+
+def test_detect_license_url_anchored(spark):
+    """License comes from a creativecommons.org URL only — prose
+    claims declare nothing; NC blocks commercial, ND blocks
+    derivatives, CC0 allows both, undeclared is NULL (not
+    permissive)."""
+    from extractor.operators.crawl import detect_license
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<a href="https://creativecommons.org/licenses/by/4.0/">x</a>'),
+            ("u2", '<a href="https://creativecommons.org/licenses/by-nc-nd/2.5/">x</a>'),
+            ("u3", '<a href="https://creativecommons.org/publicdomain/zero/1.0/">x</a>'),
+            ("u4", "<p>this work is under a creative commons license</p>"),
+        ],
+        "url string, html string",
+    )
+    got = {r.url: r for r in detect_license(pages).collect()}
+    assert got["u1"].license_code == "by" and got["u1"].license_version == "4.0"
+    assert got["u1"].allows_commercial and got["u1"].allows_derivatives
+    assert got["u2"].license_code == "by-nc-nd"
+    assert not got["u2"].allows_commercial and not got["u2"].allows_derivatives
+    assert got["u3"].license_code == "cc0" and got["u3"].allows_commercial
+    assert got["u4"].license_code is None  # prose trap
+    assert got["u4"].allows_commercial is None
