@@ -206,6 +206,7 @@ HEADLINE_QUERIES = [
     "e2e_warc_dedup",
     "meta_robots_gate",
     "license_detect",
+    "compliance_rollup",
 ]
 
 

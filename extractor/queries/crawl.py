@@ -1540,3 +1540,132 @@ def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return detect_license(pages)
+
+
+@register(
+    "compliance_rollup",
+    # The governance chain over one fixture: robots meta tags
+    # (%5 noindex+nofollow, %7 noai) AND license links (%3 CC BY 4.0,
+    # %11 BY-NC 2.0) planted independently, so every combination of
+    # (opt-out x license) occurs.  A page enters the compliant
+    # training cut iff keep_for_training (no noindex, no noai) AND
+    # its license affirmatively allows commercial use.
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://g.test/' || doc_id::VARCHAR AS url,
+             '<html><head>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<meta name="robots" content="noindex">'
+                     WHEN doc_id % 7 = 0
+                     THEN '<meta name="robots" content="noai">'
+                     ELSE '' END
+             || '</head><body>'
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  '<a href="https://creativecommons.org/licenses/by/4.0/">CC</a>'
+                WHEN doc_id % 11 = 0 THEN
+                  '<a href="https://creativecommons.org/licenses/by-nc/2.0/">CC</a>'
+                ELSE '' END
+             || '<p>' || text || '</p></body></html>' AS html,
+             text
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, text,
+             regexp_extract(lower(html),
+               '<meta[^>]*name="robots"[^>]*>', 0) AS tag,
+             regexp_extract(lower(html),
+               'creativecommons\\.org/licenses/([a-z-]+)/([0-9][0-9.]*)', 1)
+               AS code0
+      FROM pages
+    ), fl AS (
+      SELECT doc_id, text,
+             regexp_matches(tag, '\\bnoindex\\b') AS noindex,
+             regexp_matches(tag, '\\bnoai\\b') AS noai,
+             CASE WHEN code0 != '' THEN code0 END AS license_code
+      FROM sig
+    ), verdict AS (
+      SELECT coalesce(license_code, 'undeclared') AS license_code,
+             noindex, noai,
+             (NOT (noindex OR noai))
+               AND coalesce(NOT contains(license_code, 'nc'), false)
+               AS kept,
+             length(string_split(trim(text), ' ')) AS n_words
+      FROM fl
+    )
+    SELECT license_code,
+           count(*)::BIGINT AS n_pages,
+           count(*) FILTER (WHERE noindex)::BIGINT AS n_noindex,
+           count(*) FILTER (WHERE noai)::BIGINT AS n_noai,
+           count(*) FILTER (WHERE kept)::BIGINT AS n_kept,
+           coalesce(sum(n_words) FILTER (WHERE kept), 0)::BIGINT
+             AS words_kept
+    FROM verdict GROUP BY license_code
+    """,
+)
+def q_compliance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance chain end-to-end: meta_robots_flags +
+    detect_license over one page set, reduced to the per-license
+    compliance scoreboard a corpus release publishes — how many pages
+    each license bucket holds, how many carry opt-outs, how many
+    enter the compliant cut (no noindex/noai AND a license that
+    AFFIRMATIVELY allows commercial use — undeclared never passes),
+    and the word mass the cut keeps.  Both signals are planted on
+    coprime residues so every (opt-out × license) combination occurs.
+
+    Scale shape: two map-only operators project the page bytes away
+    BEFORE their outputs meet, so the two url-keyed equi-joins move
+    only verdict rows (url + booleans + a ≤10-char code) — page
+    bytes never ride a shuffle; then ONE license-keyed aggregate
+    with map-side partials; output is license-cardinality rows."""
+    from extractor.operators.crawl import detect_license, meta_robots_flags
+
+    d = F.col("doc_id")
+    tag = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 7 == 0, F.lit('<meta name="robots" content="noai">'))
+        .otherwise(F.lit(""))
+    )
+    lic = (
+        F.when(d % 3 == 0, F.lit(
+            '<a href="https://creativecommons.org/licenses/by/4.0/">CC</a>'))
+        .when(d % 11 == 0, F.lit(
+            '<a href="https://creativecommons.org/licenses/by-nc/2.0/">CC</a>'))
+        .otherwise(F.lit(""))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://g.test/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), tag, F.lit("</head><body>"), lic,
+            F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+        ).alias("html"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_words"),
+    )
+    robots = meta_robots_flags(pages)
+    licenses = detect_license(pages)
+    j = (
+        robots.join(licenses, "url")
+        .join(pages.select("url", "n_words"), "url")
+        .select(
+            F.coalesce(F.col("license_code"), F.lit("undeclared")).alias(
+                "license_code"
+            ),
+            "noindex",
+            "noai",
+            (
+                (~(F.col("noindex") | F.col("noai")))
+                & F.coalesce(
+                    ~F.col("license_code").contains("nc"), F.lit(False)
+                )
+            ).alias("kept"),
+            "n_words",
+        )
+    )
+    return j.groupBy("license_code").agg(
+        F.count("*").alias("n_pages"),
+        F.count_if(F.col("noindex")).alias("n_noindex"),
+        F.count_if(F.col("noai")).alias("n_noai"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_words"))), F.lit(0)
+        ).alias("words_kept"),
+    )
