@@ -708,7 +708,7 @@ def meta_robots_flags(
     url_col: str = "url",
     html_col: str = "html",
     header_col: str | None = None,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Page-level robots directives: the ``<meta name="robots">`` tag
     plus the optional ``X-Robots-Tag`` HTTP header (``header_col``),
     reduced to per-directive booleans and one ``keep_for_training``

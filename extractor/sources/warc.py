@@ -266,7 +266,14 @@ def classify_revisits(
     scan projection, so PAYLOAD BYTES NEVER RIDE A SHUFFLE — the one
     groupBy and the join back move only (digest, date, url, nbytes)
     rows.  Emitting actual revisit records afterwards is one
-    ``to_warc_records``-style concat on the classified rows."""
+    ``to_warc_records``-style concat on the classified rows.
+
+    NULL payloads: md5(NULL) is NULL and groupBy collapses all NULL
+    digests into one group, which would mark distinct NULL-payload
+    captures as revisits of each other.  The engine's WARC/WET
+    parsers never yield NULL bodies (an empty payload parses as
+    ``''``, a real digest); callers feeding nullable columns should
+    coalesce or filter first."""
     d = captures.select(
         F.col(url_col).alias("url"),
         F.col(date_col).alias("warc_date"),
