@@ -885,3 +885,43 @@ def test_streaming_revisit_gate_history_wins(spark, tmp_path):
     # the cross-batch unchanged re-fetch is a revisit at the gate
     some = [v for k, v in got.items() if k[1] == "2026-01-02T00:00:00Z"]
     assert some and all(v[0] == "revisit" for v in some)
+
+
+def test_streaming_revisit_gate_replay_idempotent(spark, tmp_path):
+    """Crash-window replay: re-running a batch re-appends
+    byte-identical classification rows and duplicate index rows; the
+    history min-aggregate absorbs the index duplicates, so a batch
+    AFTER the replay classifies exactly as it would have without it
+    (the at-least-once repair for results is the usual keyed dedupe
+    on read)."""
+    from extractor.streaming.stream import streaming_revisit_gate
+    from extractor.writer import read_extracted
+
+    def caps(rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_date string, html string"
+        )
+
+    b1 = caps([("http://a.test/", "2026-01-01T00:00:00Z", "same bytes"),
+               ("http://b.test/", "2026-01-01T00:00:01Z", "other")])
+    b2 = caps([("http://a.test/", "2026-01-02T00:00:00Z", "same bytes"),
+               ("http://c.test/", "2026-01-02T00:00:01Z", "third")])
+
+    def run(replay: bool, tag: str):
+        idx = str(tmp_path / f"idx_{tag}")
+        res = str(tmp_path / f"res_{tag}")
+        handle = streaming_revisit_gate(None, idx, res)
+        handle(b1, 0)
+        if replay:
+            handle(b1, 0)  # crash between commits → batch replays
+        handle(b2, 1)
+        rows = read_extracted(spark, res).collect()
+        # keyed read-repair: replayed rows are byte-identical
+        return {
+            (r.url, r.warc_date): (
+                r.record_type, r.refers_to_url, r.refers_to_date, r.saved_bytes
+            )
+            for r in rows
+        }
+
+    assert run(False, "clean") == run(True, "replayed")
