@@ -207,6 +207,7 @@ HEADLINE_QUERIES = [
     "meta_robots_gate",
     "license_detect",
     "compliance_rollup",
+    "markdown_outline",
 ]
 
 

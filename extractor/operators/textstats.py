@@ -680,3 +680,45 @@ def surprisal_transfer(
             F.expr("surprisal_sum div n_words").cast("long").alias("mean_surprisal"),
         )
     )
+
+
+def markdown_outline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Structure statistics of extracted MARKDOWN — the document-shape
+    quality axis the word-level Gopher/C4 rules cannot see: a page
+    that extracted to one unbroken wall of text and a listicle that
+    extracted to 40 one-line sections both pass length filters, but
+    their heading profiles differ sharply.  Operates on the engine's
+    own output format (`html_to_markdown` emits ATX headings), so
+    this is quality control OF the flagship extraction, not of raw
+    text.
+
+    Per doc: ``n_headings`` (ATX ``#``–``######`` lines),
+    ``max_depth`` (deepest level present, 0 when unstructured),
+    ``n_h1``, ``n_lines``, and ``body_lines`` (non-heading,
+    non-blank) — the inputs to a structure-aware corpus cut.
+
+    Expression-only: one line split + one filtered depth map per
+    row, scalar reductions over the per-row array — map-only, no
+    shuffle, no Python."""
+    lines = F.split(F.col(text_col), "\n")
+    depths = F.transform(
+        F.filter(lines, lambda l: l.rlike(r"^#{1,6} ")),
+        lambda l: F.length(F.regexp_extract(l, r"^(#+)", 1)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(depths).cast("long").alias("n_headings"),
+        F.coalesce(F.array_max(depths), F.lit(0)).cast("long").alias("max_depth"),
+        F.size(F.filter(depths, lambda d: d == 1)).cast("long").alias("n_h1"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: (~l.rlike(r"^#{1,6} ")) & (F.length(F.trim(l)) > 0),
+            )
+        ).cast("long").alias("body_lines"),
+    )

@@ -1601,3 +1601,69 @@ def q_surprisal_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
     )
+
+
+@register(
+    "markdown_outline",
+    # Deterministic markdown synthesized from documents: every doc
+    # gets an H1; %3 docs gain two H2 sections; %7 docs a deep H4;
+    # %5 docs an indented '   # not a heading' line (ATX headings
+    # must start at column 0 — the trap) plus a '#hashtag' line
+    # (no space after # — not a heading either).
+    """
+    WITH md AS (
+      SELECT doc_id,
+             '# Title ' || doc_id::VARCHAR || chr(10)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '## Section A' || chr(10) || '## Section B' || chr(10)
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN '#### Deep' || chr(10) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '   # not a heading' || chr(10) || '#hashtag' || chr(10)
+                     ELSE '' END
+             || text AS t
+      FROM documents
+    ), arr AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lines,
+             list_transform(
+               list_filter(string_split(t, chr(10)),
+                           l -> regexp_matches(l, '^#{1,6} ')),
+               l -> length(regexp_extract(l, '^(#+)', 1))) AS depths
+      FROM md
+    )
+    SELECT doc_id,
+           length(depths)::BIGINT AS n_headings,
+           coalesce(list_max(depths), 0)::BIGINT AS max_depth,
+           length(list_filter(depths, d -> d = 1))::BIGINT AS n_h1,
+           length(lines)::BIGINT AS n_lines,
+           length(list_filter(lines,
+             l -> NOT regexp_matches(l, '^#{1,6} ')
+                  AND length(trim(l)) > 0))::BIGINT AS body_lines
+    FROM arr
+    """,
+)
+def q_markdown_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure statistics
+    (operators.textstats.markdown_outline) over deterministic
+    markdown synthesized from documents — heading counts/depths and
+    body-line mass, the document-shape quality axis word-level rules
+    miss.  The fixture plants the two ATX traps (indented '#' and
+    '#hashtag' without a space) so the heading regex is
+    load-bearing.  Map-only, expression-only."""
+    from extractor.operators.textstats import markdown_outline
+
+    d = F.col("doc_id")
+    md = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("# Title "), d.cast("string"), F.lit("\n"),
+            F.when(d % 3 == 0, F.lit("## Section A\n## Section B\n"))
+            .otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("#### Deep\n")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("   # not a heading\n#hashtag\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return markdown_outline(md)

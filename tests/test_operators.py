@@ -3245,3 +3245,25 @@ def test_detect_license_url_anchored(spark):
     assert got["u3"].license_code == "cc0" and got["u3"].allows_commercial
     assert got["u4"].license_code is None  # prose trap
     assert got["u4"].allows_commercial is None
+
+
+def test_markdown_outline_atx_traps(spark):
+    """ATX headings only: column-0 '#'-run + space; indented '#' and
+    '#hashtag' (no space) are body lines; depth is the #-run length;
+    an unstructured doc reports max_depth 0."""
+    from extractor.operators.textstats import markdown_outline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "# H1\n## H2a\n## H2b\n#### H4\nbody one\n\nbody two"),
+            (2, "   # indented\n#hashtag\nplain body"),
+            (3, "no structure at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in markdown_outline(docs).collect()}
+    assert (got[1].n_headings, got[1].max_depth, got[1].n_h1) == (4, 4, 1)
+    assert got[1].body_lines == 2  # blank line doesn't count
+    assert (got[2].n_headings, got[2].max_depth) == (0, 0)
+    assert got[2].body_lines == 3  # both traps are body lines
+    assert (got[3].n_headings, got[3].max_depth, got[3].body_lines) == (0, 0, 1)
